@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Backed by the query registry in
+``bigdata_financial_reporting_spark.queries``: every implemented
+operator from SURVEY.md §2B registers a ``(spark, sf_dir) ->
+DataFrame`` callable and (when SQL-expressible) a DuckDB oracle string
+under the same key.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from bigdata_financial_reporting_spark.queries import oracle_sql_map, queries_map
+from bigdata_financial_reporting_spark.session import pin_semantics
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: scale-correct reference pipeline (per-series returns)
+    on sf0.001."""
+    pin_semantics(spark)
+    return queries_map()["ref_per_user_returns"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    base = queries_map()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_semantics(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in base.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracle_sql_map()

@@ -1,0 +1,7 @@
+from bigdata_financial_reporting_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+
+__all__ = ["cosine_similarity", "dot", "l2_norm"]

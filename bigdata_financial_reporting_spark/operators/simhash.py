@@ -1,0 +1,97 @@
+"""SimHash near-duplicate detection.
+
+64-bit SimHash: each token hashes to 64 bits (xxhash64, deterministic);
+bit j of the fingerprint is the sign of sum over tokens of (+1 if bit j
+set else -1). Near-duplicates = pairs within Hamming distance d.
+
+Scale path: pigeonhole banding — split the 64 bits into ``d+1`` chunks;
+any pair with Hamming <= d agrees exactly on at least one chunk, so a
+groupBy/self-join per chunk finds ALL such pairs without an all-pairs
+scan (exact recall, unlike MinHash banding).
+
+All expression-level (bit ops + higher-order functions) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.operators.text import tokenize
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash of the token multiset of ``text`` (long)."""
+    toks = tokenize(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        # count of tokens with bit j set, vs total
+        set_cnt = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
+        )
+        bit_j = (set_cnt * 2 >= F.size(toks)).cast("long")
+        out = out.bitwiseOR(F.shiftleft(bit_j, j))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+) -> DataFrame:
+    """Pairs (id_a < id_b) with SimHash Hamming distance <= max_distance.
+
+    Exact under the pigeonhole banding: chunks = max_distance + 1.
+    Returns ``id_a, id_b, hamming``.
+    """
+    chunks = max_distance + 1
+    width = 64 // chunks
+    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+
+    mask = (1 << width) - 1
+    entries = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("fp"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("piece"),
+                    )
+                    # last chunk takes any leftover high bits
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "fp", F.col("e.chunk").alias("chunk"), F.col("e.piece").alias("piece"))
+
+    a, b = entries.alias("a"), entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )

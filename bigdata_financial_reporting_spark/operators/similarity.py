@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``: exact brute-force top-k — query set × corpus. The
+  query side is broadcast (it is small by construction: a user's query
+  batch), so the corpus never shuffles: each corpus partition scores
+  its rows against every query locally and the per-group window keeps
+  k. At 100 TB of corpus this is a single map + a top-k shuffle of
+  k×|queries| rows.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane (signed
+  projection) buckets; only same-bucket pairs are scored. Probabilistic
+  recall (verified against brute force in tests), deterministic given
+  the seed: hyperplanes derive from xxhash64, not an RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.functions.vector import cosine_similarity
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine; ties broken by ascending corpus id.
+
+    Returns ``query_id, neighbor_id, cosine, rank``.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+def _hyperplane_sign(vec, plane_seed: int) -> "F.Column":
+    """Sign of <v, h> for a pseudo-random hyperplane h whose component j
+    is derived from xxhash64(seed, j) mapped into [-1, 1). Deterministic
+    across runs/engines — no RNG state."""
+    # element i (1-based in transform's index-free form): use index via
+    # zip with a position sequence.
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    comp = F.zip_with(
+        idx,
+        vec,
+        lambda j, x: x.cast("double")
+        * ((F.xxhash64(F.lit(plane_seed), j) % 2000001).cast("double") / 1000000.0 - 1.0),
+    )
+    s = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
+    return (s >= 0).cast("int")
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's
+    random-hyperplane bucket. ~2^n_planes× less work than brute force;
+    recall measured in tests."""
+
+    def bucket(vec):
+        bits = [_hyperplane_sign(vec, seed) for seed in range(n_planes)]
+        out = F.lit(0)
+        for b in bits:
+            out = out * 2 + b
+        return out
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        bucket(F.col(vec_col)).alias("__bkt"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        bucket(F.col(vec_col)).alias("__bkt"),
+    )
+    scored = c.join(F.broadcast(q), on="__bkt").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def pairwise_above_threshold(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold.
+
+    Quadratic by nature; at scale wrap with LSH blocking (see
+    ``lsh_bucket_topk``) — this exact form is the oracle path.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,36 @@
+"""Query registry: one named entry per operator in SURVEY.md §2B.
+
+Each registered query is a ``(spark, sf_dir) -> DataFrame`` callable,
+optionally paired with an ANSI-SQL oracle string DuckDB can run over
+the same parquet fixtures. The driver (and our own tests) execute both
+sides and compare row-count + schema + order-insensitive value hash.
+
+Importing this package populates the registry.
+"""
+
+from bigdata_financial_reporting_spark.queries.registry import (
+    QUERIES,
+    QuerySpec,
+    oracle_sql_map,
+    queries_map,
+    register,
+)
+
+# Import for side effect: each module registers its queries.
+from bigdata_financial_reporting_spark.queries import (  # noqa: E402,F401
+    aggregates,
+    dedup,
+    functions_scalar,
+    joins,
+    llm_text,
+    multimodal,
+    reference_pipeline,
+    relational,
+    similarity,
+    sources_sinks,
+    streaming_queries,
+    udfs,
+    windows,
+)
+
+__all__ = ["QUERIES", "QuerySpec", "register", "queries_map", "oracle_sql_map"]

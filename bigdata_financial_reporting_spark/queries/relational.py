@@ -1,0 +1,341 @@
+"""Projection / filter / predicate / sort / limit / set-op queries
+(SURVEY.md §2B.2 + §2B.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.operators.topk import top_k_per_group
+from bigdata_financial_reporting_spark.queries.registry import register
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+@register(
+    "select_prune",
+    oracle="SELECT c_custkey, c_name FROM customer",
+    category="relational",
+)
+def select_prune(spark, sf_dir):
+    """Column pruning: scan reads only two columns (check ReadSchema)."""
+    return load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+
+@register(
+    "derived_column",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 6) AS revenue,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+    FROM lineitem
+    """,
+    category="relational",
+)
+def derived_column(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(rev, 6).alias("revenue"),
+        F.round(rev * (1 + F.col("l_tax")), 6).alias("charged"),
+    )
+
+
+@register(
+    "rename_drop",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_totalprice AS total, o_orderstatus AS status
+    FROM orders
+    """,
+    category="relational",
+)
+def rename_drop(spark, sf_dir):
+    """withColumnsRenamed + drop (reference R3 generalization)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.withColumnsRenamed(
+        {"o_orderkey": "order_id", "o_totalprice": "total", "o_orderstatus": "status"}
+    ).drop("o_custkey", "o_orderdate", "o_orderpriority")
+
+
+@register(
+    "filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_d, l_quantity
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+      AND l_quantity >= 25
+    """,
+    category="relational",
+)
+def filter_range(spark, sf_dir):
+    """Conjunctive range predicate (reference R8); pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") <= "1996-12-31")
+        & (F.col("l_quantity") >= 25)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_d"),
+        "l_quantity",
+    )
+
+
+@register(
+    "filter_in_like_null",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#5', 'Brand#13')
+      AND p_name LIKE '%widget%'
+      AND p_name IS NOT NULL
+      AND regexp_matches(p_name, '^(cold|small|large)')
+    """,
+    category="relational",
+)
+def filter_in_like_null(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#13")
+        & F.col("p_name").like("%widget%")
+        & F.col("p_name").isNotNull()
+        & F.col("p_name").rlike("^(cold|small|large)")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+@register(
+    "boolean_combinators",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus = 'F' OR o_totalprice > 50000) AND NOT (o_orderpriority = '5-LOW')
+    """,
+    category="relational",
+)
+def boolean_combinators(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 50000))
+        & ~(F.col("o_orderpriority") == "5-LOW")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "case_when_coalesce",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 100000 THEN 'big'
+                WHEN o_totalprice > 30000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           NULLIF(o_orderstatus, 'O') AS status_or_null
+    FROM orders
+    """,
+    category="relational",
+)
+def case_when_coalesce(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 100000, "big")
+        .when(F.col("o_totalprice") > 30000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+    )
+
+
+@register(
+    "null_fill_drop",
+    oracle="""
+    WITH w AS (
+      SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.0) AS d
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, COALESCE(d, -1.0) AS d_filled
+    FROM w WHERE l_orderkey IS NOT NULL
+    """,
+    category="relational",
+)
+def null_fill_drop(spark, sf_dir):
+    """na.fill / na.drop (reference R7) on a synthesized-NULL column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_orderkey", "l_linenumber", F.nullif(F.col("l_discount"), F.lit(0.0)).alias("d")
+    )
+    return (
+        w.na.fill({"d": -1.0})
+        .na.drop(subset=["l_orderkey"])
+        .withColumnRenamed("d", "d_filled")
+    )
+
+
+@register(
+    "cast_types",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS VARCHAR) AS ln_str,
+           CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+           CAST(strftime(l_shipdate, '%Y-%m-%d') AS VARCHAR) AS ship_str
+    FROM lineitem
+    """,
+    category="relational",
+)
+def cast_types(spark, sf_dir):
+    """Casts chosen to have identical semantics in both engines
+    (double->int cast itself differs: Spark truncates, DuckDB rounds —
+    so the int path goes through an explicit floor)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("string").alias("ln_str"),
+        F.col("l_linenumber").cast("double").alias("ln_dbl"),
+        F.floor("l_quantity").cast("long").alias("qty_int"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").cast("string").alias("ship_str"),
+    )
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    category="relational",
+)
+def distinct_pairs(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    ).distinct()
+
+
+@register(
+    "dropdup_keys_pinned",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name
+    FROM customer
+    QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) = 1
+    """,
+    category="relational",
+)
+def dropdup_keys_pinned(spark, sf_dir):
+    """dropDuplicates-by-key with a pinned survivor (lowest custkey) —
+    the deterministic form of ``dropDuplicates([k])`` whose survivor
+    otherwise depends on partitioning."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_name"
+    )
+    return top_k_per_group(c, ["c_nationkey"], [F.col("c_custkey").asc()], 1)
+
+
+@register("sample_seeded", oracle=None, category="relational")
+def sample_seeded(spark, sf_dir):
+    """Seeded Bernoulli sample — no cross-engine oracle (row membership
+    is engine-specific); verified by row-count tolerance in tests."""
+    return load_table(spark, sf_dir, "lineitem").sample(0.1, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "sort_multi_key_limit",
+    oracle="""
+    SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+    FROM lineitem
+    ORDER BY l_returnflag ASC, l_extendedprice DESC NULLS LAST, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    category="relational",
+)
+def sort_multi_key_limit(spark, sf_dir):
+    """Multi-key sort + limit under a total order (tie-broken) so the
+    kept set is deterministic. Spark executes as TakeOrderedAndProject —
+    no global sort materialization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .orderBy(
+            F.col("l_returnflag").asc(),
+            F.col("l_extendedprice").desc_nulls_last(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 50 OFFSET 10
+    """,
+    category="relational",
+)
+def limit_offset(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return o.orderBy("o_orderkey").offset(10).limit(50)
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    QUALIFY row_number() OVER (
+      PARTITION BY l_returnflag
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3
+    """,
+    category="relational",
+)
+def topk_per_group_q(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return top_k_per_group(
+        li,
+        ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        3,
+    )
+
+
+@register(
+    "union_all_distinct",
+    oracle="""
+    SELECT nk, count(*) AS n FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nk FROM supplier
+    ) GROUP BY nk
+    """,
+    category="relational",
+)
+def union_all_distinct(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "intersect_except",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT 'both' AS which, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+    UNION ALL
+    SELECT 'cust_only' AS which, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+    """,
+    category="relational",
+)
+def intersect_except(spark, sf_dir):
+    cn = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    sn = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = cn.intersect(sn).select(F.lit("both").alias("which"), "nk")
+    only = cn.distinct().exceptAll(sn.distinct()).select(
+        F.lit("cust_only").alias("which"), "nk"
+    )
+    return both.unionByName(only)

@@ -1,0 +1,55 @@
+"""File sinks.
+
+Scale posture: multi-part partitioned parquet is the default; the
+single-file CSV the reference forced everywhere (``coalesce(1)`` +
+driver-side part renaming, reference controller/script.py:57-61 and
+app.py:457-491) is an explicit opt-in helper for small results only.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink — the engine's native format."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """Write a SMALL result as exactly one CSV file at ``path``.
+
+    Replaces the reference's coalesce(1)-then-rename-the-part-file dance
+    (controller/app.py:457-491) with one helper. Refuses nothing — the
+    caller asserts smallness; this is for collected report outputs.
+    """
+    tmp = tempfile.mkdtemp(prefix="single_csv_")
+    out_dir = os.path.join(tmp, "out")
+    try:
+        df.coalesce(1).write.mode("overwrite").option(
+            "header", str(header).lower()
+        ).csv(out_dir)
+        parts = glob.glob(os.path.join(out_dir, "part-*.csv"))
+        if len(parts) != 1:
+            raise RuntimeError(f"expected exactly one part file, got {parts}")
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        shutil.move(parts[0], path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,51 @@
+"""Structured Streaming harness.
+
+``trigger(availableNow=True)`` + memory sink turns every streaming
+query into a deterministic finite run: the stream drains the fixture
+files in bounded micro-batches and terminates, so results are
+comparable with the equivalent batch computation (SURVEY.md §2B.10
+batch-equivalence contract). In production the same DataFrames run
+unchanged with a real trigger + kafka/parquet sinks + checkpointing.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.sources.catalog import TABLE_SCHEMAS
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``events`` fixture as a file stream with proper timestamps.
+
+    Explicit schema (readStream requires one — also the 100 TB posture)
+    with the nanosAsLong long->timestamp conversion from the catalog.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_available_now(
+    result: DataFrame, output_mode: str = "complete", max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the final result as a static DataFrame."""
+    name = "stream_" + uuid.uuid4().hex[:12]
+    writer = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if max_files_per_trigger is not None:
+        writer = writer.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = writer.start()
+    q.awaitTermination()
+    return result.sparkSession.table(name)
