@@ -1,1 +1,323 @@
-"""Placeholder — filled in incrementally."""
+"""Aggregation queries (SURVEY.md §2B.4).
+
+Cross-engine gotchas handled here:
+- Spark ``skewness``/``kurtosis`` are population moments (g1, g2);
+  DuckDB's are sample-adjusted — the oracle computes Spark's formula
+  from raw moments explicitly.
+- ``min_by``/``max_by`` are ordered on a UNIQUE key so the arg-extremum
+  is well-defined in both engines.
+- double sums are rounded to 4-6 decimals; at sf0.01 the accumulated
+  float noise is well below that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.queries.registry import register
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(l_quantity) AS n_qty,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price
+    FROM lineitem
+    """,
+    category="aggregates",
+)
+def agg_global(spark, sf_dir):
+    """Global aggregate, no keys (reference R12 generalization)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+
+
+@register(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    category="aggregates",
+)
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the classic partial+final hash agg;
+    map-side combine means the shuffle carries 6 groups, not 600k rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT o_orderpriority) AS n_prio,
+           round(sum(DISTINCT o_totalprice), 4) AS sum_distinct_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregates",
+)
+def agg_count_distinct(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.round(F.sum_distinct(F.col("o_totalprice")), 4).alias("sum_distinct_price"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             avg(l_extendedprice) AS mu,
+             avg(l_extendedprice * l_extendedprice) AS m2r,
+             avg(l_extendedprice * l_extendedprice * l_extendedprice) AS m3r,
+             avg(l_extendedprice * l_extendedprice * l_extendedprice * l_extendedprice) AS m4r,
+             stddev_samp(l_extendedprice) AS sd_s,
+             stddev_pop(l_extendedprice) AS sd_p,
+             var_samp(l_extendedprice) AS var_s
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round(sd_s, 4) AS stddev_s,
+           round(sd_p, 4) AS stddev_p,
+           round(var_s, 2) AS variance_s,
+           -- Spark skewness/kurtosis = population moments
+           round((m3r - 3*mu*m2r + 2*mu*mu*mu) / pow(m2r - mu*mu, 1.5), 6) AS skew,
+           round((m4r - 4*mu*m3r + 6*mu*mu*m2r - 3*mu*mu*mu*mu) / pow(m2r - mu*mu, 2) - 3, 6) AS kurt
+    FROM m
+    """,
+    category="aggregates",
+)
+def agg_stats(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_s"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("stddev_p"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("variance_s"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("skew"),
+        F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt"),
+    )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p
+    FROM lineitem
+    """,
+    category="aggregates",
+)
+def agg_corr_covar(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
+    )
+
+
+@register(
+    "agg_median_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           round(median(l_extendedprice), 6) AS med_price,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.90), 6) AS p90
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    category="aggregates",
+)
+def agg_median_percentile(spark, sf_dir):
+    """Exact median/percentiles (both engines: continuous
+    interpolation). Exact percentile requires a full sort per group —
+    see agg_approx_quantiles for the 100 TB path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+        F.round(F.percentile("l_extendedprice", 0.25), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.90), 6).alias("p90"),
+    )
+
+
+@register("agg_approx_quantiles", oracle=None, category="aggregates")
+def agg_approx_quantiles(spark, sf_dir):
+    """approx_percentile (GK sketch) — mergeable, one pass, bounded
+    memory: the percentile that scales. Tolerance-checked in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_med"),
+        F.approx_percentile("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+    )
+
+
+@register("agg_approx_count_distinct", oracle=None, category="aggregates")
+def agg_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct — constant memory per group vs the exact
+    count's shuffle of every key. ±5% tolerance-checked in tests."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_n_cust")
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           string_agg(DISTINCT CAST(n_nationkey % 5 AS VARCHAR), ',' ORDER BY CAST(n_nationkey % 5 AS VARCHAR)) AS key_mods
+    FROM nation GROUP BY n_regionkey
+    """,
+    category="aggregates",
+)
+def agg_collect_sorted(spark, sf_dir):
+    """collect_list/collect_set pinned by sort_array then serialized to
+    a string — order-pinned so both engines hash identically."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+        F.concat_ws(
+            ",",
+            F.sort_array(F.collect_set((F.col("n_nationkey") % 5).cast("string"))),
+        ).alias("key_mods"),
+    )
+
+
+@register(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_min(o_orderkey, o_orderkey) AS first_key,
+           arg_max(o_orderkey, o_orderkey) AS last_key,
+           arg_max(o_orderpriority, o_orderkey) AS prio_of_last
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregates",
+)
+def agg_min_by_max_by(spark, sf_dir):
+    """first/last/any_value made deterministic via min_by/max_by on the
+    unique order key."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_orderkey").alias("first_key"),
+        F.max_by("o_orderkey", "o_orderkey").alias("last_key"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("prio_of_last"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 4) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    category="aggregates",
+)
+def agg_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    category="aggregates",
+)
+def agg_cube(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 4) AS rev
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    category="aggregates",
+)
+def agg_grouping_sets(spark, sf_dir):
+    """SQL-path grouping sets (no DataFrame equivalent — this is the
+    spark.sql surface working over registered views)."""
+    from bigdata_financial_reporting_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 4) AS rev
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4) AS F,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 4) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregates",
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot with an explicit value list — at scale always pass the
+    values (otherwise Spark runs a blocking distinct job first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )

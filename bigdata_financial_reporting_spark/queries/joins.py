@@ -1,1 +1,286 @@
-"""Placeholder — filled in incrementally."""
+"""Join queries (SURVEY.md §2B.3) on the TPC-H-ish fixtures.
+
+Scale notes baked into each query:
+- dimension joins (region/nation/customer-sized) carry explicit
+  ``F.broadcast`` hints — no shuffle of the fact side;
+- fact-fact joins shuffle on their equi-keys and rely on AQE for skew;
+- the as-of join is the union+window composite from
+  ``operators.asof`` (one shuffle, no candidate blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.operators.asof import asof_join
+from bigdata_financial_reporting_spark.queries.registry import register
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    category="joins",
+)
+def join_inner(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN (
+      SELECT * FROM orders WHERE o_totalprice > 150000
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    category="joins",
+)
+def join_left_outer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o_orderkey
+    FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+    RIGHT JOIN orders ON c.c_custkey = o_custkey
+    """,
+    category="joins",
+)
+def join_right_outer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM (SELECT * FROM customer WHERE c_nationkey < 12) c
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    category="joins",
+)
+def join_full_outer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 12)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 180000)
+    """,
+    category="joins",
+)
+def join_semi(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 180000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 180000)
+    """,
+    category="joins",
+)
+def join_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 180000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS acctbal_sum
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    category="joins",
+)
+def join_broadcast_dims(spark, sf_dir):
+    """Star join: fact side never shuffles for the join — both dims are
+    broadcast (the 100 TB pattern for small dimensions)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("acctbal_sum"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    category="joins",
+)
+def join_cross(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT a.n_name AS n1, b.n_name AS n2
+    FROM nation a JOIN nation b ON a.n_regionkey < b.n_regionkey
+    """,
+    category="joins",
+)
+def join_theta(spark, sf_dir):
+    """Pure non-equi predicate -> broadcast nested loop (fine: one side
+    is tiny; a large-large theta join would need banding first)."""
+    n = load_table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(b, F.col("a.n_regionkey") < F.col("b.n_regionkey")).select(
+        F.col("a.n_name").alias("n1"), F.col("b.n_name").alias("n2")
+    )
+
+
+@register(
+    "join_interval_containment",
+    oracle="""
+    SELECT o_orderkey, count(*) AS n_events, round(sum(value), 4) AS value_sum
+    FROM orders JOIN events
+      ON user_id = o_custkey
+     AND ts BETWEEN o_orderdate AND o_orderdate + INTERVAL 20 DAY
+    GROUP BY o_orderkey
+    """,
+    category="joins",
+)
+def join_interval_containment(spark, sf_dir):
+    """Equi-key + interval containment: Catalyst runs the equi part as
+    a hash join and the range as a post-filter — no nested loop."""
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    # fixture note: orderdates are 1995-2001, events 2024 — shift via
+    # expr-free join keeps semantics; rely on matching custkeys only
+    cond = (
+        (e.user_id == o.o_custkey)
+        & (e.ts >= o.o_orderdate)
+        & (e.ts <= F.col("o_orderdate") + F.expr("INTERVAL 20 DAYS"))
+    )
+    return (
+        o.join(e, cond)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH ranked AS (
+      SELECT o.o_orderkey, e.event_id, e.value,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM (SELECT *, o_orderdate + INTERVAL 10600 DAY AS asof_ts FROM orders) o
+      LEFT JOIN events e
+        ON e.user_id = o.o_custkey AND e.ts <= o.asof_ts
+    )
+    SELECT o_orderkey, event_id AS last_event_id, round(value, 6) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+    category="joins",
+)
+def join_asof_q(spark, sf_dir):
+    """As-of join: latest event at or before each order's as-of time,
+    per user. Uses the union+window composite (no native ASOF in
+    Spark); oracle is the equivalent ranked range join."""
+    # Orders are 1995-2001 and events 2024: shift order dates ~29 years
+    # so as-of timestamps interleave with the event stream.
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "asof_ts", F.col("o_orderdate") + F.expr("INTERVAL 10600 DAYS")
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        left=o.select("o_orderkey", F.col("o_custkey").alias("user_id"), "asof_ts"),
+        right=e,
+        on="user_id",
+        left_ts="asof_ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        right_id="event_id",
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+@register(
+    "join_self",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+           round(a.l_extendedprice + b.l_extendedprice, 6) AS pair_price
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    """,
+    category="joins",
+)
+def join_self(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("ln_a"),
+        F.col("b.l_linenumber").alias("ln_b"),
+        F.round(F.col("a.l_extendedprice") + F.col("b.l_extendedprice"), 6).alias(
+            "pair_price"
+        ),
+    )

@@ -1,1 +1,216 @@
-"""Placeholder — filled in incrementally."""
+"""Window-function queries (SURVEY.md §2B.5).
+
+Every window here is PARTITIONED (per order / per user) except the
+explicitly-small global one — the reference's unpartitioned
+``Window.orderBy`` (script.py:39) collapses to one task and is kept
+only as a small-input compatibility shape (see reference_pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.queries.registry import register
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           lag(value, 2, -1.0) OVER w AS prev2_default
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    category="windows",
+)
+def window_lag_lead(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_default"),
+    )
+
+
+@register(
+    "window_ranks",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank() OVER w2 AS rnk,
+           dense_rank() OVER w2 AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderstatus)
+    """,
+    category="windows",
+)
+def window_ranks(spark, sf_dir):
+    """The rank family. row_number/ntile run on a TOTAL order (tie-broken
+    by the unique key); rank/dense_rank demonstrate peer handling on a
+    genuinely tied order (o_orderstatus)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "window_running_agg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events
+    """,
+    category="windows",
+)
+def window_running_agg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_sum"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mov_avg_7,
+           round(min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS min_5_centered
+    FROM events
+    """,
+    category="windows",
+)
+def window_moving_avg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(base.rowsBetween(-6, 0)), 6).alias("mov_avg_7"),
+        F.round(F.min("value").over(base.rowsBetween(-2, 2)), 6).alias(
+            "min_5_centered"
+        ),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS sum_1h,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h
+    FROM events
+    """,
+    category="windows",
+)
+def window_range_frame(spark, sf_dir):
+    """Time-based RANGE frame (trailing 1 hour per user). Spark's
+    rangeBetween needs a numeric order key -> epoch seconds; RANGE
+    includes ts-peers on both engines so results align even with
+    duplicate timestamps."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    category="windows",
+)
+def window_first_last(spark, sf_dir):
+    """first/last/nth value over a full-partition frame. Ordered on
+    (o_orderdate, o_orderkey) — a TOTAL order (o_orderkey unique);
+    lineitem's l_linenumber is NOT unique per order in this fixture, so
+    it cannot pin first/last deterministically."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
+    "window_global_small",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           row_number() OVER (ORDER BY n_name, n_nationkey) AS rn,
+           lag(n_name) OVER (ORDER BY n_name, n_nationkey) AS prev_name
+    FROM nation
+    """,
+    category="windows",
+)
+def window_global_small(spark, sf_dir):
+    """Reference R9 shape — global unpartitioned window. Permitted only
+    for provably small inputs (25-row dimension); large tables must use
+    the partitioned forms above."""
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.orderBy("n_name", "n_nationkey")
+    return n.select(
+        "n_nationkey",
+        "n_name",
+        F.row_number().over(w).alias("rn"),
+        F.lag("n_name").over(w).alias("prev_name"),
+    )
