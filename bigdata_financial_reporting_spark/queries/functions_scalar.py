@@ -1,1 +1,322 @@
-"""Placeholder — filled in incrementally."""
+"""Scalar function families (SURVEY.md §2B.7): string, date/time, math,
+array, map, JSON, struct, hash.
+
+Cross-engine notes (verified against DuckDB 1.0):
+- Spark ``dayofweek`` is 1-based Sunday=1; DuckDB ``dayofweek`` is
+  0-based Sunday=0 -> oracle adds 1.
+- Spark ``F.log`` is natural log; DuckDB ``log`` is log10 -> ``ln``.
+- Spark ``months_between`` uses the (31-day-denominator) SQL rule ->
+  oracle reproduces the formula explicitly.
+- Map value extraction returns a bare value in Spark but a list in
+  DuckDB -> map outputs are serialized via map_keys/map_values strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_financial_reporting_spark.queries.registry import register
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           lower(p_brand) AS lo,
+           trim('  ' || p_name || ' ') AS trimmed,
+           lpad(p_type, 12, '.') AS padded_l,
+           rpad(p_type, 12, '.') AS padded_r,
+           substring(p_name, 2, 5) AS sub,
+           concat_ws('|', p_name, p_brand, p_type) AS joined,
+           length(p_name) AS len,
+           instr(p_name, 'widget') AS pos,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           levenshtein(p_name, 'large widget') AS lev,
+           split_part(p_name, ' ', 1) AS first_word,
+           reverse(p_brand) AS rev,
+           repeat('ab', 3) AS rep,
+           translate(p_name, 'aeiou', 'AEIOU') AS trans
+    FROM part
+    """,
+    category="functions",
+)
+def fn_string(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad("p_type", 12, ".").alias("padded_l"),
+        F.rpad("p_type", 12, ".").alias("padded_r"),
+        F.substring("p_name", 2, 5).alias("sub"),
+        F.concat_ws("|", "p_name", "p_brand", "p_type").alias("joined"),
+        F.length("p_name").alias("len"),
+        F.instr(F.col("p_name"), "widget").alias("pos"),
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("noun"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.levenshtein(F.col("p_name"), F.lit("large widget")).alias("lev"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.reverse("p_brand").alias("rev"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("trans"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS d,
+           strftime(l_shipdate, '%Y/%m/%d') AS formatted,
+           strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS d_plus30,
+           (year(l_shipdate) - 1995) * 12 + (month(l_shipdate) - 1)
+             + (day(l_shipdate) - 1) / 31.0 AS months_since,
+           datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS days_since,
+           strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month_start,
+           year(l_shipdate) AS y, month(l_shipdate) AS m,
+           dayofweek(l_shipdate) + 1 AS dow,
+           strftime(last_day(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS eom,
+           epoch(l_shipdate) AS unix_ts,
+           strftime(to_timestamp(epoch(l_shipdate)), '%Y-%m-%d %H:%M:%S') AS from_unix
+    FROM lineitem
+    """,
+    category="functions",
+)
+def fn_date(spark, sf_dir):
+    """Date family (generalizes reference R21 date reformatting).
+    months_since replicates Spark's months_between(d, 1995-01-01) rule
+    in the oracle (31-day fraction denominator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format(F.to_date(d), "yyyy-MM-dd").alias("d"),
+        F.date_format(d, "yyyy/MM/dd").alias("formatted"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("d_plus30"),
+        F.months_between(d, F.lit("1995-01-01").cast("timestamp")).alias(
+            "months_since"
+        ),
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofweek(d).alias("dow"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
+        F.unix_timestamp(d).alias("unix_ts"),
+        F.from_unixtime(F.unix_timestamp(d), "yyyy-MM-dd HH:mm:ss").alias("from_unix"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS rounded,
+           floor(l_extendedprice) AS fl,
+           ceil(l_extendedprice) AS ce,
+           abs(l_extendedprice - 50000) AS dist,
+           round(pow(l_quantity, 2), 6) AS qty_sq,
+           round(sqrt(l_extendedprice), 6) AS root,
+           round(exp(l_discount), 6) AS e_disc,
+           round(ln(l_extendedprice + 1), 6) AS log_price,
+           round(log10(l_extendedprice + 1), 6) AS log10_price,
+           greatest(l_quantity, 25.0) AS hi,
+           least(l_quantity, 25.0) AS lo,
+           sign(l_extendedprice - 50000) AS sgn,
+           CAST(l_orderkey % 7 AS BIGINT) AS pm
+    FROM lineitem
+    """,
+    category="functions",
+)
+def fn_math(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("rounded"),
+        F.floor("l_extendedprice").alias("fl"),
+        F.ceil("l_extendedprice").alias("ce"),
+        F.abs(F.col("l_extendedprice") - 50000).alias("dist"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("root"),
+        F.round(F.exp("l_discount"), 6).alias("e_disc"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("log10_price"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("hi"),
+        F.least("l_quantity", F.lit(25.0)).alias("lo"),
+        F.signum(F.col("l_extendedprice") - 50000).alias("sgn"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("pm"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS vec_sum,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS vec_sq_sum,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vmax,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_el,
+           round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS smallest,
+           len(list_distinct(embedding)) AS n_distinct,
+           round(CAST(list_aggregate(list_slice(embedding, 1, 3), 'sum') AS DOUBLE), 6) AS head3_sum
+    FROM embeddings
+    """,
+    category="functions",
+)
+def fn_array(spark, sf_dir):
+    """Array + higher-order functions over the embedding column. Sums
+    are accumulated in double on both sides (float32 accumulation would
+    diverge)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    dbl_sum = F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    sq_sum = F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(dbl_sum, 4).alias("vec_sum"),
+        F.round(sq_sum, 4).alias("vec_sq_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(v).cast("double"), 6).alias("vmax"),
+        F.round(F.element_at(v, 1).cast("double"), 6).alias("first_el"),
+        F.round(F.element_at(F.sort_array(v), 1).cast("double"), 6).alias("smallest"),
+        F.size(F.array_distinct(v)).alias("n_distinct"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 3), F.lit(0.0), lambda a, x: a + x.cast("double")),
+            6,
+        ).alias("head3_sum"),
+    )
+
+
+@register(
+    "fn_array_explode",
+    oracle="""
+    SELECT vec_id, CAST(pos - 1 AS INT) AS pos, round(CAST(el AS DOUBLE), 6) AS el
+    FROM (
+      SELECT vec_id, unnest(embedding) AS el,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings WHERE vec_id < 20
+    )
+    """,
+    category="functions",
+)
+def fn_array_explode(spark, sf_dir):
+    """posexplode — table-generating array expansion."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "el")).select(
+        "vec_id", "pos", F.round(F.col("el").cast("double"), 6).alias("el")
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(map_keys(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}), ',') AS mkeys,
+           array_to_string(map_values(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}), ',') AS mvals
+    FROM nation
+    """,
+    category="functions",
+)
+def fn_map(spark, sf_dir):
+    """Map construction + key/value extraction, serialized to strings
+    (DuckDB map element access returns a list, so direct element
+    comparison is not portable)."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.concat_ws(",", F.map_keys(m)).alias("mkeys"),
+        F.concat_ws(",", F.map_values(m)).alias("mvals"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           to_json(struct_pack(id := event_id, t := event_type)) AS as_json
+    FROM events
+    """,
+    category="functions",
+)
+def fn_json(spark, sf_dir):
+    """JSON family on events.props (a JSON string column)."""
+    e = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", schema).getField("k").alias("k_int"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("t"))
+        ).alias("as_json"),
+    )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT s_suppkey,
+           struct_pack(name := s_name, nation := s_nationkey).name AS nested_name,
+           struct_pack(name := s_name, nation := s_nationkey).nation AS nested_nation
+    FROM supplier
+    """,
+    category="functions",
+)
+def fn_struct(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    st = F.struct(F.col("s_name").alias("name"), F.col("s_nationkey").alias("nation"))
+    return s.select(
+        "s_suppkey",
+        st.getField("name").alias("nested_name"),
+        st.getField("nation").alias("nested_nation"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS text_sha256,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+    category="functions",
+)
+def fn_hash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+@register("fn_nondeterministic_ids", oracle=None, category="functions")
+def fn_nondeterministic_ids(spark, sf_dir):
+    """xxhash64 / monotonically_increasing_id / uuid / rand(seed) — no
+    cross-engine oracle exists; determinism properties are asserted in
+    dedicated tests (xxhash64 stability, id uniqueness)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("xx64"),
+        F.monotonically_increasing_id().alias("mono_id"),
+        F.expr("uuid()").alias("uid"),
+        F.rand(seed=42).alias("r"),
+    )
