@@ -1,1 +1,169 @@
-"""Placeholder — filled in incrementally."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B.8).
+
+Each flavor computes something SQL-expressible so a DuckDB oracle can
+verify the plumbing bit-for-bit. Performance posture: pandas
+(Arrow-vectorized) variants are the production path; the row-at-a-time
+Python UDF exists for API completeness and its docstring says so.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from bigdata_financial_reporting_spark.queries.registry import register
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+@register(
+    "udf_scalar_python",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 100000 THEN 'H' ELSE 'L' END || '-' || o_orderstatus
+             AS coded
+    FROM orders
+    """,
+    category="udfs",
+)
+def udf_scalar_python(spark, sf_dir):
+    """Row-at-a-time Python UDF — the SLOW path (one Python call per
+    row, pickled both ways). Kept for API parity; use pandas_udf in
+    anything hot."""
+
+    @udf("string")
+    def code(price: float, status: str) -> str:
+        return ("H" if price > 100000 else "L") + "-" + status
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", code(F.col("o_totalprice"), F.col("o_orderstatus")).alias("coded")
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id, round(ln(1 + value), 6) AS log1p_value
+    FROM events
+    """,
+    category="udfs",
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Vectorized scalar pandas UDF: whole Arrow batches, ~10-100x the
+    row-at-a-time throughput."""
+
+    @pandas_udf("double")
+    def log1p(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.log1p(v)
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select("event_id", F.round(log1p(F.col("value")), 6).alias("log1p_value"))
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT user_id,
+           round(sum(value * epoch(ts)) / sum(epoch(ts)), 6) AS weighted_avg
+    FROM events GROUP BY user_id
+    """,
+    category="udfs",
+)
+def udf_pandas_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (UDAF): per-group arrays in, scalar
+    out. Shuffles once on the group key like any hash agg."""
+
+    @pandas_udf("double")
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "w", F.unix_timestamp("ts").cast("double")
+    )
+    return e.groupBy("user_id").agg(
+        F.round(weighted_avg(F.col("value"), F.col("w")), 6).alias("weighted_avg")
+    )
+
+
+@register(
+    "udf_apply_in_pandas",
+    oracle="""
+    SELECT user_id, event_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS zscore
+    FROM events
+    """,
+    category="udfs",
+)
+def udf_apply_in_pandas(spark, sf_dir):
+    """Grouped-map (table-in/table-out per group): z-score within each
+    user. The whole group materializes in one pandas frame — fine for
+    bounded per-key cardinality, NOT for skewed giants (use window
+    functions then)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "zscore": z.round(6)}
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(
+        zscore, schema="user_id long, event_id long, zscore double"
+    )
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT event_id, event_type, round(value * 2 + 1, 6) AS scaled
+    FROM events WHERE event_type IN ('click', 'view')
+    """,
+    category="udfs",
+)
+def udf_map_in_pandas(spark, sf_dir):
+    """Partition-wise table function (mapInPandas): streaming Arrow
+    batches in/out, arbitrary row fan-in/out, no shuffle."""
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf[pdf["event_type"].isin(["click", "view"])]
+            yield pd.DataFrame(
+                {
+                    "event_id": keep["event_id"],
+                    "event_type": keep["event_type"],
+                    "scaled": (keep["value"] * 2 + 1).round(6),
+                }
+            )
+
+    e = load_table(spark, sf_dir, "events")
+    return e.mapInPandas(transform, schema="event_id long, event_type string, scaled double")
+
+
+@register(
+    "udf_sql_registered",
+    oracle="""
+    SELECT p_partkey, upper(p_brand) || ':' || CAST(p_size * 2 AS VARCHAR) AS tagged
+    FROM part
+    """,
+    category="udfs",
+)
+def udf_sql_registered(spark, sf_dir):
+    """spark.udf.register: the Python function becomes callable from
+    SQL text (the spark.sql surface)."""
+    from bigdata_financial_reporting_spark.sources.catalog import register_views
+
+    def tag(brand: str, size: int) -> str:
+        return f"{brand.upper()}:{size * 2}"
+
+    spark.udf.register("tag_part", tag, "string")
+    register_views(spark, sf_dir, ["part"])
+    return spark.sql(
+        "SELECT p_partkey, tag_part(p_brand, p_size) AS tagged FROM part"
+    )
