@@ -46,5 +46,5 @@ def fingerprint(text: Column | str) -> Column:
     """Key-collision fingerprint (OpenRefine style): sort the distinct
     tokens, rejoin, hash. Two docs with the same bag of words collide.
     """
-    toks = F.array_distinct(F.sort_array(tokenize(text)))
+    toks = F.sort_array(F.array_distinct(tokenize(text)))
     return F.md5(F.concat_ws(" ", toks))

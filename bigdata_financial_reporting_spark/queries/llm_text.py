@@ -1,1 +1,306 @@
-"""Placeholder — filled in incrementally."""
+"""Text-analysis queries (SURVEY.md §2B.9 + training-data operators):
+tokenization, token counts, TF-IDF, n-grams, language ID, quality
+scoring, token counting, fingerprinting.
+
+Everything is pure Catalyst expressions (regexp / split / explode /
+higher-order functions) — zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.operators.text import (
+    fingerprint,
+    tokenize,
+    word_ngrams,
+)
+from bigdata_financial_reporting_spark.queries.oracle_helpers import (
+    DUCK_TOKENIZE as _DUCK_TOK,
+)
+from bigdata_financial_reporting_spark.queries.registry import register
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+#: tiny function-word lists for the language-ID heuristic
+_LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "die", "und"],
+}
+
+
+@register(
+    "text_tokenize",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_TOK}) AS n_tokens,
+           array_to_string(list_slice({_DUCK_TOK}, 1, 5), ' ') AS head_tokens
+    FROM documents
+    """,
+    category="text",
+)
+def text_tokenize(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("head_tokens"),
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT tok AS token, count(*) AS tf
+    FROM (SELECT unnest({_DUCK_TOK}) AS tok FROM documents)
+    GROUP BY tok
+    """,
+    category="text",
+)
+def text_token_counts(spark, sf_dir):
+    """Corpus term frequencies: explode + hash agg (map-side combine
+    keeps the shuffle at vocabulary size, not token count)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_DUCK_TOK}) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+         df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok AS token,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    WHERE tf.doc_id < 50
+    """,
+    category="text",
+)
+def text_tfidf(spark, sf_dir):
+    """TF-IDF: two aggregations + a broadcast join of the document-
+    frequency table (vocabulary-sized -> broadcastable at any corpus
+    scale). Restricted to doc_id < 50 to bound oracle output."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; cheap count-star over parquet metadata
+    out = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    return out.filter(F.col("doc_id") < 50)
+
+
+@register(
+    "text_bigrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOK} AS tok FROM documents)
+    SELECT bigram, count(*) AS n
+    FROM (
+      SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
+                                   i -> tok[i] || ' ' || tok[i+1])) AS bigram
+      FROM toks WHERE len(tok) >= 2
+    )
+    GROUP BY bigram
+    HAVING count(*) >= 5
+    """,
+    category="text",
+)
+def text_bigrams(spark, sf_dir):
+    """Word bigram counts (>= 5 occurrences) via higher-order sequence
+    transform — no UDF, no MLlib dependency."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(tokenize(F.col("text")), 2)
+    return (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "text_lang_slice",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           min(doc_id) AS first_doc
+    FROM documents
+    WHERE lang IN ('en', 'es', 'zh')
+    GROUP BY lang, source
+    """,
+    category="text",
+)
+def text_lang_slice(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang").isin("en", "es", "zh"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+def _marker_count(toks, markers):
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 \\t\\n]', ' ', 'g'), '\\s+'), x -> x <> '') AS tok
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang,
+             len(list_filter(tok, x -> x IN ('the', 'a', 'of'))) AS s_en,
+             len(list_filter(tok, x -> x IN ('el', 'la', 'de'))) AS s_es,
+             len(list_filter(tok, x -> x IN ('le', 'la', 'et'))) AS s_fr,
+             len(list_filter(tok, x -> x IN ('der', 'die', 'und'))) AS s_de
+      FROM t
+    )
+    SELECT doc_id, lang AS lang_true,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+                WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS lang_pred
+    FROM scores
+    """,
+    category="text",
+)
+def text_langid(spark, sf_dir):
+    """Marker-word language-ID heuristic (deterministic tie-break
+    en > es > fr > de, 'und' when no markers hit). A real deployment
+    swaps the marker lists for per-language n-gram profiles; the
+    dataflow — score arrays per language, argmax per row — is the
+    same."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    s = {k: _marker_count(toks, v) for k, v in _LANG_MARKERS.items()}
+    pred = (
+        F.when(F.greatest(s["en"], s["es"], s["fr"], s["de"]) == 0, "und")
+        .when(s["en"] >= F.greatest(s["es"], s["fr"], s["de"]), "en")
+        .when(s["es"] >= F.greatest(s["fr"], s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, n_chars, {_DUCK_TOK} AS tok FROM documents
+    )
+    SELECT doc_id,
+           len(tok) AS n_tokens,
+           round(CAST(n_chars AS DOUBLE) / greatest(len(tok), 1), 6) AS avg_tok_len,
+           round(len(list_filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'is')))
+                 / CAST(greatest(len(tok), 1) AS DOUBLE), 6) AS stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           CASE WHEN len(tok) BETWEEN 20 AND 1000
+                 AND length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                     / CAST(greatest(length(text), 1) AS DOUBLE) < 0.1
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM t
+    """,
+    category="text",
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality scoring (length / punctuation / stopword
+    signals) with a keep/drop verdict — the C4-style pre-training
+    filter shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_tok = F.size(toks)
+    stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "is"]])
+    punct_n = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+    punct_ratio = punct_n.cast("double") / F.greatest(F.length("text"), F.lit(1))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.col("n_chars").cast("double") / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("avg_tok_len"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+            / F.greatest(n_tok, F.lit(1)).cast("double"),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.when(
+            n_tok.between(20, 1000) & (punct_ratio < 0.1), "keep"
+        ).otherwise("drop").alias("verdict"),
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS char_estimate
+    FROM documents
+    """,
+    category="text",
+)
+def text_token_count_bpe(spark, sf_dir):
+    """Token counting three ways: whitespace, BPE-ish regex pieces
+    (letter runs / digit runs / single symbols), and the chars/4
+    rule-of-thumb estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    )
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("char_estimate"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_DUCK_TOK})), ' ')) AS fp,
+           count(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct({_DUCK_TOK})), ' '))) AS collision_count
+    FROM documents
+    """,
+    category="text",
+)
+def text_fingerprint(spark, sf_dir):
+    """Key-collision fingerprint (sorted distinct token bag -> md5) +
+    per-fingerprint collision count: catches bag-of-words duplicates
+    that exact hashing misses."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    return d.select("doc_id", fp.alias("fp")).withColumn(
+        "collision_count", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )

@@ -1,1 +1,70 @@
-"""Placeholder — filled in incrementally."""
+"""Similarity-search queries (SURVEY.md §2B.9): brute-force cosine
+top-k (exact baseline), LSH-bucketed ANN (scale path), bounded pairwise
+matrix."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+    pairwise_above_threshold,
+)
+from bigdata_financial_reporting_spark.queries.oracle_helpers import duck_cosine
+from bigdata_financial_reporting_spark.queries.registry import register
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+                  {duck_cosine('q.qv', 'c.embedding')} AS cos_raw
+           FROM embeddings c CROSS JOIN q
+         )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    category="similarity",
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 for 5 query vectors. Queries are
+    broadcast; the corpus never shuffles until the k-row-per-query
+    window (WindowGroupLimit keeps it tiny)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk(q, e, "vec_id", "vec_id", k=10)
+
+
+@register("sim_lsh_topk", oracle=None, category="similarity")
+def sim_lsh_topk(spark, sf_dir):
+    """ANN variant: random-hyperplane buckets (deterministic planes from
+    xxhash64), score only same-bucket candidates. Recall vs brute force
+    measured in test_llm_ops.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return lsh_bucket_topk(q, e, "vec_id", "vec_id", n_planes=6, k=10)
+
+
+@register(
+    "sim_pairwise_matrix",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.label = b.label AND a.label = 0
+      AND {duck_cosine('a.embedding', 'b.embedding')} >= 0.5
+    """,
+    category="similarity",
+)
+def sim_pairwise_matrix(spark, sf_dir):
+    """Bounded all-pairs cosine (one label block, threshold 0.5) — the
+    blocking keeps the quadratic term bounded at scale."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 0)
+    return pairwise_above_threshold(e, "vec_id", "embedding", 0.5)
