@@ -1,1 +1,124 @@
-"""Placeholder — filled in incrementally."""
+"""Source/sink queries (SURVEY.md §2B.1): format roundtrips prove the
+read AND write paths against parquet ground truth.
+
+Each roundtrip writes the fixture to a temp dir in the target format
+with an explicit schema (never inferSchema — SURVEY §7.4), reads it
+back, and the oracle compares against the original parquet content.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.queries.registry import register
+from bigdata_financial_reporting_spark.sources.catalog import TABLE_SCHEMAS, load_table
+from bigdata_financial_reporting_spark.sources.readers import read_csv, read_json
+from bigdata_financial_reporting_spark.sources.writers import (
+    write_parquet,
+    write_single_csv,
+)
+
+
+@register(
+    "src_parquet_scan",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    category="sources",
+)
+def src_parquet_scan(spark, sf_dir):
+    """Plain parquet scan — the engine's native source."""
+    return load_table(spark, sf_dir, "region")
+
+
+@register(
+    "src_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    category="sources",
+)
+def src_csv_roundtrip(spark, sf_dir):
+    """CSV sink + scan (reference R6/R13 generalization): write the
+    nation table as headered CSV, read it back with an explicit
+    schema."""
+    n = load_table(spark, sf_dir, "nation")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="bdfr_csv_"), "nation_csv")
+    n.write.mode("overwrite").option("header", "true").csv(tmp)
+    return read_csv(spark, tmp, schema=TABLE_SCHEMAS["nation"])
+
+
+@register(
+    "src_json_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 6) AS s_acctbal FROM supplier",
+    category="sources",
+)
+def src_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink + scan with explicit schema."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 6).alias("s_acctbal")
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="bdfr_json_"), "supplier_json")
+    s.write.mode("overwrite").json(tmp)
+    return read_json(spark, tmp, schema=s.schema)
+
+
+@register(
+    "src_parquet_partitioned_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 6) AS o_totalprice
+    FROM orders
+    """,
+    category="sources",
+)
+def src_parquet_partitioned_roundtrip(spark, sf_dir):
+    """Hive-partitioned parquet sink (partitionBy status) + scan —
+    the layout that enables partition pruning at 100 TB. Partition
+    values come back from directory names; content must match."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 6).alias("o_totalprice")
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="bdfr_pq_"), "orders_part")
+    write_parquet(o, tmp, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(tmp)
+    return back.select(
+        "o_orderkey", F.col("o_orderstatus").cast("string").alias("o_orderstatus"), "o_totalprice"
+    )
+
+
+@register(
+    "src_in_memory",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', NULL))
+      AS t(id, name, score)
+    """,
+    category="sources",
+)
+def src_in_memory(spark, sf_dir):
+    """In-memory source: createDataFrame with explicit schema."""
+    return spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", None)],
+        schema="id int, name string, score double",
+    )
+
+
+@register(
+    "src_single_csv_sink",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="sources",
+)
+def src_single_csv_sink(spark, sf_dir):
+    """write_single_csv helper (replaces the reference's coalesce(1) +
+    part-file rename dance, app.py:457-491): small agg out to ONE csv
+    file, read back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="bdfr_scsv_"), "agg.csv")
+    write_single_csv(agg, path)
+    return read_csv(
+        spark, path, schema="l_returnflag string, n long, qty double"
+    )
