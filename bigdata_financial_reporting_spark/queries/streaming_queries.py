@@ -1,1 +1,236 @@
-"""Placeholder — filled in incrementally."""
+"""Structured Streaming queries (SURVEY.md §2B.10).
+
+Each query replays the ``events`` fixture through ``readStream`` with
+``trigger(availableNow=True)`` into a memory sink and returns the final
+static result. Because the replay drains everything, the final state
+equals the equivalent BATCH computation — so these queries carry real
+DuckDB oracles (batch-equivalence made executable). Watermark
+late-drop behavior (which needs multi-batch timing) is exercised in
+tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.queries.registry import register
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+from bigdata_financial_reporting_spark.streaming.runner import (
+    events_stream,
+    run_available_now,
+)
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregation over the event stream."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT ts, value,
+             time_bucket(INTERVAL 30 MINUTE, ts) AS b
+      FROM events
+    ),
+    slides AS (
+      SELECT b AS win_start, ts, value FROM buckets
+      UNION ALL
+      SELECT b - INTERVAL 30 MINUTE AS win_start, ts, value FROM buckets
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n, round(avg(value), 6) AS value_avg
+    FROM slides
+    GROUP BY 1
+    """,
+    category="streaming",
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding window (1 h length, 30 min slide): every event lands in
+    two windows. Oracle reproduces the two-bucket expansion."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("value_avg"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+            "value_avg",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS value_sum
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    category="streaming",
+)
+def stream_session_window(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per user. Oracle is
+    the classic gaps-and-islands rewrite — the same sessionization a
+    batch engine would run."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "value_sum",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    category="streaming",
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """Stateful streaming dedup on (user_id, event_type) within a
+    watermark; projecting only the keys makes the survivor question
+    moot, so the final set equals batch DISTINCT."""
+    s = events_stream(spark, sf_dir)
+    deduped = (
+        s.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_available_now(deduped, output_mode="append")
+
+
+@register(
+    "stream_stateful_counters",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS value_sum,
+           round(max(value), 6) AS value_max
+    FROM events GROUP BY user_id
+    """,
+    category="streaming",
+)
+def stream_stateful_counters(spark, sf_dir):
+    """Arbitrary stateful op: applyInPandasWithState maintaining
+    running per-user counters across micro-batches; final state equals
+    the batch groupBy."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, s, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "value_sum": [round(s, 4)],
+                "value_max": [round(mx, 6)],
+            }
+        )
+
+    s = events_stream(spark, sf_dir)
+    out = (
+        s.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, value_sum double, value_max double",
+            stateStructType="n long, s double, mx double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    result = run_available_now(out, output_mode="update")
+    # update-mode emits one row per key per batch; keep the final state
+    # (max n_events per user = last emission)
+    from bigdata_financial_reporting_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        result, ["user_id"], [F.col("n_events").desc()], 1
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT n_name, count(*) AS n_events, round(sum(value), 4) AS value_sum
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    category="streaming",
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static join: the static dimension is broadcast into every
+    micro-batch; aggregation state lives in the stream."""
+    s = events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", "n_name"
+        )
+    )
+    joined = s.join(dim, s.user_id == dim.c_custkey)
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum")
+    )
+    return run_available_now(agg, output_mode="complete")

@@ -10,12 +10,29 @@ unchanged with a real trigger + kafka/parquet sinks + checkpointing.
 
 from __future__ import annotations
 
+import os
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_financial_reporting_spark.sources.catalog import TABLE_SCHEMAS
+
+# File-stream sources require a DIRECTORY; the fixture is a single
+# parquet file, so stage a symlink dir per sf_dir (cached).
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_dir(sf_dir: str) -> str:
+    if sf_dir not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="bdfr_stream_events_")
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+            os.path.join(d, "events.parquet"),
+        )
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,10 +42,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the nanosAsLong long->timestamp conversion from the catalog.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = (
-        spark.readStream.schema(TABLE_SCHEMAS["events"])
-        .parquet(f"{sf_dir}/events.parquet")
-    )
+    df = spark.readStream.schema(TABLE_SCHEMAS["events"]).parquet(_events_dir(sf_dir))
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
