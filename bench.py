@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""BENCH runner — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology (BASELINE.md): one shared SparkSession (startup ~6 s would
+otherwise dominate at these scale factors); per-query time is the wall
+time of plan construction + a full materializing action. The headline
+``value`` is the sum of per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_financial_reporting_spark.queries import QUERIES  # noqa: E402
+from bigdata_financial_reporting_spark.session import get_session  # noqa: E402
+
+#: Headline set: the reference's own query shape plus one representative
+#: per heavy family (scan+agg, multi-join, window, dedup, similarity,
+#: text). Perf on these tracks perf on the whole registry.
+HEADLINE = [
+    "ref_daily_returns",      # reference pipeline R6-R13 (filter→lag→avg)
+    "ref_per_user_returns",   # scale-correct per-key variant
+    "tpch_q1",                # scan-heavy agg
+    "join_broadcast_dims",    # multi-way join w/ broadcast dims
+    "agg_rollup",             # hierarchical agg
+    "window_moving_avg",      # partitioned window w/ frame
+    "topk_per_group",         # rank + filter
+    "dedup_minhash_pairs",    # shingle→minhash→LSH→verify
+    "sim_cosine_topk",        # brute-force cosine ANN baseline
+    "text_tfidf",             # explode→double agg→join
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+
+    spark = get_session("bdfr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + file listing once with a trivial action so the first
+    # timed query doesn't absorb one-time startup cost.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

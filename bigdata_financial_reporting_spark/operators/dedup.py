@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdata_financial_reporting_spark.operators.text import shingle_set
+from bigdata_financial_reporting_spark.operators.text import shingle_rows
 
 
 def normalized_text_hash(text: Column | str) -> Column:
@@ -41,14 +41,44 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (public-domain splitmix64 constants) —
+    generates the universal-hash coefficients without any RNG state."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _signed64(x: int) -> int:
+    x &= 0xFFFFFFFFFFFFFFFF
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _uhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """(A_i, B_i) pairs for the universal hash family h_i(x) = A_i*x + B_i
+    over Z/2^64 (A odd => bijective). Signed-64 representations for
+    Spark ``lit``; long arithmetic wraps identically on both sides."""
+    return [
+        (_signed64(_splitmix64(2 * i) | 1), _signed64(_splitmix64(2 * i + 1)))
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """MinHash signature: per seed i, min over shingles of
-    xxhash64(i, shingle). Seeding by prepending the constant gives
-    ``num_hashes`` independent deterministic hash functions."""
+    """MinHash signature as an array column.
+
+    One ``xxhash64`` per shingle, then ``num_hashes`` derived hash
+    functions via the universal family A_i*h + B_i (mod 2^64, wrapping
+    long arithmetic) — ~100x cheaper than re-hashing the string per
+    seed, and provably pairwise-independent per seed. Deterministic
+    across runs and cluster layouts.
+    """
+    base = F.transform(shingles, F.xxhash64)
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
+            F.array_min(F.transform(base, lambda h, ab=ab: h * F.lit(ab[0]) + F.lit(ab[1])))
+            for ab in _uhash_coeffs(num_hashes)
         ]
     )
 
@@ -77,17 +107,30 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
     rows_per_band = num_hashes // bands
 
-    base = df.select(
-        F.col(id_col).alias("id"), shingle_set(F.col(text_col), shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # Shingles as rows, not arrays — see shingle_rows for why.
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
 
-    # One row per (doc, band): bucket = hash of the band's signature slice.
-    band_entries = sig.select(
+    # Signature via groupBy-agg: one string hash per (doc, shingle) row,
+    # then num_hashes cheap arithmetic min-aggregates. Partial
+    # (map-side) aggregation keeps the shuffle at one row of num_hashes
+    # longs per doc regardless of document length.
+    hashed = sh.select("id", F.xxhash64("s").alias("h"))
+    coeffs = _uhash_coeffs(num_hashes)
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+
+    # One row per (doc, band); the join payload is just (id, band, bucket)
+    # — shingle arrays never enter the candidate shuffle.
+    buckets = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -95,23 +138,17 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             F.lit(b),
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + j + 1)
-                                    for j in range(rows_per_band)
-                                ],
-                            ),
+                            *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)],
                         ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
     candidates = (
         a.join(
             b,
@@ -119,16 +156,30 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # Exact re-check, relationally: |A ∩ B| by joining each candidate
+    # pair against both shingle-row sides on the shingle value; |A|,|B|
+    # from a per-doc count. Zero-overlap candidates (band-hash
+    # collisions) drop out of the inner join — their Jaccard is 0, below
+    # any positive threshold by construction.
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        candidates.join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
     return (
-        candidates.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_int").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_int")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -142,25 +193,37 @@ def ngram_jaccard_pairs(
     threshold: float,
     block_col: str | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs >= threshold.
+    """Exact n-gram Jaccard pairs >= threshold (threshold must be > 0).
 
-    All-pairs within an optional blocking column (at scale a block key —
-    language, source, length bucket — bounds the quadratic term; without
-    one this is the small-data/oracle path).
+    Relational formulation: pairs materialize ONLY where two docs share
+    at least one shingle (self-join on the shingle value, then
+    intersection counts) — the quadratic all-pairs term never exists
+    for disjoint docs. An optional blocking column (language, source,
+    length bucket) additionally confines the join; very hot shingles
+    act like skewed join keys at scale — AQE skew-join handles
+    moderate cases, stop-shingle filtering is the escape hatch.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *([F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]),
-        shingle_set(F.col(text_col), shingle_n).alias("sh"),
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
+    extra = [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]
+    sh = shingle_rows(df, id_col, text_col, shingle_n, extra=extra)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "blk", "s")
+    b = sh.select(F.col("id").alias("id_b"), "blk", "s")
+    inter = (
+        a.join(b, ["blk", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
     )
-    a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(
-        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
-    )
-    return pairs.filter(F.col("j") >= threshold).select(
-        "id_a", "id_b", F.round("j", 6).alias("jaccard")
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_int").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_int")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -42,6 +42,41 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, fp)`` SimHash fingerprints, computed the distributed way.
+
+    ``simhash64`` as a single column expression re-evaluates the token
+    hash array inside 64 interpreted ``aggregate`` lambdas — O(64 x
+    tokens x tokenize) per row. Here each token hashes once (explode ->
+    xxhash64) and the 64 bit-majorities are plain ``sum`` aggregates
+    with map-side combine: the shuffle is one 64-long row per doc, and
+    everything stays in whole-stage codegen.
+    """
+    hashed = (
+        df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__tok"))
+        .select("id", F.explode("__tok").alias("t"))
+        .select("id", F.xxhash64("t").alias("h"))
+    )
+    sums = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+            for j in range(64)
+        ],
+    )
+    fp_expr = F.lit(0).cast("long")
+    for j in range(64):
+        bit_j = (F.col(f"b{j}") * 2 >= F.col("n")).cast("long")
+        fp_expr = fp_expr.bitwiseOR(F.shiftleft(bit_j, j))
+    fp = sums.select("id", fp_expr.alias("fp"))
+    # Token-less docs never reach the explode; under the majority rule
+    # (set_cnt*2 >= 0) their fingerprint is all-ones == -1 as a long.
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(fp, "id", "left").select(
+        "id", F.coalesce("fp", F.lit(-1).cast("long")).alias("fp")
+    )
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
 ) -> DataFrame:
@@ -52,7 +87,7 @@ def simhash_pairs(
     """
     chunks = max_distance + 1
     width = 64 // chunks
-    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    fp = simhash_frame(df, id_col, text_col)
 
     mask = (1 << width) - 1
     entries = fp.select(

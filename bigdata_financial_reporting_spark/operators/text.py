@@ -7,7 +7,7 @@ whole-stage codegen and scale linearly with executors.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 
@@ -40,6 +40,63 @@ def word_ngrams(tokens: Column | str, n: int, sep: str = " ") -> Column:
 def shingle_set(text: Column | str, n: int) -> Column:
     """Distinct word n-gram shingles of a raw text column."""
     return F.array_distinct(word_ngrams(tokenize(text), n))
+
+
+def shingle_frame(df, id_col: str, text_col: str, n: int, extra=None):
+    """``(id, sh)`` DataFrame of distinct word n-gram shingles.
+
+    Two-step projection on purpose: higher-order-function lambdas run
+    interpreted (outside whole-stage codegen), so an inlined
+    ``word_ngrams(tokenize(text))`` re-evaluates the full tokenize
+    regex for every ``element_at`` reference of every array element —
+    a >10x slowdown measured at sf0.01. Binding the token array to a
+    real column first makes each lambda reference a cheap column read
+    (Catalyst's CollapseProject keeps non-cheap multi-referenced
+    projections separate, so the barrier survives optimization).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), *(extra or []), tokenize(F.col(text_col)).alias("__tok")
+    )
+    keep = [c for c in toks.columns if c != "__tok"]
+    return toks.select(
+        *keep, F.array_distinct(word_ngrams(F.col("__tok"), n)).alias("sh")
+    )
+
+
+def shingle_rows(df, id_col: str, text_col: str, n: int, extra=None):
+    """Distinct word n-gram shingles as ROWS ``(id, [extra...], s)``.
+
+    The scale formulation: ``posexplode`` the token array (tokenize is
+    referenced exactly once, so Generate evaluates it once per row),
+    then build each n-gram with per-doc window ``lead``s — everything
+    stays in whole-stage codegen, the shuffle payload is token-sized
+    rows, and no array column ever crosses an exchange. Array-typed
+    alternatives (``word_ngrams`` + ``explode``) get their lambdas
+    collapsed into the Generate node, re-evaluating tokenize per output
+    element — O(tokens^2) per doc, measured 20x slower at sf0.01.
+
+    Docs with fewer than ``n`` tokens contribute no rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *(extra or []),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "t"),
+    )
+    keep = [c for c in toks.columns if c not in ("pos", "t")]
+    if n == 1:
+        out = toks.select(*keep, F.col("t").alias("s"))
+    else:
+        w = Window.partitionBy("id").orderBy("pos")
+        leads = toks.select(
+            *keep,
+            "t",
+            *[F.lead("t", j).over(w).alias(f"__t{j}") for j in range(1, n)],
+        )
+        out = leads.filter(F.col(f"__t{n-1}").isNotNull()).select(
+            *keep,
+            F.concat_ws(" ", "t", *[f"__t{j}" for j in range(1, n)]).alias("s"),
+        )
+    return out.dropDuplicates(["id", "s"])
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -42,11 +42,13 @@ _LANG_MARKERS = {
 )
 def text_tokenize(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    return d.select(
+    # bind the token array to a column first: HOF references of an
+    # inlined tokenize() re-evaluate the regex per reference
+    tokd = d.select("doc_id", tokenize(F.col("text")).alias("__tok"))
+    return tokd.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("head_tokens"),
+        F.size("__tok").alias("n_tokens"),
+        F.concat_ws(" ", F.slice("__tok", 1, 5)).alias("head_tokens"),
     )
 
 
@@ -122,9 +124,9 @@ def text_bigrams(spark, sf_dir):
     """Word bigram counts (>= 5 occurrences) via higher-order sequence
     transform — no UDF, no MLlib dependency."""
     d = load_table(spark, sf_dir, "documents")
-    grams = word_ngrams(tokenize(F.col("text")), 2)
+    tokd = d.select(tokenize(F.col("text")).alias("__tok"))
     return (
-        d.select(F.explode(grams).alias("bigram"))
+        tokd.select(F.explode(word_ngrams(F.col("__tok"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
@@ -194,8 +196,16 @@ def text_langid(spark, sf_dir):
     dataflow — score arrays per language, argmax per row — is the
     same."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    s = {k: _marker_count(toks, v) for k, v in _LANG_MARKERS.items()}
+    tokd = d.select("doc_id", "lang", tokenize(F.col("text")).alias("__tok"))
+    scored = tokd.select(
+        "doc_id",
+        "lang",
+        *[
+            _marker_count(F.col("__tok"), v).alias(f"s_{k}")
+            for k, v in _LANG_MARKERS.items()
+        ],
+    )
+    s = {k: F.col(f"s_{k}") for k in _LANG_MARKERS}
     pred = (
         F.when(F.greatest(s["en"], s["es"], s["fr"], s["de"]) == 0, "und")
         .when(s["en"] >= F.greatest(s["es"], s["fr"], s["de"]), "en")
@@ -203,7 +213,9 @@ def text_langid(spark, sf_dir):
         .when(s["fr"] >= s["de"], "fr")
         .otherwise("de")
     )
-    return d.select("doc_id", F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+    return scored.select(
+        "doc_id", F.col("lang").alias("lang_true"), pred.alias("lang_pred")
+    )
 
 
 @register(
@@ -232,19 +244,21 @@ def text_quality_score(spark, sf_dir):
     signals) with a keep/drop verdict — the C4-style pre-training
     filter shape."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    n_tok = F.size(toks)
+    tokd = d.select(
+        "doc_id", "text", "n_chars", tokenize(F.col("text")).alias("__tok")
+    )
+    n_tok = F.size("__tok")
     stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "is"]])
     punct_n = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
     punct_ratio = punct_n.cast("double") / F.greatest(F.length("text"), F.lit(1))
-    return d.select(
+    return tokd.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round(
             F.col("n_chars").cast("double") / F.greatest(n_tok, F.lit(1)), 6
         ).alias("avg_tok_len"),
         F.round(
-            F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+            F.size(F.filter(F.col("__tok"), lambda t: F.array_contains(stop, t)))
             / F.greatest(n_tok, F.lit(1)).cast("double"),
             6,
         ).alias("stopword_ratio"),
