@@ -1,0 +1,124 @@
+"""Property/recall tests for the LLM-pipeline operators (SURVEY.md §5.3):
+LSH recall vs exact ground truth, SimHash banding exactness and
+determinism, dedup survivor pinning. These back the ≈ (rows-only)
+queries and the 'recall is 1.0 at fixture scale' claims the oracle
+tests rely on."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from bigdata_financial_reporting_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+)
+from bigdata_financial_reporting_spark.operators.simhash import (
+    hamming64,
+    simhash_frame,
+    simhash_pairs,
+)
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+def test_minhash_lsh_recall_is_total_at_fixture_scale(spark, sf_dir):
+    """The oracle test compares LSH output against exact all-pairs
+    Jaccard — valid only if banding recall is 1.0 here. Assert it."""
+    d = load_table(spark, sf_dir, "documents")
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", shingle_n=3, num_hashes=128, bands=64, threshold=0.35
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", shingle_n=3, threshold=0.35
+        ).collect()
+    }
+    assert lsh == exact, (
+        f"LSH missed {exact - lsh} / invented {lsh - exact}"
+    )
+
+
+def test_minhash_deterministic_across_runs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    r1 = sorted(
+        map(tuple, minhash_lsh_pairs(d, "doc_id", "text", threshold=0.35).collect())
+    )
+    r2 = sorted(
+        map(tuple, minhash_lsh_pairs(d, "doc_id", "text", threshold=0.35).collect())
+    )
+    assert r1 == r2
+
+
+def test_simhash_banding_finds_all_close_pairs(spark, sf_dir):
+    """Pigeonhole banding must equal brute-force Hamming filtering."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = simhash_frame(d, "doc_id", "text")
+    a = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("fp_a"), F.col("fp_b")) <= 3)
+        .collect()
+    }
+    banded = {
+        (r.id_a, r.id_b) for r in simhash_pairs(d, "doc_id", "text", 3).collect()
+    }
+    assert banded == brute
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="The quick brown fox jumps over the lazy dog!"),
+            Row(doc_id=3, text="completely different words entirely here now"),
+        ]
+    )
+    rows = {r.id: r.fp for r in simhash_frame(df, "doc_id", "text").collect()}
+    # tokenize() lowercases and strips punctuation -> same token multiset
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=7, text="Hello World "),
+            Row(doc_id=3, text="  hello world"),
+            Row(doc_id=5, text="unique"),
+        ]
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [3, 5]
+
+
+def test_lsh_topk_is_subset_with_exact_scores(spark, sf_dir):
+    """ANN results must be (a) drawn from the same bucket, (b) scored
+    identically to brute force, (c) deterministic. Recall is
+    probabilistic — assert the self-match floor (a vector's own bucket
+    always contains itself => rank-1 self hit, cosine 1.0)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    ann = lsh_bucket_topk(q, e, "vec_id", "vec_id", n_planes=6, k=10).collect()
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(q, e, "vec_id", "vec_id", k=10_000).collect()
+    }
+    self_hits = {
+        r.query_id for r in ann if r.neighbor_id == r.query_id and r.rank == 1
+    }
+    assert self_hits == {0, 1, 2, 3, 4}
+    for r in ann:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.cosine) < 1e-6

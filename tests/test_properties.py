@@ -1,0 +1,110 @@
+"""Property-based spot checks (SURVEY.md §5.5): algebraic invariants
+that must hold for ANY data, exercised with hypothesis-generated rows.
+
+Each property round-trips through real Spark execution, so examples are
+kept small and few — the goal is invariant coverage, not fuzz volume."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.operators.dedup import exact_dedup
+from bigdata_financial_reporting_spark.operators.topk import top_k_per_group
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),      # key
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, v=v, idx=i) for i, (k, v) in enumerate(rows)],
+        "k int, v int, idx int",
+    )
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_filter_commutes_with_select(spark, rows):
+    df = _df(spark, rows)
+    a = df.filter(F.col("v") > 0).select("k", "v")
+    b = df.select("k", "v").filter(F.col("v") > 0)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@SETTINGS
+@given(rows=rows_strategy, rows2=rows_strategy)
+def test_union_counts_add(spark, rows, rows2):
+    d1, d2 = _df(spark, rows), _df(spark, rows2)
+    assert d1.unionByName(d2).count() == d1.count() + d2.count()
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_lag_of_lead_identity_on_interior_rows(spark, rows):
+    """lag(lead(v)) == v wherever both are defined (interior rows)."""
+    df = _df(spark, rows)
+    w = Window.partitionBy("k").orderBy("idx")
+    out = df.select(
+        "v", F.lag(F.lead("v", 1).over(w), 1).over(w).alias("roundtrip")
+    ).collect()
+    for r in out:
+        if r.roundtrip is not None:
+            assert r.roundtrip == r.v
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_exact_dedup_idempotent(spark, rows):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{v}") for i, (_, v) in enumerate(rows)],
+        "doc_id int, text string",
+    )
+    once = exact_dedup(df, "text", "doc_id")
+    twice = exact_dedup(once, "text", "doc_id")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@SETTINGS
+@given(rows=rows_strategy, k=st.integers(min_value=1, max_value=4))
+def test_topk_bounded_and_ordered(spark, rows, k):
+    df = _df(spark, rows)
+    out = top_k_per_group(df, ["k"], [F.col("v").desc(), F.col("idx").asc()], k)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.k, []).append((r.v, r.idx))
+    src = {}
+    for key, v in rows:
+        src.setdefault(key, 0)
+    for key, vals in got.items():
+        assert len(vals) <= k
+        # returned rows are the true top-k by (v desc, idx asc)
+        all_vals = sorted(
+            ((v, i) for i, (kk, v) in enumerate(rows) if kk == key),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        assert sorted(vals, key=lambda t: (-t[0], t[1])) == all_vals
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_groupby_sum_equals_global_sum(spark, rows):
+    df = _df(spark, rows)
+    per_group = df.groupBy("k").agg(F.sum("v").alias("s"))
+    total_of_groups = per_group.agg(F.sum("s")).first()[0]
+    total = df.agg(F.sum("v")).first()[0]
+    assert total_of_groups == total
