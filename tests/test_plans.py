@@ -1,0 +1,106 @@
+"""Plan-shape tests (scale posture, SURVEY.md §7.4): the 100 TB
+properties live in the physical plan — broadcasts for small dims,
+filters pushed into scans, column pruning, bounded shuffle counts.
+Timings at sf0.01 can't see these; the plan can."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.plans.inspect import (
+    count_exchanges,
+    has_broadcast_hash_join,
+    physical_plan,
+    plan_report,
+    pushed_filters,
+    scan_read_schema,
+)
+from bigdata_financial_reporting_spark.queries import QUERIES
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+def test_small_dims_are_broadcast(spark, sf_dir):
+    """region/nation/customer joins must broadcast, never shuffle the
+    fact side."""
+    df = QUERIES["join_broadcast_dims"].fn(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    r = plan_report(df)
+    assert not r["sort_merge_join"], "dim join degraded to sort-merge"
+    # the only shuffle allowed is the final aggregation
+    assert r["exchanges"] <= 1
+
+
+def test_filters_reach_the_scan(spark, sf_dir):
+    df = QUERIES["filter_range"].fn(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_quantity" in pf
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """A 2-column projection must not read lineitem's 16 columns."""
+    df = QUERIES["select_prune"].fn(spark, sf_dir)
+    cols = scan_read_schema(df)
+    assert 0 < len(cols) <= 4, f"scan reads too many columns: {cols}"
+
+
+def test_single_shuffle_for_partitioned_window(spark, sf_dir):
+    """Per-key window = exactly one hash exchange; the reference's
+    global window (1-partition collapse) must not reappear."""
+    df = QUERIES["ref_per_user_returns"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_global_window_is_flagged_single_partition(spark, sf_dir):
+    """The compatibility query ref_daily_returns IS the known
+    single-partition shape — pin that so the distinction stays
+    deliberate and documented."""
+    df = QUERIES["ref_daily_returns"].fn(spark, sf_dir)
+    assert "SinglePartition" in physical_plan(df)
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """CartesianProduct (unbroadcast cross join) is never acceptable;
+    bounded cross joins must ride a broadcast."""
+    for name, spec in QUERIES.items():
+        if spec.category == "streaming":
+            continue
+        df = spec.fn(spark, sf_dir)
+        assert "CartesianProduct" not in physical_plan(df), name
+
+
+def test_no_rowbased_python_udfs_outside_udf_family(spark, sf_dir):
+    """Python-in-the-row-path is quarantined to the explicit UDF
+    queries; every other operator must stay JVM-side."""
+    for name, spec in QUERIES.items():
+        if spec.category in ("udf", "streaming") or name.startswith("udf_"):
+            continue
+        if name.startswith("mm_"):  # multimodal decode stubs are pandas UDFs
+            continue
+        r = plan_report(spec.fn(spark, sf_dir))
+        assert not r["rowbased_python_udf"], f"{name} fell back to row-based Python"
+
+
+def test_tfidf_df_join_is_broadcast(spark, sf_dir):
+    """The document-frequency table is vocabulary-sized -> must
+    broadcast at any corpus scale."""
+    assert has_broadcast_hash_join(QUERIES["text_tfidf"].fn(spark, sf_dir))
+
+
+def test_exchange_budgets(spark, sf_dir):
+    """Shuffle-count ceilings for the heavy pipelines: a regression that
+    adds an exchange shows up here before it shows up at 100 TB."""
+    budgets = {
+        "tpch_q1": 1,
+        "agg_rollup": 1,
+        "window_moving_avg": 1,
+        "topk_per_group": 1,
+        "dedup_exact": 1,
+        "text_token_counts": 1,
+        "dedup_minhash_pairs": 7,
+        "text_tfidf": 3,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name].fn(spark, sf_dir)
+        n = count_exchanges(df)
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
