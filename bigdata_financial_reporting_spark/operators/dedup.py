@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from bigdata_financial_reporting_spark.operators.text import shingle_rows
 
@@ -111,13 +112,22 @@ def minhash_lsh_pairs(
         raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
     rows_per_band = num_hashes // bands
 
-    # Shingles as rows, not arrays — see shingle_rows for why.
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    # Shingles as rows, not arrays — see shingle_rows for why. Persisted
+    # because three consumers need them (signatures, and both sides of
+    # the exact re-check); Catalyst does not reuse the subtree across
+    # branches with different downstream partitioning, so without the
+    # persist the scan+tokenize+window pipeline runs once per consumer.
+    # MEMORY_AND_DISK: shingle rows are token-sized — safe to spill.
+    # Spark keys cached data by canonicalized plan, so repeated runs of
+    # the same query share one entry rather than accumulating copies.
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
-    # Signature via groupBy-agg: one string hash per (doc, shingle) row,
-    # then num_hashes cheap arithmetic min-aggregates. Partial
-    # (map-side) aggregation keeps the shuffle at one row of num_hashes
-    # longs per doc regardless of document length.
+    # Signature + set size in ONE groupBy: one string hash per
+    # (doc, shingle) row, then num_hashes cheap arithmetic
+    # min-aggregates. Partial (map-side) aggregation keeps the shuffle
+    # at one row of num_hashes longs per doc regardless of doc length.
     hashed = sh.select("id", F.xxhash64("s").alias("h"))
     coeffs = _uhash_coeffs(num_hashes)
     sig = hashed.groupBy("id").agg(
@@ -206,7 +216,11 @@ def ngram_jaccard_pairs(
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
     extra = [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]
-    sh = shingle_rows(df, id_col, text_col, shingle_n, extra=extra)
+    # Persisted: three consumers (both join sides + sizes); see
+    # minhash_lsh_pairs for the reuse rationale.
+    sh = shingle_rows(df, id_col, text_col, shingle_n, extra=extra).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "blk", "s")
     b = sh.select(F.col("id").alias("id_b"), "blk", "s")

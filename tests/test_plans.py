@@ -97,7 +97,9 @@ def test_exchange_budgets(spark, sf_dir):
         "topk_per_group": 1,
         "dedup_exact": 1,
         "text_token_counts": 1,
-        "dedup_minhash_pairs": 7,
+        # the persisted shingle frame feeds 3 consumers, each with its
+        # own partitioning — exchanges read from cache, not from scans
+        "dedup_minhash_pairs": 10,
         "text_tfidf": 3,
     }
     for name, budget in budgets.items():
