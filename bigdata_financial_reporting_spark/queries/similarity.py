@@ -42,6 +42,32 @@ def sim_cosine_topk(spark, sf_dir):
     return cosine_topk(q, e, "vec_id", "vec_id", k=10)
 
 
+@register(
+    "sim_cosine_topk_vectorized",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+                  {duck_cosine('q.qv', 'c.embedding')} AS cos_raw
+           FROM embeddings c CROSS JOIN q
+         )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    category="similarity",
+)
+def sim_cosine_topk_vectorized(spark, sf_dir):
+    """Same exact top-k, Arrow/numpy path: one BLAS matmul per corpus
+    partition against the broadcast query matrix. Agrees with the
+    expression path to 6 decimals (float64 accumulation both sides)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk(q, e, "vec_id", "vec_id", k=10, method="vectorized")
+
+
 @register("sim_lsh_topk", oracle=None, category="similarity")
 def sim_lsh_topk(spark, sf_dir):
     """ANN variant: random-hyperplane buckets (deterministic planes from

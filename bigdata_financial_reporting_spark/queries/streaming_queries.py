@@ -208,6 +208,38 @@ def stream_stateful_counters(spark, sf_dir):
 
 
 @register(
+    "stream_rate_source",
+    oracle="""
+    SELECT CAST(v % 10 AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS value_sum
+    FROM generate_series(0, 99) t(v)
+    GROUP BY 1
+    """,
+    category="streaming",
+)
+def stream_rate_source(spark, sf_dir):
+    """Rate stream source (SURVEY.md §2B.10 row 1): rate-micro-batch
+    emits a deterministic 0..N-1 value sequence, so even this generator
+    query gets an exact oracle. availableNow drains exactly one batch
+    of rowsPerBatch rows."""
+    s = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    agg = (
+        s.select((F.col("value") % 10).alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@register(
     "stream_static_join",
     oracle="""
     SELECT n_name, count(*) AS n_events, round(sum(value), 4) AS value_sum

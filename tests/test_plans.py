@@ -102,6 +102,9 @@ def test_exchange_budgets(spark, sf_dir):
         "dedup_minhash_pairs": 10,
         "text_tfidf": 3,
     }
+    # a populated cache swaps scans for InMemoryTableScan with different
+    # (sometimes additional) exchanges — pin the cold-plan shape
+    spark.catalog.clearCache()
     for name, budget in budgets.items():
         df = QUERIES[name].fn(spark, sf_dir)
         n = count_exchanges(df)
