@@ -1,0 +1,88 @@
+"""Time-series rollups: multi-granularity bucketed aggregates
+(the "hypertable continuous aggregate" shape, expressed relationally).
+
+``timeseries_rollup`` computes the same aggregates at several time
+granularities in ONE pass: bucket to the FINEST granularity, aggregate,
+then re-aggregate the (tiny) fine-grained partials upward. The raw
+data is scanned and shuffled once; each coarser level aggregates the
+previous level's output — the classic OLAP rollup cascade, sized so
+level N+1's input is level N's output (thousands of rows, not
+billions).
+
+Aggregates must be algebraic for the cascade to be exact: sum/count/
+min/max pass through, avg decomposes into sum+count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: granularity -> truncation understood by date_trunc
+_TRUNC = {
+    "minute": "minute",
+    "hour": "hour",
+    "day": "day",
+    "week": "week",
+    "month": "month",
+}
+#: coarse -> next finer level (the cascade order)
+_ORDER = ["minute", "hour", "day", "week", "month"]
+
+
+def timeseries_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    granularities: list[str],
+) -> DataFrame:
+    """Aggregates of ``value_col`` per (granularity bucket, keys).
+
+    Returns columns: ``granularity, bucket_start, *keys, n, v_sum,
+    v_min, v_max, v_avg``. Exact at every level (cascade re-aggregates
+    partial sums/counts, never averages of averages).
+    """
+    unknown = [g for g in granularities if g not in _TRUNC]
+    if unknown:
+        raise ValueError(f"unknown granularities {unknown}; pick from {_ORDER}")
+    gs = sorted(granularities, key=_ORDER.index)
+
+    finest = gs[0]
+    level = (
+        df.select(
+            F.date_trunc(_TRUNC[finest], F.col(ts_col)).alias("bucket_start"),
+            *[F.col(k) for k in keys],
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy("bucket_start", *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__v").alias("v_sum"),
+            F.min("__v").alias("v_min"),
+            F.max("__v").alias("v_max"),
+        )
+    )
+    out = level.select(F.lit(finest).alias("granularity"), "*")
+    prev = level
+    for g in gs[1:]:
+        nxt = (
+            prev.select(
+                F.date_trunc(_TRUNC[g], F.col("bucket_start")).alias("bucket_start"),
+                *keys,
+                "n",
+                "v_sum",
+                "v_min",
+                "v_max",
+            )
+            .groupBy("bucket_start", *keys)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("v_sum").alias("v_sum"),
+                F.min("v_min").alias("v_min"),
+                F.max("v_max").alias("v_max"),
+            )
+        )
+        out = out.unionByName(nxt.select(F.lit(g).alias("granularity"), "*"))
+        prev = nxt
+    return out.withColumn("v_avg", F.col("v_sum") / F.col("n"))

@@ -179,6 +179,66 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: the ``n_centroids`` corpus vectors with the
+    LOWEST ids (deterministic — no k-means RNG/iterations; at scale
+    you would train real centroids offline and broadcast them, the
+    dataflow is identical). Every corpus vector is assigned to its
+    nearest centroid (one broadcast join); each query probes its
+    ``n_probe`` nearest centroid cells and scores only those cells'
+    vectors. Work ~ (n_probe / n_centroids) of brute force; recall
+    measured against brute force in tests.
+    """
+    cents = corpus.select(
+        F.col(corpus_id).alias("cent_id"), F.col(vec_col).alias("__cent")
+    ).orderBy("cent_id").limit(n_centroids)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    # cell assignment: nearest centroid by cosine (rank-1 per vector)
+    assign_w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__sim").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        c.join(F.broadcast(cents))
+        .withColumn("__sim", cosine_similarity(F.col("__cv"), F.col("__cent")))
+        .withColumn("__rn", F.row_number().over(assign_w))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "__cv", F.col("cent_id").alias("cell"))
+    )
+
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("__sim", cosine_similarity(F.col("__qv"), F.col("__cent")))
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", F.col("cent_id").alias("cell"))
+    )
+
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    return _keep_topk(scored, k)
+
+
 def pairwise_above_threshold(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

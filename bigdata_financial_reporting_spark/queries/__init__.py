@@ -26,7 +26,9 @@ from bigdata_financial_reporting_spark.queries import (  # noqa: E402,F401
     multimodal,
     reference_pipeline,
     relational,
+    rollup_ts,
     similarity,
+    skew,
     sources_sinks,
     streaming_queries,
     udfs,

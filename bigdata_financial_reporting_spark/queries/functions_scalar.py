@@ -218,6 +218,31 @@ def fn_array_explode(spark, sf_dir):
 
 
 @register(
+    "fn_explode_outer",
+    oracle="""
+    SELECT doc_id,
+           unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS mention
+    FROM (
+      SELECT doc_id, regexp_extract_all(text, 'data[a-z]*') AS l
+      FROM documents WHERE doc_id < 50
+    )
+    """,
+    category="functions",
+)
+def fn_explode_outer(spark, sf_dir):
+    """explode_outer — rows with EMPTY match arrays survive with a NULL
+    element (plain explode would drop them). Oracle emulates the outer
+    behavior with a [NULL] substitution."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.explode_outer(
+            F.regexp_extract_all(F.col("text"), F.lit("data[a-z]*"), 0)
+        ).alias("mention"),
+    )
+
+
+@register(
     "fn_map",
     oracle="""
     SELECT n_nationkey,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from bigdata_financial_reporting_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
     lsh_bucket_topk,
     pairwise_above_threshold,
 )
@@ -66,6 +67,16 @@ def sim_cosine_topk_vectorized(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return cosine_topk(q, e, "vec_id", "vec_id", k=10, method="vectorized")
+
+
+@register("sim_ivf_topk", oracle=None, category="similarity")
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN: nearest-centroid cells, probe the top-4 of 16.
+    Scores ~1/4 of the corpus per query; recall vs brute force measured
+    in test_llm_ops.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(q, e, "vec_id", "vec_id", n_centroids=16, n_probe=4, k=10)
 
 
 @register("sim_lsh_topk", oracle=None, category="similarity")

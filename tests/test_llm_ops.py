@@ -16,6 +16,7 @@ from bigdata_financial_reporting_spark.operators.dedup import (
 )
 from bigdata_financial_reporting_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from bigdata_financial_reporting_spark.operators.simhash import (
@@ -100,6 +101,34 @@ def test_exact_dedup_keeps_lowest_id(spark):
     )
     kept = sorted(r.doc_id for r in exact_dedup(df, "text", "doc_id").collect())
     assert kept == [3, 5]
+
+
+def test_ivf_topk_recall_and_exact_scores(spark, sf_dir):
+    """IVF ANN: scores must equal brute force for returned pairs; the
+    rank-1 self hit always survives (a vector's own cell is its nearest
+    centroid's cell, and that cell is always probed first); recall@10
+    has a sane floor at 4/16 probing."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    ann = ivf_topk(q, e, "vec_id", "vec_id", n_centroids=16, n_probe=4, k=10).collect()
+    exact_top = {}
+    exact_scores = {}
+    for r in cosine_topk(q, e, "vec_id", "vec_id", k=10).collect():
+        exact_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in cosine_topk(q, e, "vec_id", "vec_id", k=10_000).collect():
+        exact_scores[(r.query_id, r.neighbor_id)] = r.cosine
+    assert {r.query_id for r in ann if r.neighbor_id == r.query_id and r.rank == 1} == {
+        0, 1, 2, 3, 4,
+    }
+    for r in ann:
+        assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-6
+    hits = sum(
+        1 for r in ann if r.neighbor_id in exact_top.get(r.query_id, set())
+    )
+    recall = hits / sum(len(v) for v in exact_top.values())
+    assert recall >= 0.2, f"IVF recall@10 {recall} below floor"
 
 
 def test_lsh_topk_is_subset_with_exact_scores(spark, sf_dir):
