@@ -26,16 +26,19 @@ from bigdata_financial_reporting_spark.session import get_session  # noqa: E402
 #: per heavy family (scan+agg, multi-join, window, dedup, similarity,
 #: text). Perf on these tracks perf on the whole registry.
 HEADLINE = [
-    "ref_daily_returns",      # reference pipeline R6-R13 (filter→lag→avg)
-    "ref_per_user_returns",   # scale-correct per-key variant
-    "tpch_q1",                # scan-heavy agg
-    "join_broadcast_dims",    # multi-way join w/ broadcast dims
-    "agg_rollup",             # hierarchical agg
-    "window_moving_avg",      # partitioned window w/ frame
-    "topk_per_group",         # rank + filter
-    "dedup_minhash_pairs",    # shingle→minhash→LSH→verify
-    "sim_cosine_topk",        # brute-force cosine ANN baseline
-    "text_tfidf",             # explode→double agg→join
+    "ref_daily_returns",          # reference pipeline R6-R13 (filter→lag→avg)
+    "ref_per_user_returns",       # scale-correct per-key variant
+    "tpch_q1",                    # scan-heavy agg
+    "join_broadcast_dims",        # multi-way join w/ broadcast dims
+    "agg_rollup",                 # hierarchical agg
+    "window_moving_avg",          # partitioned window w/ frame
+    "topk_per_group",             # rank + filter
+    "dedup_minhash_pairs",        # shingle→minhash→LSH→verify
+    "sim_cosine_topk",            # brute-force cosine, expression path
+    "sim_cosine_topk_vectorized", # same, Arrow/numpy matmul path
+    "text_tfidf",                 # explode→double agg→join
+    "rollup_timeseries",          # multi-granularity time rollup cascade
+    "skew_salted_agg",            # two-phase salted aggregation
 ]
 
 

@@ -87,6 +87,29 @@ def test_tfidf_df_join_is_broadcast(spark, sf_dir):
     assert has_broadcast_hash_join(QUERIES["text_tfidf"].fn(spark, sf_dir))
 
 
+def test_partition_pruning_on_partitioned_parquet(spark, sf_dir, tmp_path):
+    """A filter on the partition column must prune directories, not
+    scan-and-filter: the scan's PartitionFilters carries the predicate
+    and the non-matching partitions are never listed as input."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = os.path.join(str(tmp_path), "ev_part")
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = physical_plan(df, mode="formatted")
+    assert "PartitionFilters" in plan
+    # the partition predicate must be IN PartitionFilters, not a
+    # post-scan Filter on data
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("2024-01-05" in l or "isnotnull(day" in l for l in pf), pf
+    n = df.count()
+    assert n > 0
+
+
 def test_exchange_budgets(spark, sf_dir):
     """Shuffle-count ceilings for the heavy pipelines: a regression that
     adds an exchange shows up here before it shows up at 100 TB."""
