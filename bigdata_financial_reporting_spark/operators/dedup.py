@@ -130,11 +130,14 @@ def minhash_lsh_pairs(
     # at one row of num_hashes longs per doc regardless of doc length.
     hashed = sh.select("id", F.xxhash64("s").alias("h"))
     coeffs = _uhash_coeffs(num_hashes)
+    # __sz rides the same aggregation: |shingle set| for the Jaccard
+    # denominator at zero extra cost.
     sig = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__sz"),
         *[
             F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
             for i, (a, b) in enumerate(coeffs)
-        ]
+        ],
     )
 
     # One row per (doc, band); the join payload is just (id, band, bucket)
@@ -171,20 +174,26 @@ def minhash_lsh_pairs(
     )
 
     # Exact re-check, relationally: |A ∩ B| by joining each candidate
-    # pair against both shingle-row sides on the shingle value; |A|,|B|
-    # from a per-doc count. Zero-overlap candidates (band-hash
-    # collisions) drop out of the inner join — their Jaccard is 0, below
-    # any positive threshold by construction.
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # pair against both shingle-row sides on the 64-bit shingle hash
+    # (long joins shuffle/compare cheaper than strings; a within-pair
+    # xxhash64 collision needs ~2^32 shingles per doc pair to matter).
+    # |A|,|B| ride the signature aggregation. Zero-overlap candidates
+    # (band-hash collisions) drop out of the inner join — their Jaccard
+    # is 0, below any positive threshold by construction.
+    sizes = sig.select("id", "__sz")
     inter = (
-        candidates.join(sh.select(F.col("id").alias("id_a"), "s"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"])
+        candidates.join(hashed.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(hashed.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_int"))
     )
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("__sz").alias("sz_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("__sz").alias("sz_b")), "id_b"
+        )
         .withColumn(
             "jaccard",
             F.col("n_int").cast("double")
