@@ -294,6 +294,51 @@ def fn_json(spark, sf_dir):
 
 
 @register(
+    "fn_decimal_money",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n, total_cents,
+           CASE WHEN total_cents < 0 THEN '-' ELSE '' END
+             || CAST(abs(total_cents) // 100 AS VARCHAR)
+             || '.'
+             || lpad(CAST(abs(total_cents) % 100 AS VARCHAR), 2, '0') AS total_usd
+    FROM agg
+    """,
+    category="functions",
+)
+def fn_decimal_money(spark, sf_dir):
+    """Exact money arithmetic: prices become integer cents before
+    summation, so the total is exact regardless of row count or
+    aggregation order — the posture for financial columns at 100 TB,
+    where double accumulation drift scales with data volume. The USD
+    rendering is exact integer math on sign + absolute value (integer
+    division and modulo disagree between engines for negatives)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("total_cents")
+    )
+    a = F.abs(F.col("total_cents"))
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        "total_cents",
+        F.concat(
+            F.when(F.col("total_cents") < 0, "-").otherwise(""),
+            (a / 100).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((a % 100).cast("string"), 2, "0"),
+        ).alias("total_usd"),
+    )
+
+
+@register(
     "fn_struct",
     oracle="""
     SELECT s_suppkey,

@@ -167,3 +167,39 @@ def udf_sql_registered(spark, sf_dir):
     return spark.sql(
         "SELECT p_partkey, tag_part(p_brand, p_size) AS tagged FROM part"
     )
+
+
+@register(
+    "udf_python_udtf",
+    oracle="""
+    SELECT doc_id, unnest(string_split(lang || '/' || source, '/')) AS piece
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    category="udfs",
+)
+def udf_python_udtf(spark, sf_dir):
+    """True Python UDTF (table function): one input row -> N output
+    rows, registered and invoked via LATERAL in SQL. Arrow-batched by
+    Spark 4; the table-in/table-out alternative for grouped data is
+    applyInPandas (udf_apply_in_pandas)."""
+    from pyspark.sql.functions import udtf
+
+    from bigdata_financial_reporting_spark.sources.catalog import register_views
+
+    @udtf(returnType="doc_id bigint, piece string")
+    class SplitTag:
+        def eval(self, doc_id: int, tag: str):
+            for piece in (tag or "").split("/"):
+                yield (doc_id, piece)
+
+    spark.udtf.register("split_tag", SplitTag)
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.piece
+        FROM documents d,
+             LATERAL split_tag(d.doc_id, d.lang || '/' || d.source) s
+        WHERE d.doc_id < 100
+        """
+    )
