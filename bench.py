@@ -58,26 +58,31 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
         t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = spec.fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # one broken query must not void the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_warm",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_warm",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -208,6 +208,46 @@ def stream_stateful_counters(spark, sf_dir):
 
 
 @register(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS value_sum
+    FROM events
+    WHERE value > 100
+    GROUP BY event_type
+    """,
+    category="streaming",
+)
+def stream_foreach_batch_sink(spark, sf_dir):
+    """foreachBatch sink: each micro-batch lands in a parquet directory
+    via arbitrary Python (the hook production uses for MERGE/upsert into
+    warehouses). Draining with availableNow and re-reading the sink must
+    equal the batch computation."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="bdfr_feb_sink_")
+    s = events_stream(spark, sf_dir).filter(F.col("value") > 100)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        s.select("event_id", "event_type", "value")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
+@register(
     "stream_rate_source",
     oracle="""
     SELECT CAST(v % 10 AS BIGINT) AS bucket,
