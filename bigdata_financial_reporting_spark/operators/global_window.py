@@ -1,0 +1,96 @@
+"""Scalable global-order window: lag over a TOTAL order without the
+single-partition collapse.
+
+The reference's ``Window.orderBy(date)`` with no partitionBy moves the
+whole table onto ONE task (reference controller/script.py:39 — Spark
+even logs a warning). That is the worst scaling decision in the
+reference; this operator is the fix for workloads that genuinely need a
+global order (single logical series, cross-series cumulative metrics):
+
+1. ``repartitionByRange`` on the order key: partitions hold disjoint,
+   consecutive key ranges — a parallel global sort (Spark's own
+   ``orderBy`` machinery, sampled boundaries).
+2. Per-partition ``lag`` via a window keyed on ``spark_partition_id()``
+   — ordinary parallel window work.
+3. The only rows still missing their predecessor are each partition's
+   FIRST rows; their predecessors are each partition's LAST rows — at
+   most one row per partition. Aggregate those (num_partitions rows,
+   trivially broadcastable at any scale), shift by one partition, and
+   patch the firsts with a broadcast join.
+
+Total cost: one range shuffle + one broadcast of num_partitions rows —
+versus the reference's all-rows-to-one-task collapse. Result is
+IDENTICAL to the naive global window (same total order, tie-broken by
+the caller's order columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_lag(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "__lag",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` + ``out_col`` = lag(value_col) over the global order
+    defined by ``order_cols`` (must be a total order for deterministic
+    results)."""
+    from pyspark.storagelevel import StorageLevel
+
+    order = [F.col(c) for c in order_cols]
+    # Persisted for CORRECTNESS, not just speed: repartitionByRange
+    # samples the data to pick boundaries, so two independent
+    # evaluations of this subtree could assign rows to different
+    # partitions — the boundary stitch below requires every consumer to
+    # see the SAME __pid assignment.
+    parts = (
+        df.repartitionByRange(*([num_partitions] if num_partitions else []), *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    w = Window.partitionBy("__pid").orderBy(*order)
+    within = parts.withColumn(out_col, F.lag(value_col).over(w))
+
+    # Last row of each partition = the predecessor for partition pid+1's
+    # first row. max_by over the order-key struct picks it in one agg.
+    okey = F.struct(*order)
+    lasts = (
+        parts.groupBy("__pid")
+        .agg(F.max_by(F.col(value_col), okey).alias("__prev_val"))
+        .select((F.col("__pid") + 1).alias("__pid"), "__prev_val")
+    )
+
+    # First row per partition: no within-partition predecessor.
+    first_w = Window.partitionBy("__pid").orderBy(*order)
+    flagged = within.withColumn("__rn", F.row_number().over(first_w))
+    patched = (
+        flagged.join(F.broadcast(lasts), "__pid", "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__rn") == 1, F.col("__prev_val")).otherwise(F.col(out_col)),
+        )
+        .drop("__pid", "__rn", "__prev_val")
+    )
+    return patched
+
+
+def global_pct_change(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Daily-%-return shape over a global order, scalably:
+    ``(v / global_lag(v) - 1) * 100``. NULL for the first row and for
+    zero predecessors (ANSI off), matching the reference semantics."""
+    lagged = global_lag(df, order_cols, value_col, "__prev", num_partitions)
+    return lagged.withColumn(
+        out_col, (F.col(value_col) / F.col("__prev") - 1) * 100
+    ).drop("__prev")

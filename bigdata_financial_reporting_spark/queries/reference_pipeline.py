@@ -83,6 +83,38 @@ def ref_avg_daily_return(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_daily_returns_scalable",
+    oracle=f"""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           round(value, 6) AS value,
+           round((value / lag(value) OVER (ORDER BY ts, event_id) - 1) * 100, 6) AS ret
+    FROM events
+    WHERE ts >= TIMESTAMP '{LO}' AND ts < TIMESTAMP '{HI}'
+    """,
+    category="reference",
+)
+def ref_daily_returns_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME global-order result as ref_daily_returns, computed
+    scalably: range-partitioned parallel lag + a broadcast boundary
+    stitch instead of the reference's all-rows-to-one-task window
+    (operators/global_window.py). Identical oracle to ref_daily_returns
+    — the rewrite must be invisible in the values."""
+    from bigdata_financial_reporting_spark.operators.global_window import (
+        global_pct_change,
+    )
+
+    ev = _filtered_events(spark, sf_dir)
+    out = global_pct_change(ev, ["ts", "event_id"], "value", "ret")
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.round("value", 6).alias("value"),
+        F.round("ret", 6).alias("ret"),
+    )
+
+
+@register(
     "ref_per_user_returns",
     oracle=f"""
     WITH r AS (

@@ -59,6 +59,14 @@ def test_global_window_is_flagged_single_partition(spark, sf_dir):
     assert "SinglePartition" in physical_plan(df)
 
 
+def test_scalable_global_lag_avoids_single_partition(spark, sf_dir):
+    """The scalable rewrite of the global window must not contain the
+    1-task collapse it exists to avoid."""
+    df = QUERIES["ref_daily_returns_scalable"].fn(spark, sf_dir)
+    assert "SinglePartition" not in physical_plan(df)
+    assert "rangepartitioning" in physical_plan(df)
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """CartesianProduct (unbroadcast cross join) is never acceptable;
     bounded cross joins must ride a broadcast."""

@@ -102,6 +102,28 @@ def test_topk_bounded_and_ordered(spark, rows, k):
 
 @SETTINGS
 @given(rows=rows_strategy)
+def test_global_lag_matches_naive_window(spark, rows):
+    """The range-partitioned + boundary-stitched global lag must equal
+    the naive single-partition Window.orderBy lag for ANY data, at any
+    forced partition count (boundary rows land arbitrarily)."""
+    from bigdata_financial_reporting_spark.operators.global_window import global_lag
+
+    df = _df(spark, rows)
+    naive_w = Window.orderBy("idx")
+    naive = {
+        r.idx: r.l
+        for r in df.select("idx", F.lag("v").over(naive_w).alias("l")).collect()
+    }
+    for nparts in (1, 3, 7):
+        got = {
+            r["idx"]: r["__lag"]
+            for r in global_lag(df, ["idx"], "v", num_partitions=nparts).collect()
+        }
+        assert got == naive, f"num_partitions={nparts}"
+
+
+@SETTINGS
+@given(rows=rows_strategy)
 def test_groupby_sum_equals_global_sum(spark, rows):
     df = _df(spark, rows)
     per_group = df.groupBy("k").agg(F.sum("v").alias("s"))
