@@ -24,6 +24,7 @@ from bigdata_financial_reporting_spark.queries import (  # noqa: E402,F401
     joins,
     llm_text,
     multimodal,
+    ops_tools,
     reference_pipeline,
     relational,
     rollup_ts,

@@ -1,0 +1,70 @@
+"""Tests for the ops-grade operators: table profiling and small-file
+compaction."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.operators.compact import (
+    compact_parquet,
+    dir_bytes,
+)
+from bigdata_financial_reporting_spark.operators.profile import profile_table
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+def test_profile_table_matches_direct_stats(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    prof = {r.column: r for r in profile_table(o).collect()}
+
+    assert set(prof) == set(o.columns)
+    n = o.count()
+    for r in prof.values():
+        assert r.n_rows == n
+
+    direct = o.agg(
+        F.count(F.when(F.col("o_orderstatus").isNull(), 1)).alias("nulls"),
+        F.countDistinct("o_orderstatus").alias("ndv"),
+        F.min("o_orderstatus").cast("string").alias("mn"),
+        F.max("o_orderstatus").cast("string").alias("mx"),
+    ).first()
+    p = prof["o_orderstatus"]
+    assert p.n_nulls == direct.nulls
+    assert abs(p.n_distinct - direct.ndv) <= max(1, int(direct.ndv * 0.05))
+    assert p.min_s == direct.mn and p.max_s == direct.mx
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """The profile must be ONE aggregation over one scan, not a
+    per-column loop."""
+    from bigdata_financial_reporting_spark.plans.inspect import physical_plan
+
+    o = load_table(spark, sf_dir, "orders")
+    plan = physical_plan(profile_table(o))
+    assert plan.count("FileScan") == 1
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    path = os.path.join(str(tmp_path), "frag")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ev.repartition(40).write.mode("overwrite").parquet(path)
+    files_before = [
+        f for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    ]
+    assert len(files_before) >= 40
+
+    before_sum = spark.read.parquet(path).agg(F.sum("event_id")).first()[0]
+    stats = compact_parquet(
+        spark, path, target_file_bytes=max(1, dir_bytes(path))
+    )
+    files_after = [
+        f for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    ]
+    assert len(files_after) < len(files_before)
+    assert stats["after_files"] < stats["before_files"]
+
+    after = spark.read.parquet(path)
+    assert after.agg(F.sum("event_id")).first()[0] == before_sum
+    assert after.count() == ev.count()
