@@ -68,3 +68,49 @@ def test_compact_parquet_reduces_files_preserves_data(spark, sf_dir, tmp_path):
     after = spark.read.parquet(path)
     assert after.agg(F.sum("event_id")).first()[0] == before_sum
     assert after.count() == ev.count()
+
+
+def test_upsert_parquet_update_and_insert(spark, sf_dir, tmp_path):
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.upsert import upsert_parquet
+
+    path = os.path.join(str(tmp_path), "t")
+    spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    ).write.parquet(path)
+
+    src = spark.createDataFrame([Row(k=2, v="B2"), Row(k=9, v="new")])
+    stats = upsert_parquet(spark, path, src, ["k"])
+    assert stats == {"updated": 1, "inserted": 1, "total_after": 4}
+
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+
+
+def test_upsert_rejects_duplicate_source_keys(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.upsert import upsert_parquet
+
+    path = os.path.join(str(tmp_path), "t2")
+    spark.createDataFrame([Row(k=1, v="a")]).write.parquet(path)
+    dup = spark.createDataFrame([Row(k=5, v="x"), Row(k=5, v="y")])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_parquet(spark, path, dup, ["k"])
+    # target untouched after the refused merge
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_upsert_rejects_schema_mismatch(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.upsert import upsert_parquet
+
+    path = os.path.join(str(tmp_path), "t3")
+    spark.createDataFrame([Row(k=1, v="a")]).write.parquet(path)
+    bad = spark.createDataFrame([Row(k=1, other=2)])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        upsert_parquet(spark, path, bad, ["k"])
