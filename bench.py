@@ -29,6 +29,8 @@ HEADLINE = [
     "ref_daily_returns",          # reference pipeline R6-R13 (filter→lag→avg)
     "ref_per_user_returns",       # scale-correct per-key variant
     "tpch_q1",                    # scan-heavy agg
+    "tpch_q3_shape",              # selective 3-way join + top-k
+    "tpch_q5_shape",              # 6-table join w/ local-supplier constraint
     "join_broadcast_dims",        # multi-way join w/ broadcast dims
     "agg_rollup",                 # hierarchical agg
     "window_moving_avg",          # partitioned window w/ frame

@@ -84,6 +84,113 @@ def tpch_q1(spark, sf_dir):
 
 
 @register(
+    "tpch_q3_shape",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    category="aggregates",
+)
+def tpch_q3_shape(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority): selective dim filter,
+    3-way join, revenue agg, top-10. o_orderpriority stands in for the
+    fixture's missing o_shippriority. The customer slice broadcasts;
+    order/lineitem join shuffles on the order key."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_shape",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    category="aggregates",
+)
+def tpch_q5_shape(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): 6-table join with the
+    local-supplier constraint (customer and supplier share a nation).
+    region/nation broadcast; supplier broadcasts after the region
+    filter; the fact-side joins shuffle on their keys."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    asia_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    sup = s.join(F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (c.c_nationkey == sup.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
     "agg_count_distinct",
     oracle="""
     SELECT o_orderstatus,

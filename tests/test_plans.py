@@ -89,6 +89,16 @@ def test_no_rowbased_python_udfs_outside_udf_family(spark, sf_dir):
         assert not r["rowbased_python_udf"], f"{name} fell back to row-based Python"
 
 
+def test_tpch_q5_broadcasts_dim_chain(spark, sf_dir):
+    """Q5's region->nation->supplier chain must ride broadcasts; only
+    the fact-side joins and the final agg may shuffle."""
+    df = QUERIES["tpch_q5_shape"].fn(spark, sf_dir)
+    r = plan_report(df)
+    assert r["broadcast_hash_join"]
+    assert not r["cartesian"]
+    assert r["exchanges"] <= 4
+
+
 def test_tfidf_df_join_is_broadcast(spark, sf_dir):
     """The document-frequency table is vocabulary-sized -> must
     broadcast at any corpus scale."""
