@@ -182,25 +182,39 @@ def join_theta(spark, sf_dir):
 @register(
     "join_interval_containment",
     oracle="""
+    WITH w AS (
+      SELECT o_orderkey, o_custkey,
+             TIMESTAMP '2024-01-01' + (o_orderkey % 25) * INTERVAL 1 DAY AS w_start
+      FROM orders
+    )
     SELECT o_orderkey, count(*) AS n_events, round(sum(value), 4) AS value_sum
-    FROM orders JOIN events
+    FROM w JOIN events
       ON user_id = o_custkey
-     AND ts BETWEEN o_orderdate AND o_orderdate + INTERVAL 20 DAY
+     AND ts >= w_start AND ts < w_start + INTERVAL 2 DAY
     GROUP BY o_orderkey
     """,
     category="joins",
 )
 def join_interval_containment(spark, sf_dir):
     """Equi-key + interval containment: Catalyst runs the equi part as
-    a hash join and the range as a post-filter — no nested loop."""
-    o = load_table(spark, sf_dir, "orders")
+    a hash join and the range as a post-filter — no nested loop.
+
+    The fixture's order dates (1995-2001) never overlap event
+    timestamps (2024), so each order derives a deterministic 2-day
+    window inside the events' range (orderkey-keyed offset from
+    2024-01-01) — real containment matches, not a vacuous empty join.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "w_start",
+        F.expr(
+            "timestampadd(DAY, CAST(o_orderkey % 25 AS INT), TIMESTAMP '2024-01-01')"
+        ),
+    )
     e = load_table(spark, sf_dir, "events")
-    # fixture note: orderdates are 1995-2001, events 2024 — shift via
-    # expr-free join keeps semantics; rely on matching custkeys only
     cond = (
         (e.user_id == o.o_custkey)
-        & (e.ts >= o.o_orderdate)
-        & (e.ts <= F.col("o_orderdate") + F.expr("INTERVAL 20 DAYS"))
+        & (e.ts >= o.w_start)
+        & (e.ts < F.col("w_start") + F.expr("INTERVAL 2 DAYS"))
     )
     return (
         o.join(e, cond)
