@@ -19,6 +19,7 @@ from bigdata_financial_reporting_spark.queries.registry import (
 # Import for side effect: each module registers its queries.
 from bigdata_financial_reporting_spark.queries import (  # noqa: E402,F401
     aggregates,
+    components,
     dedup,
     functions_scalar,
     joins,

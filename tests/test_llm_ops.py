@@ -151,3 +151,29 @@ def test_lsh_topk_is_subset_with_exact_scores(spark, sf_dir):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert abs(exact[key] - r.cosine) < 1e-6
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A path graph collapses to one component labeled by its min id;
+    disjoint edges stay separate; isolated docs survive themselves."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.components import (
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=2, id_b=5), Row(id_a=5, id_b=9), Row(id_a=9, id_b=30),  # chain
+         Row(id_a=100, id_b=101)],                                         # island
+        "id_a long, id_b long",
+    )
+    all_ids = spark.createDataFrame(
+        [Row(doc_id=i) for i in [2, 5, 9, 30, 100, 101, 777]], "doc_id long"
+    )
+    rows = {r.id: (r.component, r.is_survivor)
+            for r in dedup_clusters(pairs, all_ids, "doc_id").collect()}
+    assert rows == {
+        2: (2, True), 5: (2, False), 9: (2, False), 30: (2, False),
+        100: (100, True), 101: (100, False),
+        777: (777, True),  # singleton: its own survivor
+    }
