@@ -33,6 +33,7 @@ from bigdata_financial_reporting_spark.queries import (  # noqa: E402,F401
     skew,
     sources_sinks,
     streaming_queries,
+    timeseries,
     udfs,
     windows,
 )

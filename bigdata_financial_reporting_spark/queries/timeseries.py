@@ -1,0 +1,125 @@
+"""Time-series / product-analytics queries over events: batch
+sessionization, forward fill, snapshot diff, cohort retention."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.operators.timeseries import (
+    cohort_retention,
+    forward_fill,
+    sessionize,
+    snapshot_diff,
+)
+from bigdata_financial_reporting_spark.queries.registry import register
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+@register(
+    "ts_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM ordered
+    """,
+    category="timeseries",
+)
+def ts_sessionize(spark, sf_dir):
+    """Batch sessionization (30-min gap) — the same gaps-and-islands
+    semantics as the streaming session_window query, as columns."""
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, "user_id", "ts", 30, order_tiebreak=["event_id"])
+    return out.select("user_id", "event_id", "session_id")
+
+
+@register(
+    "ts_forward_fill",
+    oracle="""
+    SELECT user_id, event_id,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 6) AS v_filled
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    """,
+    category="timeseries",
+)
+def ts_forward_fill(spark, sf_dir):
+    """Forward fill: clicks have their value masked to NULL, then the
+    last non-null observation per user carries forward."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "click", None).otherwise(F.col("value"))
+    )
+    out = forward_fill(ev, "user_id", "ts", ["v"], order_tiebreak=["event_id"])
+    return out.select(
+        "user_id", "event_id", F.round("v", 6).alias("v_filled")
+    )
+
+
+@register(
+    "ts_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT user_id, count(*) AS n FROM events
+                 WHERE ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY user_id),
+         new AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT COALESCE(new.user_id, old.user_id) AS user_id,
+           CASE WHEN old.user_id IS NULL THEN 'inserted'
+                WHEN new.user_id IS NULL THEN 'deleted'
+                WHEN old.n <> new.n THEN 'updated' END AS change_type,
+           old.n AS old_n, new.n AS new_n
+    FROM old FULL JOIN new ON old.user_id = new.user_id
+    WHERE (old.user_id IS NULL OR new.user_id IS NULL OR old.n <> new.n)
+    """,
+    category="timeseries",
+)
+def ts_snapshot_diff(spark, sf_dir):
+    """CDC between two snapshots of a per-user aggregate (counts up to
+    Jan 20 vs full range): inserted / deleted / updated rows only."""
+    ev = load_table(spark, sf_dir, "events")
+    old = (
+        ev.filter(F.col("ts") < "2024-01-20")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    new = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return snapshot_diff(old, new, ["user_id"])
+
+
+@register(
+    "ts_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS bucket FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_s,
+           CAST(date_diff('day', f.cohort, a.bucket) / 7 AS BIGINT) AS age,
+           count(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort, age
+    """,
+    category="timeseries",
+)
+def ts_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over events: first-activity week defines
+    the cohort; n_active distinct users per (cohort, week age)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = cohort_retention(ev, "user_id", "ts", "week")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_s"), "age", "n_active"
+    )
