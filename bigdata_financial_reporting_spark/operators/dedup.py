@@ -131,33 +131,31 @@ def minhash_lsh_pairs(
     hashed = sh.select("id", F.xxhash64("s").alias("h"))
     coeffs = _uhash_coeffs(num_hashes)
     # __sz rides the same aggregation: |shingle set| for the Jaccard
-    # denominator at zero extra cost.
+    # denominator at zero extra cost. The whole signature is ONE parsed
+    # SQL expression: building 128 aggregates as individual Column
+    # objects costs ~1500 py4j round-trips (~3 s of driver time per
+    # query construction, measured); one expr string is one call.
+    min_exprs = ", ".join(
+        f"min(h * {a}L + {b}L) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
     sig = hashed.groupBy("id").agg(
-        F.count(F.lit(1)).alias("__sz"),
-        *[
-            F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ],
+        F.expr(f"struct(count(1) AS sz, {min_exprs})").alias("m")
     )
 
     # One row per (doc, band); the join payload is just (id, band, bucket)
-    # — shingle arrays never enter the candidate shuffle.
+    # — shingle arrays never enter the candidate shuffle. Again one
+    # parsed expression for the 64-struct array.
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({b}L, {ms}) AS bucket)".format(
+            b=b,
+            ms=", ".join(
+                f"m.m{b * rows_per_band + j}" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     buckets = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)],
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "id", F.expr(f"explode(array({band_structs}))").alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = buckets.alias("a")
@@ -180,7 +178,7 @@ def minhash_lsh_pairs(
     # |A|,|B| ride the signature aggregation. Zero-overlap candidates
     # (band-hash collisions) drop out of the inner join — their Jaccard
     # is 0, below any positive threshold by construction.
-    sizes = sig.select("id", "__sz")
+    sizes = sig.select("id", F.col("m.sz").alias("__sz"))
     inter = (
         candidates.join(hashed.select(F.col("id").alias("id_a"), "h"), "id_a")
         .join(hashed.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])

@@ -57,18 +57,19 @@ def simhash_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select("id", F.explode("__tok").alias("t"))
         .select("id", F.xxhash64("t").alias("h"))
     )
-    sums = hashed.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"b{j}")
-            for j in range(64)
-        ],
+    # Single parsed SQL expressions for the 64 bit-sums and the
+    # fingerprint assembly — per-Column construction costs hundreds of
+    # py4j round-trips (see operators/dedup.py for the measurement).
+    bit_sums = ", ".join(
+        f"sum(shiftright(h, {j}) & 1) AS b{j}" for j in range(64)
     )
-    fp_expr = F.lit(0).cast("long")
-    for j in range(64):
-        bit_j = (F.col(f"b{j}") * 2 >= F.col("n")).cast("long")
-        fp_expr = fp_expr.bitwiseOR(F.shiftleft(bit_j, j))
-    fp = sums.select("id", fp_expr.alias("fp"))
+    sums = hashed.groupBy("id").agg(
+        F.expr(f"struct(count(1) AS n, {bit_sums})").alias("s")
+    )
+    fp_assembly = " | ".join(
+        f"shiftleft(cast(s.b{j} * 2 >= s.n AS long), {j})" for j in range(64)
+    )
+    fp = sums.select("id", F.expr(fp_assembly).alias("fp"))
     # Token-less docs never reach the explode; under the majority rule
     # (set_cnt*2 >= 0) their fingerprint is all-ones == -1 as a long.
     all_ids = df.select(F.col(id_col).alias("id"))
