@@ -240,6 +240,51 @@ def sample_seeded(spark, sf_dir):
     )
 
 
+@register("sample_stratified", oracle=None, category="relational")
+def sample_stratified(spark, sf_dir):
+    """Stratified (per-key fraction) sampling — rebalancing a skewed
+    corpus by language is the canonical training-data use. Seeded but
+    membership is engine-specific -> rows-only; per-stratum bounds in
+    tests/test_tolerance.py."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.3, "fr": 0.3, "de": 0.3, "zh": 0.1}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@register(
+    "winsorize_by_group",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(least(greatest(l_extendedprice, lo), hi), 6) AS price_w
+    FROM lineitem JOIN bounds USING (l_returnflag)
+    """,
+    category="relational",
+)
+def winsorize_by_group(spark, sf_dir):
+    """Winsorization: clip values to per-group exact [p05, p95] —
+    outlier handling before training-data statistics. The bounds table
+    is group-count-sized -> broadcast; the fact side never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    return li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(
+            F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")), 6
+        ).alias("price_w"),
+    )
+
+
 @register(
     "sort_multi_key_limit",
     oracle="""

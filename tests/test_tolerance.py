@@ -72,3 +72,26 @@ def test_nondeterministic_ids_properties(spark, sf_dir):
     again = {r.doc_id: r.xx64 for r in df.collect()}
     first = {r.doc_id: r.xx64 for r in rows}
     assert first == again
+
+
+def test_stratified_sample_per_stratum_bounds(spark, sf_dir):
+    """sampleBy: each stratum's realized fraction must sit in a wide
+    band around its requested fraction (Bernoulli, small strata)."""
+    out = QUERIES["sample_stratified"].fn(spark, sf_dir)
+    got = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    requested = {"en": 0.5, "es": 0.3, "fr": 0.3, "de": 0.3, "zh": 0.1}
+    for lang, frac in requested.items():
+        if totals.get(lang, 0) < 30:
+            continue  # too small for a meaningful bound
+        realized = got.get(lang, 0) / totals[lang]
+        assert abs(realized - frac) < 0.15, f"{lang}: {realized} vs {frac}"
+    # no stratum outside the requested set appears
+    assert set(got) <= set(requested)
