@@ -180,6 +180,53 @@ def join_theta(spark, sf_dir):
 
 
 @register(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    """,
+    category="joins",
+)
+def join_fuzzy_levenshtein(spark, sf_dir):
+    """Fuzzy self-join: near-identical part names within edit distance
+    3. Blocking (shared first char + length band <= 2) prunes the
+    quadratic pair space BEFORE the expensive edit-distance compare —
+    the standard entity-resolution shape; at scale the block key also
+    drives the shuffle."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    blocked = a.join(
+        b,
+        (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (
+            F.substring(F.col("a.p_name"), 1, 1)
+            == F.substring(F.col("b.p_name"), 1, 1)
+        )
+        & (
+            F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2
+        ),
+    )
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        blocked.withColumn("dist", dist)
+        .filter(F.col("dist").between(1, 3))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "dist",
+        )
+    )
+
+
+@register(
     "join_interval_containment",
     oracle="""
     WITH w AS (

@@ -98,6 +98,57 @@ def ts_snapshot_diff(spark, sf_dir):
 
 
 @register(
+    "ts_funnel",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
+         v AS (SELECT user_id, min(ts) AS t_view FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM ev e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM ev e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+               GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+    category="timeseries",
+)
+def ts_funnel(spark, sf_dir):
+    """Ordered funnel: users who viewed, then clicked AFTER the first
+    view, then purchased AFTER that click. Each stage is a keyed min
+    aggregation + join — no window over the full event stream and no
+    per-user event collection, so the shuffle stays user-sized.
+    Restricted to the first two days so the ordering filters actually
+    discriminate (92 -> 41 -> 21 at sf0.01); over the full month every
+    user completes and the stage conditions never bite."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-03")
+
+    def stage(prior, etype, prior_ts, out_ts):
+        e = ev.filter(F.col("event_type") == etype)
+        if prior is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+        return (
+            e.join(prior, "user_id")
+            .filter(F.col("ts") > F.col(prior_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = stage(None, "view", None, "t_view")
+    c = stage(v, "click", "t_view", "t_click")
+    p = stage(c, "purchase", "t_click", "t_purchase")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@register(
     "ts_cohort_retention",
     oracle="""
     WITH firsts AS (
