@@ -84,6 +84,35 @@ def tpch_q1(spark, sf_dir):
 
 
 @register(
+    "agg_unpivot",
+    oracle="""
+    SELECT s_suppkey, metric, round(val, 6) AS val
+    FROM (
+      SELECT s_suppkey,
+             CAST(s_acctbal AS DOUBLE) AS acctbal,
+             CAST(s_nationkey AS DOUBLE) AS nationkey
+      FROM supplier
+    )
+    UNPIVOT (val FOR metric IN (acctbal, nationkey))
+    """,
+    category="aggregates",
+)
+def agg_unpivot(spark, sf_dir):
+    """unpivot/melt — wide-to-long reshape, the inverse of pivot."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+        F.col("s_nationkey").cast("double").alias("nationkey"),
+    )
+    return s.unpivot(
+        ids=["s_suppkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    ).select("s_suppkey", "metric", F.round("v", 6).alias("val"))
+
+
+@register(
     "tpch_q3_shape",
     oracle="""
     SELECT l_orderkey,

@@ -180,6 +180,46 @@ def join_theta(spark, sf_dir):
 
 
 @register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS k
+      FROM documents WHERE doc_id < 100
+    ),
+    b AS (
+      SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS k
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.k AS k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k AND a.doc_id < b.doc_id
+    """,
+    category="joins",
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — required for CDC diffs and dedup on nullable
+    keys, where a plain equi-join silently drops every NULL row."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    a = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang")).alias("k"),
+    ).alias("a")
+    b = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, None).otherwise(F.col("lang")).alias("k"),
+    ).alias("b")
+    return a.join(
+        b,
+        F.col("a.k").eqNullSafe(F.col("b.k"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.k").alias("k"),
+    )
+
+
+@register(
     "join_fuzzy_levenshtein",
     oracle="""
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,

@@ -208,6 +208,54 @@ def stream_stateful_counters(spark, sf_dir):
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    WHERE v.ts < TIMESTAMP '2024-01-05 00:00:00'
+      AND c.ts < TIMESTAMP '2024-01-05 00:00:00'
+    """,
+    category="streaming",
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join: views joined to clicks by the same
+    user within 2 hours. Both sides carry watermarks and the join
+    has the time-bound condition Spark needs to expire state; draining
+    with availableNow makes the result equal the batch interval join."""
+    base = events_stream(spark, sf_dir).filter(F.col("ts") < "2024-01-05")
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
+    return run_available_now(joined, output_mode="append")
+
+
+@register(
     "stream_foreach_batch_sink",
     oracle="""
     SELECT event_type, count(*) AS n, round(sum(value), 4) AS value_sum
