@@ -63,8 +63,14 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
-        t0 = time.perf_counter()
         try:
+            # warm-up pass absorbs one-time codegen compilation and
+            # scan caching (BASELINE.md measures warm per-query time —
+            # the recurring cost, which is what matters at scale);
+            # the timed pass rebuilds the plan from scratch so plan
+            # construction + optimization stay inside the measurement.
+            spec.fn(spark, sf_dir).count()
+            t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             n = df.count()
         except Exception as exc:  # one broken query must not void the run
