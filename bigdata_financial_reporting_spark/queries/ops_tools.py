@@ -32,3 +32,53 @@ def ops_table_profile(spark, sf_dir):
     here (tolerance-tested separately)."""
     c = load_table(spark, sf_dir, "customer")
     return profile_table(c).select("column", "n_rows", "n_nulls", "min_s", "max_s")
+
+
+@register(
+    "ops_validate_quality",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_rows FROM orders)
+    SELECT * FROM (
+      SELECT 'not_null:o_custkey' AS rule, n.n_rows,
+             (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_violations
+      FROM n
+      UNION ALL
+      SELECT 'unique:o_orderkey', n.n_rows,
+             (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)
+      FROM n
+      UNION ALL
+      SELECT 'in_range:o_totalprice(0,300000)', n.n_rows,
+             (SELECT count(*) FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_totalprice NOT BETWEEN 0 AND 300000)
+      FROM n
+      UNION ALL
+      SELECT 'accepted_values:o_orderstatus(O,F,P)', n.n_rows,
+             (SELECT count(*) FROM orders
+              WHERE o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('O', 'F', 'P'))
+      FROM n
+    )
+    """,
+    category="ops",
+)
+def ops_validate_quality(spark, sf_dir):
+    """Expectations-style validation of orders in one aggregation pass:
+    null check, key uniqueness, numeric range, accepted categorical
+    values. The ingest gate shape for training-data batches."""
+    from bigdata_financial_reporting_spark.operators.quality import (
+        accepted_values,
+        in_range,
+        not_null,
+        unique,
+        validate,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = [
+        not_null("o_custkey"),
+        unique("o_orderkey"),
+        in_range("o_totalprice", 0, 300000),
+        accepted_values("o_orderstatus", ["O", "F", "P"]),
+    ]
+    return validate(o, rules).select("rule", "n_rows", "n_violations")

@@ -114,3 +114,46 @@ def test_upsert_rejects_schema_mismatch(spark, tmp_path):
     bad = spark.createDataFrame([Row(k=1, other=2)])
     with pytest.raises(ValueError, match="schema mismatch"):
         upsert_parquet(spark, path, bad, ["k"])
+
+
+def test_validate_catches_injected_violations(spark):
+    """Each rule kind must count its violations exactly on a frame with
+    known defects."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.quality import (
+        accepted_values,
+        in_range,
+        matches,
+        not_null,
+        unique,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=10.0, s="ok"),
+            Row(k=2, v=None, s="ok"),
+            Row(k=2, v=-5.0, s="bad!"),   # dup k, out-of-range v, bad s
+            Row(k=None, v=3.0, s=None),   # null k
+        ],
+        "k int, v double, s string",
+    )
+    out = {
+        r.rule: r.n_violations
+        for r in validate(
+            df,
+            [
+                not_null("k"),
+                unique("k"),
+                in_range("v", 0, 100),
+                matches("s", "^[a-z]+$"),
+                accepted_values("s", ["ok"]),
+            ],
+        ).collect()
+    }
+    assert out["not_null:k"] == 1
+    assert out["unique:k"] == 1          # one EXTRA duplicate row
+    assert out["in_range:v(0,100)"] == 1  # NULL v does not violate
+    assert out["matches:s(^[a-z]+$)"] == 1  # NULL s does not violate
+    assert out["accepted_values:s(ok)"] == 1
