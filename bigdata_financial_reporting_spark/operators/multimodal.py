@@ -68,6 +68,39 @@ def decode_stub(df: DataFrame, real_decoder=None) -> DataFrame:
     return df.mapInPandas(process, schema=DECODE_SCHEMA)
 
 
+def resize_stub(df: DataFrame, scale_num: int = 1, scale_den: int = 4) -> DataFrame:
+    """'Resize' binary payloads to scale_num/scale_den of their size
+    with a partition-wise Pandas batch UDF — the image/video downscale
+    slot. The fake resize keeps a deterministic byte prefix (a real
+    deployment swaps in PIL/ffmpeg; the Arrow batch shape, schema, and
+    partitioning stay identical). Output carries both sizes + the
+    content hash of the resized payload so downstream dedup can run on
+    resized content."""
+    import hashlib
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes(p)[: max(1, (len(p) * scale_num) // scale_den)]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": [len(p) for p in pdf["payload"]],
+                    "resized_bytes": [len(r) for r in resized],
+                    "resized_sha256": [
+                        hashlib.sha256(r).hexdigest() for r in resized
+                    ],
+                }
+            )
+
+    return df.mapInPandas(
+        process,
+        schema="doc_id long, orig_bytes int, resized_bytes int, resized_sha256 string",
+    )
+
+
 def frame_sample_plan(n_bytes: Column, frame_size: int, every_k: int) -> Column:
     """Deterministic frame-sampling plan for a fixed-size-frame payload:
     number of frames kept when sampling every k-th frame. Pure

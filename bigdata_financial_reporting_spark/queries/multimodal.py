@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from bigdata_financial_reporting_spark.operators.multimodal import (
     decode_stub,
     frame_sample_plan,
+    resize_stub,
     with_payload,
 )
 from bigdata_financial_reporting_spark.queries.registry import register
@@ -83,6 +84,29 @@ def mm_decode_features(spark, sf_dir):
     plan changes."""
     d = load_table(spark, sf_dir, "documents")
     return decode_stub(with_payload(d, "text", "doc_id"))
+
+
+@register(
+    "mm_resize_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
+           CAST(greatest(octet_length(encode(text)) // 4, 1) AS INT) AS resized_bytes,
+           sha256(substr(text, 1, greatest(octet_length(encode(text)) // 4, 1)))
+             AS resized_sha256
+    FROM documents WHERE doc_id < 200
+    """,
+    category="multimodal",
+)
+def mm_resize_stub(spark, sf_dir):
+    """The resize/downscale slot: Arrow batches of payloads into
+    Python, deterministic 1/4-size fake resize out, with the resized
+    content hash for downstream dedup. The oracle reproduces the fake
+    byte-prefix resize, proving batch shape + hashing end-to-end.
+    (Fixture text is ASCII, so the byte-prefix equals the substr the
+    oracle hashes.)"""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return resize_stub(with_payload(d, "text", "doc_id"), 1, 4)
 
 
 @register(
