@@ -134,6 +134,44 @@ def text_bigrams(spark, sf_dir):
 
 
 @register(
+    "text_normalize_stem",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOK}) AS tok FROM documents WHERE doc_id < 100
+    ),
+    kept AS (
+      SELECT doc_id,
+             regexp_replace(tok, '(ing|edly|ed|ly|es|s)$', '') AS stem
+      FROM toks
+      WHERE tok NOT IN ('the', 'a', 'an', 'of', 'and', 'is', 'to', 'in')
+        AND length(tok) > 2
+    )
+    SELECT stem, count(*) AS n
+    FROM kept WHERE stem <> '' GROUP BY stem
+    """,
+    category="text",
+)
+def text_normalize_stem(spark, sf_dir):
+    """Normalization pipeline: tokenize -> stopword removal -> crude
+    suffix stemming (regexp, first-match longest-alternative) -> stem
+    frequencies. The lightweight pre-embedding cleanup pass; swap the
+    regexp for Snowball rules without touching the dataflow."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    stop = ["the", "a", "an", "of", "and", "is", "to", "in"]
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    kept = toks.filter(
+        ~F.col("tok").isin(stop) & (F.length("tok") > 2)
+    ).select(
+        F.regexp_replace("tok", r"(ing|edly|ed|ly|es|s)$", "").alias("stem")
+    )
+    return (
+        kept.filter(F.col("stem") != "")
+        .groupBy("stem")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "text_lang_slice",
     oracle="""
     SELECT lang, source, count(*) AS n_docs,

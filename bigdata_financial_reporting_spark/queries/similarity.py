@@ -69,6 +69,44 @@ def sim_cosine_topk_vectorized(spark, sf_dir):
     return cosine_topk(q, e, "vec_id", "vec_id", k=10, method="vectorized")
 
 
+@register(
+    "sim_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(x))) AS amax,
+             embedding
+      FROM embeddings WHERE vec_id < 50
+    )
+    SELECT vec_id,
+           round(CAST(amax AS DOUBLE), 6) AS scale_amax,
+           list_transform(embedding,
+                          x -> CAST(round(x / amax * 127.0) AS INTEGER)) AS q
+    FROM scaled
+    """,
+    category="similarity",
+)
+def sim_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of embeddings (absmax scaling) —
+    the 4x memory/bandwidth cut before ANN at scale. Pure higher-order
+    array expressions; the scale factor travels with the row for
+    dequantization."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    scaled = e.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))).alias("amax"),
+    )
+    return scaled.select(
+        "vec_id",
+        F.round(F.col("amax").cast("double"), 6).alias("scale_amax"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x / F.col("amax") * 127.0).cast("int"),
+        ).alias("q"),
+    )
+
+
 @register("sim_ivf_topk", oracle=None, category="similarity")
 def sim_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN: nearest-centroid cells, probe the top-4 of 16.
