@@ -214,3 +214,47 @@ def window_global_small(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.lag("n_name").over(w).alias("prev_name"),
     )
+
+
+@register(
+    "window_zscore_anomaly",
+    oracle="""
+    WITH stats AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id,
+           round((value - mu) / sigma, 6) AS z,
+           abs((value - mu) / sigma) > 2 AS is_anomaly
+    FROM stats
+    WHERE sigma > 0
+    """,
+    category="windows",
+)
+def window_zscore_anomaly(spark, sf_dir):
+    """Per-key z-score anomaly flags: each event scored against its
+    user's mean/stddev via an unordered (whole-partition frame) window
+    — one shuffle on the key, no self-join with a stats subquery."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sigma
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            z.alias("z_raw"),
+            sigma.alias("sigma"),
+        )
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.round("z_raw", 6).alias("z"),
+            (F.abs("z_raw") > 2).alias("is_anomaly"),
+        )
+    )
