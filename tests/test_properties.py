@@ -130,3 +130,34 @@ def test_groupby_sum_equals_global_sum(spark, rows):
     total_of_groups = per_group.agg(F.sum("s")).first()[0]
     total = df.agg(F.sum("v")).first()[0]
     assert total_of_groups == total
+
+
+@SETTINGS
+@given(rows=rows_strategy, rights=rows_strategy)
+def test_asof_join_strategies_agree(spark, rows, rights):
+    """The union+last_value scale path and the range-join+rank path of
+    the as-of join must produce identical results for ANY data,
+    including keys with no right-side rows and tied timestamps."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=k, lts=v, lid=i) for i, (k, v) in enumerate(rows)],
+        "k int, lts int, lid int",
+    )
+    right = spark.createDataFrame(
+        [Row(k=k, rts=v, rid=i, payload=v * 10) for i, (k, v) in enumerate(rights)],
+        "k int, rts int, rid int, payload int",
+    )
+    kwargs = dict(
+        on="k", left_ts="lts", right_ts="rts",
+        right_cols=["payload"], right_id="rid",
+    )
+    a = sorted(
+        map(tuple, asof_join(left, right, strategy="union", **kwargs).collect())
+    )
+    b = sorted(
+        map(tuple, asof_join(left, right, strategy="join", **kwargs).collect())
+    )
+    assert a == b
