@@ -122,3 +122,25 @@ def src_single_csv_sink(spark, sf_dir):
     return read_csv(
         spark, path, schema="l_returnflag string, n long, qty double"
     )
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 6) AS acctbal
+    FROM supplier
+    """,
+    category="sources",
+)
+def src_orc_roundtrip(spark, sf_dir):
+    """ORC sink + scan: the second columnar format Spark supports
+    natively (vectorized reader, predicate pushdown). DuckDB cannot
+    read ORC, so the oracle checks the roundtripped CONTENT against the
+    parquet ground truth — which is exactly the property that matters."""
+    s = load_table(spark, sf_dir, "supplier")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="bdfr_orc_"), "supplier_orc")
+    s.write.mode("overwrite").orc(tmp)
+    back = spark.read.schema(TABLE_SCHEMAS["supplier"]).orc(tmp)
+    return back.select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 6).alias("acctbal")
+    )
