@@ -84,6 +84,50 @@ def tpch_q1(spark, sf_dir):
 
 
 @register(
+    "agg_histogram",
+    oracle="""
+    WITH stats AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem
+    )
+    SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10)), 9) AS INT)
+             AS bucket,
+           count(*) AS n,
+           round(min(l_extendedprice), 4) AS bucket_min,
+           round(max(l_extendedprice), 4) AS bucket_max
+    FROM lineitem CROSS JOIN stats
+    GROUP BY 1
+    """,
+    category="aggregates",
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram (10 buckets over [min, max]): one stats
+    pass, then a broadcast of the 1-row bounds and a bucket groupBy —
+    two scans, one tiny broadcast, no shuffle of raw values. Bucket
+    edges are pure IEEE double arithmetic, identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / 10)
+        ),
+        F.lit(9),
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 4).alias("bucket_min"),
+            F.round(F.max("l_extendedprice"), 4).alias("bucket_max"),
+        )
+    )
+
+
+@register(
     "agg_unpivot",
     oracle="""
     SELECT s_suppkey, metric, round(val, 6) AS val
