@@ -74,14 +74,14 @@ def fn_string(spark, sf_dir):
            strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS d,
            strftime(l_shipdate, '%Y/%m/%d') AS formatted,
            strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS d_plus30,
-           (year(l_shipdate) - 1995) * 12 + (month(l_shipdate) - 1)
-             + (day(l_shipdate) - 1) / 31.0 AS months_since,
+           round((year(l_shipdate) - 1995) * 12 + (month(l_shipdate) - 1)
+             + (day(l_shipdate) - 1) / 31.0, 6) AS months_since,
            datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS days_since,
            strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month_start,
            year(l_shipdate) AS y, month(l_shipdate) AS m,
            dayofweek(l_shipdate) + 1 AS dow,
            strftime(last_day(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS eom,
-           epoch(l_shipdate) AS unix_ts,
+           CAST(epoch(l_shipdate) AS BIGINT) AS unix_ts,
            strftime(to_timestamp(epoch(l_shipdate)), '%Y-%m-%d %H:%M:%S') AS from_unix
     FROM lineitem
     """,
@@ -90,7 +90,10 @@ def fn_string(spark, sf_dir):
 def fn_date(spark, sf_dir):
     """Date family (generalizes reference R21 date reformatting).
     months_since replicates Spark's months_between(d, 1995-01-01) rule
-    in the oracle (31-day fraction denominator)."""
+    in the oracle (31-day fraction denominator). Integer outputs are
+    cast to BIGINT and floats rounded to 6dp on BOTH sides so typed
+    renderings hash identically in the driver's Arrow/pandas path
+    (round-1 hash fail was int-vs-float divergence, not values)."""
     li = load_table(spark, sf_dir, "lineitem")
     d = F.col("l_shipdate")
     return li.select(
@@ -99,14 +102,16 @@ def fn_date(spark, sf_dir):
         F.date_format(F.to_date(d), "yyyy-MM-dd").alias("d"),
         F.date_format(d, "yyyy/MM/dd").alias("formatted"),
         F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("d_plus30"),
-        F.months_between(d, F.lit("1995-01-01").cast("timestamp")).alias(
-            "months_since"
-        ),
-        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.round(
+            F.months_between(d, F.lit("1995-01-01").cast("timestamp")), 6
+        ).alias("months_since"),
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
         F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
-        F.year(d).alias("y"),
-        F.month(d).alias("m"),
-        F.dayofweek(d).alias("dow"),
+        F.year(d).cast("long").alias("y"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofweek(d).cast("long").alias("dow"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
         F.unix_timestamp(d).alias("unix_ts"),
         F.from_unixtime(F.unix_timestamp(d), "yyyy-MM-dd HH:mm:ss").alias("from_unix"),
@@ -118,8 +123,8 @@ def fn_date(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 1) AS rounded,
-           floor(l_extendedprice) AS fl,
-           ceil(l_extendedprice) AS ce,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
            abs(l_extendedprice - 50000) AS dist,
            round(pow(l_quantity, 2), 6) AS qty_sq,
            round(sqrt(l_extendedprice), 6) AS root,
@@ -128,13 +133,16 @@ def fn_date(spark, sf_dir):
            round(log10(l_extendedprice + 1), 6) AS log10_price,
            greatest(l_quantity, 25.0) AS hi,
            least(l_quantity, 25.0) AS lo,
-           sign(l_extendedprice - 50000) AS sgn,
+           CAST(sign(l_extendedprice - 50000) AS BIGINT) AS sgn,
            CAST(l_orderkey % 7 AS BIGINT) AS pm
     FROM lineitem
     """,
     category="functions",
 )
 def fn_math(spark, sf_dir):
+    """Math family. floor/ceil/sign are cast to BIGINT on BOTH sides
+    (DuckDB returns DOUBLE/INT8 where Spark returns BIGINT/DOUBLE) so
+    the driver's typed value hash matches."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -150,7 +158,7 @@ def fn_math(spark, sf_dir):
         F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("log10_price"),
         F.greatest("l_quantity", F.lit(25.0)).alias("hi"),
         F.least("l_quantity", F.lit(25.0)).alias("lo"),
-        F.signum(F.col("l_extendedprice") - 50000).alias("sgn"),
+        F.signum(F.col("l_extendedprice") - 50000).cast("long").alias("sgn"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("pm"),
     )
 
@@ -303,7 +311,7 @@ def fn_json(spark, sf_dir):
       FROM orders
       GROUP BY o_orderpriority
     )
-    SELECT o_orderpriority, n, total_cents,
+    SELECT o_orderpriority, n, CAST(total_cents AS BIGINT) AS total_cents,
            CASE WHEN total_cents < 0 THEN '-' ELSE '' END
              || CAST(abs(total_cents) // 100 AS VARCHAR)
              || '.'
@@ -318,7 +326,9 @@ def fn_decimal_money(spark, sf_dir):
     aggregation order — the posture for financial columns at 100 TB,
     where double accumulation drift scales with data volume. The USD
     rendering is exact integer math on sign + absolute value (integer
-    division and modulo disagree between engines for negatives)."""
+    division and modulo disagree between engines for negatives). The
+    oracle casts the sum back to BIGINT: DuckDB sum(BIGINT) is HUGEINT,
+    which the driver's Arrow/pandas hashing renders as float64."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     agg = o.groupBy("o_orderpriority").agg(

@@ -27,8 +27,8 @@ from bigdata_financial_reporting_spark.sources.catalog import load_table
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
-           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM ordered
     """,
     category="timeseries",
