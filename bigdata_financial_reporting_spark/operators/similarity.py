@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from bigdata_financial_reporting_spark.functions.vector import cosine_similarity
 
@@ -239,13 +240,102 @@ def ivf_topk(
     return _keep_topk(scored, k)
 
 
+def lsh_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    planes_per_band: int = 2,
+    n_bands: int = 32,
+) -> DataFrame:
+    """Embedding near-dup pairs (id_a < id_b, exact cosine >= threshold)
+    with LSH blocking — the 100 TB-safe default (same banded shape as
+    ``dedup.minhash_lsh_pairs``; replaces the unblocked self-join of
+    ``pairwise_above_threshold`` in the registered query).
+
+    Pipeline: per-row hyperplane band buckets -> bucket self-join
+    (candidates carry only ``(id, band, bucket)`` — embeddings never
+    enter the candidate shuffle) -> distinct pairs -> exact-cosine
+    re-check via two hash equi-joins on id. The plan contains no
+    unblocked theta self-join.
+
+    Recall: a pair at angle θ agrees with one hyperplane w.p.
+    1 - θ/π, with a band of r planes w.p. (1-θ/π)^r, and is missed by
+    all b bands w.p. (1-(1-θ/π)^r)^b. Defaults (r=2, b=32) give a
+    miss probability < 3e-7 at cosine 0.35 (θ≈69.5°) — and the
+    hyperplanes are deterministic (xxhash64-derived, no RNG), so
+    fixture-scale equality with the exact oracle, once asserted in
+    tests, is stable. At production near-dup thresholds (>= 0.9,
+    θ<=25.8°) use r=8: per-band agreement 0.857^8≈0.29 keeps recall
+    1-(0.71)^32 ≈ 1-2e-5 while pruning ~99.6% of orthogonal-pair
+    buckets per band. At low thresholds LSH cannot discriminate
+    69° from 90° — candidate pruning is weak there by physics, but
+    the dataflow stays the banded, payload-minimized form.
+    """
+    if planes_per_band < 1 or n_bands < 1:
+        raise ValueError("planes_per_band and n_bands must be >= 1")
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    # All band buckets in ONE projection, then persist: the persist is
+    # a materialization barrier so the explode below reads concrete
+    # bucket columns — without it CollapseProject folds the hyperplane
+    # HOF lambdas into the Generate and re-evaluates all of them per
+    # emitted band row (see operators/text.py::shingle_rows).
+    def band_bucket(b: int):
+        out = F.lit(0)
+        for j in range(planes_per_band):
+            out = out * 2 + _hyperplane_sign(F.col("v"), b * planes_per_band + j)
+        return out.alias(f"__bkt{b}")
+
+    sigs = base.select(
+        "id", *[band_bucket(b) for b in range(n_bands)]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    buckets = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"__bkt{b}").alias("bucket")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    return (
+        candidates.join(
+            base.select(F.col("id").alias("id_a"), F.col("v").alias("__va")), "id_a"
+        )
+        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("__vb")), "id_b")
+        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def pairwise_above_threshold(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold.
 
-    Quadratic by nature; at scale wrap with LSH blocking (see
-    ``lsh_bucket_topk``) — this exact form is the oracle path.
+    Quadratic by nature; the exact/oracle path at fixture scale. The
+    registered near-dup default is ``lsh_blocked_pairs`` — same output,
+    banded plan.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a, b = base.alias("a"), base.alias("b")

@@ -19,7 +19,7 @@ from bigdata_financial_reporting_spark.operators.dedup import (
 )
 from bigdata_financial_reporting_spark.operators.simhash import simhash_pairs
 from bigdata_financial_reporting_spark.operators.similarity import (
-    pairwise_above_threshold,
+    lsh_blocked_pairs,
 )
 from bigdata_financial_reporting_spark.queries.oracle_helpers import duck_cosine
 from bigdata_financial_reporting_spark.queries.registry import register
@@ -151,11 +151,15 @@ def dedup_simhash_q(spark, sf_dir):
     category="dedup",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup: all pairs above a cosine threshold. Exact
-    form (the oracle path); LSH/IVF variants scale it. Production
-    near-dup thresholds are 0.9+; the fixture's random embeddings are
-    near-orthogonal (max pairwise cosine ~0.47), so the demo threshold
-    is 0.35 to exercise a NON-EMPTY result — an empty join would make
-    the oracle comparison vacuous."""
+    """Embedding near-dup: all pairs above a cosine threshold, via LSH
+    banding + exact-cosine re-check (lsh_blocked_pairs) — no unblocked
+    self-join in the plan; at (r=2, b=32) the per-pair miss probability
+    at cosine 0.35 is < 3e-7 and the hyperplanes are deterministic, so
+    the output equals the exact all-pairs oracle (equality also
+    asserted against pairwise_above_threshold in test_llm_ops.py).
+    Production near-dup thresholds are 0.9+; the fixture's random
+    embeddings are near-orthogonal (max pairwise cosine ~0.47), so the
+    demo threshold is 0.35 to exercise a NON-EMPTY result — an empty
+    join would make the oracle comparison vacuous."""
     e = load_table(spark, sf_dir, "embeddings")
-    return pairwise_above_threshold(e, "vec_id", "embedding", 0.35)
+    return lsh_blocked_pairs(e, "vec_id", "embedding", 0.35)

@@ -17,7 +17,9 @@ from bigdata_financial_reporting_spark.operators.dedup import (
 from bigdata_financial_reporting_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
+    lsh_blocked_pairs,
     lsh_bucket_topk,
+    pairwise_above_threshold,
 )
 from bigdata_financial_reporting_spark.operators.simhash import (
     hamming64,
@@ -46,6 +48,24 @@ def test_minhash_lsh_recall_is_total_at_fixture_scale(spark, sf_dir):
     assert lsh == exact, (
         f"LSH missed {exact - lsh} / invented {lsh - exact}"
     )
+
+
+def test_lsh_blocked_pairs_equals_exact_at_fixture_scale(spark, sf_dir):
+    """dedup_embedding_cosine's oracle is exact all-pairs cosine —
+    valid only if the banded form's recall is 1.0 here (deterministic
+    hyperplanes, so this is a stable fact, not a flaky sample). Also
+    pin the plan shape: blocking must remove the unblocked self-join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    blocked_df = lsh_blocked_pairs(e, "vec_id", "embedding", 0.35)
+    blocked = sorted(map(tuple, blocked_df.collect()))
+    exact = sorted(
+        map(tuple, pairwise_above_threshold(e, "vec_id", "embedding", 0.35).collect())
+    )
+    assert blocked == exact
+    assert len(blocked) > 0, "vacuous: no pairs above threshold at fixture"
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_minhash_deterministic_across_runs(spark, sf_dir):
