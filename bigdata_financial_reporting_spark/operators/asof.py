@@ -41,6 +41,14 @@ def asof_join(
 
 
 def _asof_via_union(left, right, on, left_ts, right_ts, right_cols, right_id):
+    # Join semantics: a NULL key matches nothing. The window below
+    # groups NULL keys into one partition, where a null-key left row
+    # would otherwise inherit a null-key right row's payload — so drop
+    # null-key RIGHT rows up front; last(ignorenulls) then yields NULL
+    # payload for null-key left rows, same as the join strategy.
+    # (Null-key left rows still pass through as one window partition;
+    # if they dominate the input, filter them around the operator.)
+    right = right.filter(F.col(on).isNotNull())
     payload = [c for c in right_cols]
     tie = F.col(right_id) if right_id else F.lit(0)
     l_tag = left.select(

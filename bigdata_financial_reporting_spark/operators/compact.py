@@ -52,12 +52,9 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
 
-    import shutil
+    from bigdata_financial_reporting_spark.sources.fs import swap_directory
 
-    old = path.rstrip("/") + ".compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    swap_directory(spark, tmp, path)
 
     after_files = sum(
         1 for _r, _d, fs in os.walk(path) for f in fs if not f.startswith(("_", "."))

@@ -15,11 +15,10 @@ operator is the semantic reference for that upgrade.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.sources.fs import swap_directory
 
 
 def upsert_parquet(
@@ -58,10 +57,7 @@ def upsert_parquet(
 
     tmp = target_path.rstrip("/") + ".merge_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    old = target_path.rstrip("/") + ".merge_old"
-    os.rename(target_path, old)
-    os.rename(tmp, target_path)
-    shutil.rmtree(old)
+    swap_directory(spark, tmp, target_path)
 
     return {
         "updated": n_target - n_kept,

@@ -122,7 +122,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame with canonical types.
 
     ``events.ts`` comes back as a proper TimestampType (micros) no
-    matter the on-disk precision.
+    matter the on-disk precision. For cataloged tables the on-disk
+    schema (from the parquet footer — no data pass) is checked against
+    the declared StructType; drift raises instead of flowing silently
+    into every downstream query.
     """
     # Defensive: the driver may hand us a session without our configs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -130,6 +133,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    declared = TABLE_SCHEMAS.get(name)
+    if declared is not None:
+        # timestamp vs timestamp_ntz depends on the session's
+        # inferTimestampNTZ setting, not the file; with the timezone
+        # pinned to UTC they are value-equivalent, so fold them.
+        def norm(field):
+            return (field.name, field.dataType.simpleString().replace(
+                "timestamp_ntz", "timestamp"))
+
+        got = [norm(f) for f in df.schema.fields]
+        want = [norm(f) for f in declared.fields]
+        if got != want:
+            raise ValueError(
+                f"on-disk schema drift for table {name!r} at {path}: "
+                f"got {got}, declared {want}"
+            )
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Integer DIV, not `/`: float division of large nano longs loses
         # the low microsecond digit.

@@ -161,3 +161,38 @@ def test_asof_join_strategies_agree(spark, rows, rights):
         map(tuple, asof_join(left, right, strategy="join", **kwargs).collect())
     )
     assert a == b
+
+
+def test_asof_join_null_keys_match_nothing(spark):
+    """Join semantics: a NULL key matches nothing. Round 1's union
+    strategy grouped NULL keys in one window partition, letting a
+    null-key left row inherit a null-key right row's payload — the two
+    strategies must now agree: NULL payload for null-key left rows."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=None, lts=5, lid=0), Row(k=1, lts=5, lid=1), Row(k=None, lts=9, lid=2)],
+        "k int, lts int, lid int",
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=None, rts=1, rid=0, payload=111),
+            Row(k=1, rts=2, rid=1, payload=222),
+        ],
+        "k int, rts int, rid int, payload int",
+    )
+    kwargs = dict(
+        on="k", left_ts="lts", right_ts="rts",
+        right_cols=["payload"], right_id="rid",
+    )
+    def rows(strategy):
+        got = map(tuple, asof_join(left, right, strategy=strategy, **kwargs).collect())
+        return sorted(got, key=lambda t: tuple((x is None, x) for x in t))
+
+    union_rows, join_rows = rows("union"), rows("join")
+    assert union_rows == join_rows
+    by_lid = {r[2]: r[3] for r in union_rows}
+    assert by_lid[0] is None and by_lid[2] is None, "null-key rows must not match"
+    assert by_lid[1] == 222
