@@ -124,22 +124,34 @@ def minhash_lsh_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    # Signature + set size in ONE groupBy: one string hash per
-    # (doc, shingle) row, then num_hashes cheap arithmetic
-    # min-aggregates. Partial (map-side) aggregation keeps the shuffle
-    # at one row of num_hashes longs per doc regardless of doc length.
-    hashed = sh.select("id", F.xxhash64("s").alias("h"))
-    coeffs = _uhash_coeffs(num_hashes)
+    # Signature + set size + the shingle-hash SET in ONE groupBy: one
+    # string hash per (doc, shingle) row, then num_hashes cheap
+    # arithmetic min-aggregates. Partial (map-side) aggregation keeps
+    # the shuffle at one row per doc. collect_list(h) rides along so
+    # the exact re-check below is an array_intersect on the two docs'
+    # hash sets — one join per side and no second aggregation (the
+    # round-1 form joined candidate pairs against the shingle ROWS
+    # twice and re-grouped; this halves warm wall time at sf0.1).
     # __sz rides the same aggregation: |shingle set| for the Jaccard
     # denominator at zero extra cost. The whole signature is ONE parsed
     # SQL expression: building 128 aggregates as individual Column
     # objects costs ~1500 py4j round-trips (~3 s of driver time per
     # query construction, measured); one expr string is one call.
+    hashed = sh.select("id", F.xxhash64("s").alias("h"))
+    coeffs = _uhash_coeffs(num_hashes)
     min_exprs = ", ".join(
         f"min(h * {a}L + {b}L) AS m{i}" for i, (a, b) in enumerate(coeffs)
     )
-    sig = hashed.groupBy("id").agg(
-        F.expr(f"struct(count(1) AS sz, {min_exprs})").alias("m")
+    # Persisted: three consumers (band buckets + both re-check sides);
+    # without the persist the shingle scan + groupBy run per consumer.
+    sig = (
+        hashed.groupBy("id")
+        .agg(
+            F.expr(
+                f"struct(count(1) AS sz, collect_list(h) AS hs, {min_exprs})"
+            ).alias("m")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # One row per (doc, band); the join payload is just (id, band, bucket)
@@ -171,27 +183,30 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # Exact re-check, relationally: |A ∩ B| by joining each candidate
-    # pair against both shingle-row sides on the 64-bit shingle hash
-    # (long joins shuffle/compare cheaper than strings; a within-pair
-    # xxhash64 collision needs ~2^32 shingles per doc pair to matter).
-    # |A|,|B| ride the signature aggregation. Zero-overlap candidates
-    # (band-hash collisions) drop out of the inner join — their Jaccard
-    # is 0, below any positive threshold by construction.
-    sizes = sig.select("id", F.col("m.sz").alias("__sz"))
-    inter = (
-        candidates.join(hashed.select(F.col("id").alias("id_a"), "h"), "id_a")
-        .join(hashed.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_int"))
-    )
+    # Exact re-check: |A ∩ B| = array_intersect of the two docs' hash
+    # sets (64-bit shingle hashes — a within-pair xxhash64 collision
+    # needs ~2^32 shingles per doc pair to matter). Only CANDIDATE
+    # docs' arrays are shuffled into the pair join; at scale the
+    # candidate frame is small enough to broadcast and AQE does so.
+    sets = sig.select("id", F.col("m.sz").alias("__sz"), F.col("m.hs").alias("__hs"))
     return (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("__sz").alias("sz_a")), "id_a"
+        candidates.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("__sz").alias("sz_a"),
+                F.col("__hs").alias("hs_a"),
+            ),
+            "id_a",
         )
         .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("__sz").alias("sz_b")), "id_b"
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("__sz").alias("sz_b"),
+                F.col("__hs").alias("hs_b"),
+            ),
+            "id_b",
         )
+        .withColumn("n_int", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             F.col("n_int").cast("double")
