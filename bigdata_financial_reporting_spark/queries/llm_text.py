@@ -356,3 +356,131 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", fp.alias("fp")).withColumn(
         "collision_count", F.count(F.lit(1)).over(Window.partitionBy("fp"))
     )
+
+
+@register(
+    "split_train_test",
+    oracle="""
+    SELECT split, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+    FROM (
+      SELECT CASE
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                         AS BIGINT) % 10 < 8 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                         AS BIGINT) % 10 = 8 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             n_chars
+      FROM documents
+    )
+    GROUP BY split
+    """,
+    category="text",
+)
+def split_train_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split — the assignment is
+    a pure function of the document id (first 16 bits of md5 mod 10),
+    so it is stable across runs, engines, partitionings, and data
+    order: the property a training-data pipeline needs so that
+    re-processing never migrates a document across splits. No
+    sampling, no RNG state, embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "text_top_shingles",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOK} AS tok FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(generate_series(1, len(tok) - 2),
+                              i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) AS s
+      FROM toks WHERE len(tok) >= 3
+    )
+    SELECT s AS shingle, count(*) AS n_docs
+    FROM sh
+    GROUP BY s
+    ORDER BY n_docs DESC, shingle
+    LIMIT 20
+    """,
+    category="text",
+)
+def text_top_shingles(spark, sf_dir):
+    """Global stop-shingle census: the 20 most document-frequent word
+    3-grams (ties broken by shingle text). This is the operator that
+    FEEDS the hot-shingle escape hatch documented on
+    ngram_jaccard_pairs — at 100 TB you compute this first and filter
+    the head out of the pair join. Map-side combine reduces each
+    partition to its local counts; only (shingle, count) rows cross
+    the exchange, then a 20-row global top-k."""
+    from bigdata_financial_reporting_spark.operators.text import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", 3)
+    return (
+        sh.groupBy(F.col("s").alias("shingle"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("shingle"))
+        .limit(20)
+    )
+
+
+@register(
+    "quality_filter_reasons",
+    oracle="""
+    SELECT reason, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+    FROM (
+      SELECT CASE
+               WHEN n_chars < 150 THEN 'too_short'
+               WHEN n_chars > 450 THEN 'too_long'
+               WHEN lang <> 'en' THEN 'non_english'
+               ELSE 'keep'
+             END AS reason,
+             n_chars
+      FROM documents
+    )
+    GROUP BY reason
+    """,
+    category="text",
+)
+def quality_filter_reasons(spark, sf_dir):
+    """Quality-filter census: every document is assigned the FIRST
+    rule that rejects it (length bounds, then language), or 'keep'.
+    The census form — counts per rejection reason rather than the
+    filtered frame — is what pipeline operators dashboard at scale;
+    the same CASE expression with a filter on 'keep' is the actual
+    gate. Pure expressions, one map-side-combined aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    reason = (
+        F.when(F.col("n_chars") < 150, "too_short")
+        .when(F.col("n_chars") > 450, "too_long")
+        .when(F.col("lang") != "en", "non_english")
+        .otherwise("keep")
+    )
+    return (
+        d.select(reason.alias("reason"), "n_chars")
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )

@@ -145,3 +145,52 @@ def sim_pairwise_matrix(spark, sf_dir):
     ~0.38); a higher cut would make the comparison vacuously empty."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 0)
     return pairwise_above_threshold(e, "vec_id", "embedding", 0.3)
+
+
+@register(
+    "sim_centroid_per_label",
+    oracle="""
+    WITH per AS (
+      SELECT label, i AS pos,
+             round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m,
+             count(DISTINCT vec_id) AS nv
+      FROM embeddings, generate_series(1, 64) t(i)
+      GROUP BY label, i
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           max(nv) AS n_vectors,
+           list(m ORDER BY pos) AS centroid
+    FROM per
+    GROUP BY label
+    """,
+    category="similarity",
+)
+def sim_centroid_per_label(spark, sf_dir):
+    """Per-label centroid (mean embedding) — the building block for
+    IVF training, class prototypes, and drift monitoring. Scale form:
+    posexplode to (label, pos, x) rows, ONE map-side-combined
+    aggregation per (label, pos), then reassemble the vector ordered
+    by position — no vector ever crosses the shuffle whole, and the
+    output is |labels| x dim rows reduced to |labels|. The fixture
+    dim (64) is pinned in the oracle's generate_series."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    per = ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("m"),
+        F.count_distinct("vec_id").alias("nv"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.max("nv").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid"),
+        )
+        .select("label", "n_vectors", "centroid")
+    )
