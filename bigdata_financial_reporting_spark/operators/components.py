@@ -6,13 +6,19 @@ document together so one survivor per cluster can be kept. This is
 connected components on the similarity graph.
 
 Algorithm: iterative minimum-label propagation (a relational HashMin /
-"large-star" style loop). Every node starts labeled with its own id;
-each round, every node adopts the smallest label among itself and its
-neighbors; converged when no label changes. Rounds needed ≈ graph
-diameter (dedup-similarity graphs are collections of small dense
-clusters — diameter is tiny, a handful of rounds). Each round is ONE
-join + ONE aggregation — ordinary shuffles, no driver-side graph state;
-only the convergence check (a count) touches the driver.
+"large-star" style loop). Initialization already performs the first
+propagation round (every node takes min(self, neighbors) in one
+aggregation — no join needed while labels are the identity); each
+further round, every node adopts the smallest label among itself and
+its neighbors. Rounds needed ≈ graph diameter (dedup-similarity graphs
+are collections of small dense clusters — diameter is tiny, a handful
+of rounds). Each round is ONE join + ONE aggregation — ordinary
+shuffles, no driver-side graph state.
+
+Convergence: labels are monotonically non-increasing, so the label SUM
+(exact, decimal(38,0) — immune to long overflow at billions of nodes)
+is strictly decreasing until fixpoint; the per-round driver action is
+a 1-row aggregate instead of a join-and-count over the label frames.
 
 Deterministic: the final label of a component is its minimum node id.
 """
@@ -38,12 +44,20 @@ def connected_components(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
+    def label_sum(frame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    # Round 1 fused into initialization: while labels are the identity,
+    # min-over-neighbors needs no join — one aggregation over the edges.
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        sym.select(F.col("u").alias("id"), F.least("u", "v").alias("component"))
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    prev_sum = label_sum(labels)
 
     for _ in range(max_iterations):
         # each node's candidate label: min over its own and neighbors'
@@ -57,18 +71,12 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old"), "id"
-            )
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"

@@ -18,7 +18,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from bigdata_financial_reporting_spark.functions.vector import cosine_similarity
+from bigdata_financial_reporting_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+
+
+def _cosine_with_norms(va, vb, na, nb):
+    """cosine from a precomputed norm per side: the norms are computed
+    ONCE per vector at the frame level instead of once per PAIR, so the
+    pair-level work drops from three interpreted HOF aggregates to one
+    (the dot). Same operations in the same order as cosine_similarity —
+    bitwise-identical output."""
+    denom = na * nb
+    return F.when(denom != 0, dot(va, vb) / denom)
 
 
 def cosine_topk(
@@ -50,15 +64,21 @@ def cosine_topk(
     if method != "expr":
         raise ValueError(f"method must be 'expr' or 'vectorized', got {method!r}")
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        l2_norm(F.col(query_vec)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        l2_norm(F.col(corpus_vec)).alias("__cn"),
     )
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        _cosine_with_norms(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        ).alias("cosine"),
     )
     return _keep_topk(scored, k)
 
@@ -158,17 +178,21 @@ def lsh_bucket_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         bucket(F.col(vec_col)).alias("__bkt"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         bucket(F.col(vec_col)).alias("__bkt"),
     )
     scored = c.join(F.broadcast(q), on="__bkt").select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        _cosine_with_norms(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
@@ -201,12 +225,20 @@ def ivf_topk(
     vectors. Work ~ (n_probe / n_centroids) of brute force; recall
     measured against brute force in tests.
     """
-    cents = corpus.select(
-        F.col(corpus_id).alias("cent_id"), F.col(vec_col).alias("__cent")
-    ).orderBy("cent_id").limit(n_centroids)
+    cents = (
+        corpus.select(
+            F.col(corpus_id).alias("cent_id"),
+            F.col(vec_col).alias("__cent"),
+            l2_norm(F.col(vec_col)).alias("__centn"),
+        )
+        .orderBy("cent_id")
+        .limit(n_centroids)
+    )
 
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
     # cell assignment: nearest centroid by cosine (rank-1 per vector)
     assign_w = Window.partitionBy("neighbor_id").orderBy(
@@ -214,28 +246,44 @@ def ivf_topk(
     )
     assigned = (
         c.join(F.broadcast(cents))
-        .withColumn("__sim", cosine_similarity(F.col("__cv"), F.col("__cent")))
+        .withColumn(
+            "__sim",
+            _cosine_with_norms(
+                F.col("__cv"), F.col("__cent"), F.col("__cn"), F.col("__centn")
+            ),
+        )
         .withColumn("__rn", F.row_number().over(assign_w))
         .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "__cv", F.col("cent_id").alias("cell"))
+        .select("neighbor_id", "__cv", "__cn", F.col("cent_id").alias("cell"))
     )
 
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("cent_id").asc()
     )
     probes = (
         q.join(F.broadcast(cents))
-        .withColumn("__sim", cosine_similarity(F.col("__qv"), F.col("__cent")))
+        .withColumn(
+            "__sim",
+            _cosine_with_norms(
+                F.col("__qv"), F.col("__cent"), F.col("__qn"), F.col("__centn")
+            ),
+        )
         .withColumn("__rn", F.row_number().over(probe_w))
         .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", F.col("cent_id").alias("cell"))
+        .select("query_id", "__qv", "__qn", F.col("cent_id").alias("cell"))
     )
 
     scored = assigned.join(F.broadcast(probes), "cell").select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        _cosine_with_norms(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        ).alias("cosine"),
     )
     return _keep_topk(scored, k)
 
@@ -317,12 +365,30 @@ def lsh_blocked_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    normed = base.withColumn("__n", l2_norm(F.col("v")))
     return (
         candidates.join(
-            base.select(F.col("id").alias("id_a"), F.col("v").alias("__va")), "id_a"
+            normed.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
         )
-        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("__vb")), "id_b")
-        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .join(
+            normed.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cosine",
+            _cosine_with_norms(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
@@ -337,14 +403,20 @@ def pairwise_above_threshold(
     registered near-dup default is ``lsh_blocked_pairs`` — same output,
     banded plan.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("n"),
+    )
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            _cosine_with_norms(
+                F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
