@@ -204,6 +204,86 @@ def lsh_bucket_topk(
     )
 
 
+def train_centroids(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd) — real IVF training.
+
+    Init: the ``n_centroids`` corpus vectors with the lowest ids (no
+    RNG). Each iteration: assign every vector to its max-cosine
+    centroid (broadcast join, ties to the lower cent_id), then recompute
+    each cell's mean via posexplode + one map-side-combined
+    (cell, pos) aggregation — vectors never cross the shuffle whole,
+    mirroring sim_centroid_per_label. Empty cells keep their previous
+    centroid. Components are rounded to 9 decimals so float
+    accumulation-order noise (~1e-16) cannot make reruns diverge.
+
+    The k x dim model state is collected to the driver between
+    iterations (16 x 64 doubles here) — the textbook small-model
+    pattern; the data-sized work is all distributed.
+
+    Returns ``(cent_id, __cent, __centn)`` ready for ``ivf_topk``.
+    """
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(corpus_id).alias("vid"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    init = base.orderBy("vid").limit(n_centroids).collect()
+    cents_rows = [
+        (i, [float(x) for x in r.cv]) for i, r in enumerate(init)
+    ]
+
+    assign_w = Window.partitionBy("vid").orderBy(
+        F.col("__sim").desc(), F.col("cent_id").asc()
+    )
+    for _ in range(iterations):
+        cents = spark.createDataFrame(
+            cents_rows, "cent_id int, __cent array<double>"
+        ).withColumn("__centn", l2_norm(F.col("__cent")))
+        assigned = (
+            base.join(F.broadcast(cents))
+            .withColumn(
+                "__sim",
+                _cosine_with_norms(
+                    F.col("cv"), F.col("__cent"), F.col("cn"), F.col("__centn")
+                ),
+            )
+            .withColumn("__rn", F.row_number().over(assign_w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("cent_id").alias("cell"), "vid", "cv")
+        )
+        per = (
+            assigned.select("cell", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 9).alias("m"))
+        )
+        new_rows = {
+            r.cell: r.vec
+            for r in per.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("vec")
+            )
+            .collect()
+        }
+        cents_rows = [
+            (cid, new_rows.get(cid, vec)) for cid, vec in cents_rows
+        ]
+
+    cents = spark.createDataFrame(
+        cents_rows, "cent_id int, __cent array<double>"
+    ).withColumn("__centn", l2_norm(F.col("__cent")))
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -213,27 +293,32 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     k: int = 10,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    Coarse quantizer: the ``n_centroids`` corpus vectors with the
-    LOWEST ids (deterministic — no k-means RNG/iterations; at scale
-    you would train real centroids offline and broadcast them, the
-    dataflow is identical). Every corpus vector is assigned to its
-    nearest centroid (one broadcast join); each query probes its
-    ``n_probe`` nearest centroid cells and scores only those cells'
-    vectors. Work ~ (n_probe / n_centroids) of brute force; recall
-    measured against brute force in tests.
+    Coarse quantizer: pass ``centroids`` from ``train_centroids``
+    (real spherical-k-means cells), or default to the ``n_centroids``
+    corpus vectors with the LOWEST ids (deterministic, training-free —
+    the degenerate quantizer; same dataflow, worse cell balance).
+    Every corpus vector is assigned to its nearest centroid (one
+    broadcast join); each query probes its ``n_probe`` nearest centroid
+    cells and scores only those cells' vectors. Work ~
+    (n_probe / n_centroids) of brute force; recall measured against
+    brute force in tests.
     """
-    cents = (
-        corpus.select(
-            F.col(corpus_id).alias("cent_id"),
-            F.col(vec_col).alias("__cent"),
-            l2_norm(F.col(vec_col)).alias("__centn"),
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = (
+            corpus.select(
+                F.col(corpus_id).alias("cent_id"),
+                F.col(vec_col).alias("__cent"),
+                l2_norm(F.col(vec_col)).alias("__centn"),
+            )
+            .orderBy("cent_id")
+            .limit(n_centroids)
         )
-        .orderBy("cent_id")
-        .limit(n_centroids)
-    )
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),

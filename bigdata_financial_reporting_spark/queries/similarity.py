@@ -194,3 +194,21 @@ def sim_centroid_per_label(spark, sf_dir):
         )
         .select("label", "n_vectors", "centroid")
     )
+
+
+@register("sim_ivf_trained_topk", oracle=None, category="similarity")
+def sim_ivf_trained_topk(spark, sf_dir):
+    """IVF ANN with REAL trained centroids: deterministic spherical
+    k-means (lowest-id init, 2 Lloyd iterations, broadcast assignment,
+    posexplode mean update) replaces the degenerate lowest-id coarse
+    quantizer — the full IVF dataflow a production index build runs.
+    Recall vs brute force and rerun-determinism asserted in
+    test_llm_ops.py."""
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cents = train_centroids(e, "vec_id", n_centroids=16, iterations=2)
+    return ivf_topk(q, e, "vec_id", "vec_id", n_probe=4, k=10, centroids=cents)

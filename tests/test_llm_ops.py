@@ -197,3 +197,33 @@ def test_connected_components_chain_and_islands(spark):
         100: (100, True), 101: (100, False),
         777: (777, True),  # singleton: its own survivor
     }
+
+
+def test_trained_ivf_recall_and_determinism(spark, sf_dir):
+    """Spherical-k-means-trained IVF must (a) keep recall vs brute
+    force, (b) return exact cosines for what it returns, and (c) be
+    deterministic across reruns (no RNG: lowest-id init, rounded
+    means, tie-broken assignment)."""
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+
+    def run():
+        cents = train_centroids(e, "vec_id", n_centroids=16, iterations=2)
+        return ivf_topk(q, e, "vec_id", "vec_id", n_probe=4, k=10, centroids=cents)
+
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in run().collect()}
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(q, e, "vec_id", "vec_id", k=10).collect()
+    }
+    recall = len(got.keys() & brute.keys()) / len(brute)
+    assert recall >= 0.8, f"trained-IVF recall {recall}"
+    for key in got.keys() & brute.keys():
+        assert abs(got[key] - brute[key]) < 1e-9, "scores must be exact"
+    rerun = {(r.query_id, r.neighbor_id): r.cosine for r in run().collect()}
+    assert got == rerun, "trained IVF must be deterministic"
