@@ -150,3 +150,34 @@ def test_exchange_budgets(spark, sf_dir):
         df = QUERIES[name].fn(spark, sf_dir)
         n = count_exchanges(df)
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_runtime_bloom_filter_available_for_selective_joins(spark, sf_dir):
+    """At 100 TB, Spark injects a runtime bloom filter on the probe
+    side of a selective shuffle join (runtime.bloomFilter.enabled,
+    kept ON by the engine's sessions). The fixture scan never crosses
+    the 10 GB application-side threshold, so force the threshold to 0
+    to pin the PLAN SHAPE the production scan sizes would get: a
+    bloom_filter_agg built from the filtered dim keys, applied to the
+    fact scan side."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    thresh_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_thresh = spark.conf.get(thresh_key)
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(thresh_key, "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        assert "bloom_filter_agg" in physical_plan(j)
+    finally:
+        spark.conf.set(thresh_key, old_thresh)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
