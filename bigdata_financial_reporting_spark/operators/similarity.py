@@ -18,11 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from bigdata_financial_reporting_spark.functions.vector import (
-    cosine_similarity,
-    dot,
-    l2_norm,
-)
+from bigdata_financial_reporting_spark.functions.vector import dot, l2_norm
 
 
 def _cosine_with_norms(va, vb, na, nb):
