@@ -185,10 +185,16 @@ def minhash_lsh_pairs(
 
     # Exact re-check: |A ∩ B| = array_intersect of the two docs' hash
     # sets (64-bit shingle hashes — a within-pair xxhash64 collision
-    # needs ~2^32 shingles per doc pair to matter). Only CANDIDATE
-    # docs' arrays are shuffled into the pair join; at scale the
-    # candidate frame is small enough to broadcast and AQE does so.
-    sets = sig.select("id", F.col("m.sz").alias("__sz"), F.col("m.hs").alias("__hs"))
+    # needs ~2^32 shingles per doc pair to matter). The sets side is
+    # merge-HINTED: its array payload grows with the corpus, but the
+    # static planner under-estimates the aggregate's size and chooses
+    # a driver-killing broadcast (observed OOM at a 10x scale-up).
+    # With the hint the static plan is a safe shuffle join, and AQE
+    # still converts to broadcast at runtime when the ACTUAL size is
+    # small — the right behavior at both fixture and 100 TB scale.
+    sets = sig.select(
+        "id", F.col("m.sz").alias("__sz"), F.col("m.hs").alias("__hs")
+    ).hint("merge")
     return (
         candidates.join(
             sets.select(
@@ -243,7 +249,9 @@ def ngram_jaccard_pairs(
     sh = shingle_rows(df, id_col, text_col, shingle_n, extra=extra).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # merge-hinted: (id, sz) is narrow but corpus-sized — broadcast at
+    # 1e9 docs would OOM the driver; AQE promotes when actually small.
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).hint("merge")
     a = sh.select(F.col("id").alias("id_a"), "blk", "s")
     b = sh.select(F.col("id").alias("id_b"), "blk", "s")
     inter = (

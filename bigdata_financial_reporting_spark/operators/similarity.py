@@ -446,7 +446,11 @@ def lsh_blocked_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    normed = base.withColumn("__n", l2_norm(F.col("v")))
+    # merge-hinted: the vector payload grows with the corpus and the
+    # static planner's size estimate invites a driver-killing
+    # broadcast (see minhash_lsh_pairs re-check); AQE still promotes
+    # to broadcast at runtime when genuinely small.
+    normed = base.withColumn("__n", l2_norm(F.col("v"))).hint("merge")
     return (
         candidates.join(
             normed.select(

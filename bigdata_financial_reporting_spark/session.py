@@ -36,6 +36,10 @@ SEMANTIC_CONF = {
 #: Performance posture. AQE handles skew joins and shuffle-partition
 #: coalescing at runtime — essential at 100 TB, harmless at sf0.001.
 PERF_CONF = {
+    # Build-time only (ignored if the JVM is already up): local-mode
+    # default heap (~1g) dies on array-heavy shuffles that a real
+    # executor (8-64g) absorbs; size the local driver like an executor.
+    "spark.driver.memory": "8g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
