@@ -144,3 +144,47 @@ def src_orc_roundtrip(spark, sf_dir):
     return back.select(
         "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 6).alias("acctbal")
     )
+
+
+@register(
+    "src_split_export_roundtrip",
+    oracle="""
+    SELECT split, doc_id, lang
+    FROM (
+      SELECT CASE
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                         AS BIGINT) % 10 < 8 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                         AS BIGINT) % 10 = 8 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             doc_id, lang
+      FROM documents
+    )
+    """,
+    category="sources",
+)
+def src_split_export_roundtrip(spark, sf_dir):
+    """Training-data export: documents written Hive-partitioned by the
+    deterministic train/val/test split (same md5 assignment as
+    split_train_test), then read back through partition discovery.
+    This is the layout a downstream trainer consumes — per-split
+    directories, loadable independently — and the roundtrip proves the
+    partition values survive the directory encoding."""
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    out = d.select(split.alias("split"), "doc_id", "lang")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="bdfr_split_"), "docs_by_split")
+    write_parquet(out, tmp, partition_by=["split"])
+    back = spark.read.parquet(tmp)
+    return back.select(
+        F.col("split").cast("string").alias("split"), "doc_id", "lang"
+    )
