@@ -166,7 +166,10 @@ def stream_dedup_watermark(spark, sf_dir):
 def stream_stateful_counters(spark, sf_dir):
     """Arbitrary stateful op: applyInPandasWithState maintaining
     running per-user counters across micro-batches; final state equals
-    the batch groupBy."""
+    the batch groupBy. (Spark 4's successor API,
+    transformWithStateInPandas, was evaluated: its Python runner needs
+    google.protobuf bindings absent from this environment — the
+    dataflow and state semantics here are identical.)"""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):

@@ -157,3 +157,20 @@ def test_validate_catches_injected_violations(spark):
     assert out["in_range:v(0,100)"] == 1  # NULL v does not violate
     assert out["matches:s(^[a-z]+$)"] == 1  # NULL s does not violate
     assert out["accepted_values:s(ok)"] == 1
+
+
+def test_swap_directory_handles_file_uri(spark, tmp_path):
+    """The staged-swap helper must accept explicit URIs (the hdfs://
+    and s3a:// code path), not just bare local paths."""
+    import os
+
+    from bigdata_financial_reporting_spark.sources.fs import swap_directory
+
+    target = os.path.join(str(tmp_path), "table")
+    staged = target + ".merge_tmp"
+    spark.range(3).write.parquet(target)
+    spark.range(7).write.parquet(staged)
+    swap_directory(spark, "file://" + staged, "file://" + target)
+    assert spark.read.parquet(target).count() == 7
+    assert not os.path.exists(staged)
+    assert not os.path.exists(target + ".swap_old")
