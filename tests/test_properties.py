@@ -196,3 +196,47 @@ def test_asof_join_null_keys_match_nothing(spark):
     by_lid = {r[2]: r[3] for r in union_rows}
     assert by_lid[0] is None and by_lid[2] is None, "null-key rows must not match"
     assert by_lid[1] == 222
+
+
+vectors_strategy = st.lists(
+    st.lists(
+        st.integers(min_value=-3, max_value=3).map(float),  # incl. zero vectors
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(vecs=vectors_strategy)
+def test_lsh_blocked_pairs_equals_exact_for_any_vectors(spark, vecs):
+    """The banded near-dup must equal the exact all-pairs form for ANY
+    small vector set — including zero vectors (NULL cosine, dropped by
+    both paths) and empty frames. Banding params are chosen so the
+    theoretical per-pair miss probability at threshold 0.6 is ~1e-14:
+    no flake risk from hypothesis drawing fresh data each run."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        lsh_blocked_pairs,
+        pairwise_above_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = sorted(
+        map(tuple, pairwise_above_threshold(df, "vec_id", "embedding", 0.6).collect())
+    )
+    blocked = sorted(
+        map(
+            tuple,
+            lsh_blocked_pairs(
+                df, "vec_id", "embedding", 0.6, planes_per_band=2, n_bands=48
+            ).collect(),
+        )
+    )
+    assert blocked == exact
