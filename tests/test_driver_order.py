@@ -1,0 +1,60 @@
+"""Driver rotation invariants (round-2 verdict item #1): DRIVER_SEEN is
+derived from the committed CORRECTNESS_r*.json artifacts, and every key
+the driver has never checked sorts inside the 50-key budget window."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from bigdata_financial_reporting_spark.queries.driver_order import (
+    DRIVER_SEEN,
+    RECHECK_FIRST,
+    ordered_names,
+)
+from bigdata_financial_reporting_spark.queries.registry import QUERIES
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+DRIVER_BUDGET = 50
+
+
+def _artifact_keys() -> set[str]:
+    seen: set[str] = set()
+    for path in sorted(REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        seen.update(json.loads(path.read_text()))
+    return seen
+
+
+def test_driver_seen_matches_committed_artifacts():
+    artifacts = _artifact_keys()
+    if not artifacts:  # bare checkout without driver outputs
+        return
+    assert DRIVER_SEEN == artifacts
+
+
+def test_ordered_names_is_a_permutation_of_registry():
+    names = ordered_names()
+    assert sorted(names) == sorted(QUERIES)
+
+
+def test_unseen_keys_fit_in_driver_budget():
+    """Every never-checked key must appear before the driver's ~50-key
+    truncation point, else it can be starved for another round."""
+    names = ordered_names()
+    unseen = [n for n in QUERIES if n not in DRIVER_SEEN]
+    if len(unseen) + len(RECHECK_FIRST) > DRIVER_BUDGET:
+        # More unseen keys than budget: at least the budget must be spent
+        # entirely on recheck+unseen keys.
+        head = names[:DRIVER_BUDGET]
+        assert all(n in RECHECK_FIRST or n not in DRIVER_SEEN for n in head)
+    else:
+        head = set(names[: len(unseen) + len(RECHECK_FIRST)])
+        assert set(unseen) <= head
+        assert set(RECHECK_FIRST) <= head
+
+
+def test_recheck_first_keys_lead():
+    names = ordered_names()
+    for i, key in enumerate(RECHECK_FIRST):
+        assert names[i] == key
