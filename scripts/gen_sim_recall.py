@@ -1,0 +1,225 @@
+"""Emit SIM_RECALL.json — machine-readable ANN recall evidence.
+
+The ANN queries (`sim_lsh_topk`, `sim_ivf_topk`, `sim_ivf_trained_topk`)
+are approximate by design, so the driver's hash gate records them
+rows-only (SURVEY §2B ≈ rule) and their recall evidence lived only in
+pytest assertions (tests/test_llm_ops.py). This artifact exports the
+same measurements machine-readably, the way STREAM_EQUIV.json does for
+streaming:
+
+- recall@k vs brute-force `cosine_topk` at the registry's exact
+  parameters, plus exact-score agreement for every returned pair;
+- rerun determinism for the trained-IVF path;
+- banded-vs-exact PAIR-SET EQUALITY for the two near-dup families whose
+  oracles assume recall 1.0 at fixture scale
+  (`dedup_embedding_cosine` → lsh_blocked_pairs vs exact all-pairs
+  cosine; `dedup_minhash_pairs` → minhash LSH vs exact n-gram Jaccard;
+  simhash banding vs brute-force Hamming).
+
+Floors mirror tests/test_llm_ops.py: ivf >= 0.2, trained ivf >= 0.8,
+lsh self-hit = 1.0, near-dup equality = exact.
+
+Run from the repo root:  python scripts/gen_sim_recall.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from bigdata_financial_reporting_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from bigdata_financial_reporting_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    ivf_topk,
+    lsh_blocked_pairs,
+    lsh_bucket_topk,
+    pairwise_above_threshold,
+    train_centroids,
+)
+from bigdata_financial_reporting_spark.operators.simhash import (  # noqa: E402
+    hamming64,
+    simhash_frame,
+    simhash_pairs,
+)
+from bigdata_financial_reporting_spark.session import pin_semantics  # noqa: E402
+from bigdata_financial_reporting_spark.sources.catalog import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+K = 10
+
+
+def _topk_metrics(ann_rows, exact_top, exact_scores):
+    """recall@k + exact-score agreement for an ANN result."""
+    hits = sum(1 for r in ann_rows if r.neighbor_id in exact_top.get(r.query_id, set()))
+    denom = sum(len(v) for v in exact_top.values())
+    score_err = max(
+        (abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cosine) for r in ann_rows),
+        default=0.0,
+    )
+    self_hits = {r.query_id for r in ann_rows if r.neighbor_id == r.query_id and r.rank == 1}
+    return {
+        "returned": len(ann_rows),
+        "recall_at_k": round(hits / denom, 4) if denom else None,
+        "max_score_error_vs_exact": score_err,
+        "rank1_self_hit_all_queries": self_hits == set(exact_top),
+    }
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .appName("sim-recall")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pin_semantics(spark)
+    t0 = time.time()
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+
+    # Brute-force ground truth (registry params: 5 queries, k=10).
+    exact_top: dict[int, set[int]] = {}
+    for r in cosine_topk(q, e, "vec_id", "vec_id", k=K).collect():
+        exact_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(q, e, "vec_id", "vec_id", k=10_000).collect()
+    }
+
+    out: dict = {"sf_dir": SF_DIR, "k": K, "n_queries": len(exact_top), "queries": {}}
+
+    # sim_lsh_topk — hyperplane buckets; only same-bucket candidates scored.
+    lsh_rows = lsh_bucket_topk(q, e, "vec_id", "vec_id", n_planes=6, k=K).collect()
+    out["queries"]["sim_lsh_topk"] = {
+        "params": {"n_planes": 6},
+        **_topk_metrics(lsh_rows, exact_top, exact_scores),
+        "floor": {"rank1_self_hit_all_queries": True},
+    }
+
+    # sim_ivf_topk — degenerate lowest-id quantizer, 4/16 probing.
+    ivf_rows = ivf_topk(
+        q, e, "vec_id", "vec_id", n_centroids=16, n_probe=4, k=K
+    ).collect()
+    out["queries"]["sim_ivf_topk"] = {
+        "params": {"n_centroids": 16, "n_probe": 4},
+        **_topk_metrics(ivf_rows, exact_top, exact_scores),
+        "floor": {"recall_at_k": 0.2},
+    }
+
+    # sim_ivf_trained_topk — spherical k-means centroids; also determinism.
+    def trained():
+        cents = train_centroids(e, "vec_id", n_centroids=16, iterations=2)
+        return ivf_topk(q, e, "vec_id", "vec_id", n_probe=4, k=K, centroids=cents)
+
+    t_rows = trained().collect()
+    rerun = {(r.query_id, r.neighbor_id): r.cosine for r in trained().collect()}
+    first = {(r.query_id, r.neighbor_id): r.cosine for r in t_rows}
+    out["queries"]["sim_ivf_trained_topk"] = {
+        "params": {"n_centroids": 16, "iterations": 2, "n_probe": 4},
+        **_topk_metrics(t_rows, exact_top, exact_scores),
+        "deterministic_across_reruns": first == rerun,
+        "floor": {"recall_at_k": 0.8},
+    }
+
+    # dedup_embedding_cosine — banded LSH blocking vs exact all-pairs
+    # cosine at the registry threshold (0.35). The oracle gate assumes
+    # pair-set equality at fixture scale; record it as hard evidence.
+    banded = {
+        (r.id_a, r.id_b)
+        for r in lsh_blocked_pairs(e, "vec_id", "embedding", 0.35).collect()
+    }
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in pairwise_above_threshold(e, "vec_id", "embedding", 0.35).collect()
+    }
+    out["queries"]["dedup_embedding_cosine"] = {
+        "params": {"threshold": 0.35},
+        "banded_pairs": len(banded),
+        "exact_pairs": len(exact_pairs),
+        "missed": sorted(exact_pairs - banded),
+        "invented": sorted(banded - exact_pairs),
+        "pair_sets_equal": banded == exact_pairs,
+        "nonvacuous": len(exact_pairs) > 0,
+        "floor": {"pair_sets_equal": True},
+    }
+
+    # dedup_minhash_pairs — minhash banding vs exact n-gram Jaccard.
+    d = load_table(spark, SF_DIR, "documents")
+    mh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", shingle_n=3, num_hashes=128, bands=64, threshold=0.35
+        ).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.35).collect()
+    }
+    out["queries"]["dedup_minhash_pairs"] = {
+        "params": {"shingle_n": 3, "num_hashes": 128, "bands": 64, "threshold": 0.35},
+        "lsh_pairs": len(mh),
+        "exact_pairs": len(jac),
+        "missed": len(jac - mh),
+        "invented": len(mh - jac),
+        "pair_sets_equal": mh == jac,
+        "nonvacuous": len(jac) > 0,
+        "floor": {"pair_sets_equal": True},
+    }
+
+    # dedup_simhash — pigeonhole banding vs brute-force Hamming <= 3.
+    fp = simhash_frame(d, "doc_id", "text")
+    a = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("fp_a"), F.col("fp_b")) <= 3)
+        .collect()
+    }
+    banded_sh = {
+        (r.id_a, r.id_b) for r in simhash_pairs(d, "doc_id", "text", 3).collect()
+    }
+    out["queries"]["dedup_simhash"] = {
+        "params": {"max_hamming": 3},
+        "banded_pairs": len(banded_sh),
+        "exact_pairs": len(brute),
+        "pair_sets_equal": banded_sh == brute,
+        "floor": {"pair_sets_equal": True},
+    }
+
+    def _meets(entry: dict) -> bool:
+        for key, floor in entry.get("floor", {}).items():
+            val = entry.get(key)
+            if isinstance(floor, bool):
+                if val is not floor:
+                    return False
+            elif val is None or val < floor:
+                return False
+        return True
+
+    out["all_floors_met"] = all(_meets(v) for v in out["queries"].values())
+    out["wall_sec"] = round(time.time() - t0, 1)
+
+    path = os.path.join(REPO, "SIM_RECALL.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
