@@ -1,12 +1,21 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+with a REAL dependency-free image codec for the PPM (P6) format.
 
 Images/audio/video ride along as ``binary`` columns with a metadata
 struct (modality, byte length, content hash). The Spark-side machinery
 — schema, partition-friendly batch processing via ``mapInPandas``,
-Arrow batch shapes — is real and tested; the actual codec step is
-STUBBED (``decode_stub``) because media libraries are not available in
-this environment. Swap ``_fake_decode`` for PIL/torchaudio/ffmpeg in a
-real deployment; nothing else changes.
+Arrow batch shapes — is real and tested. For decode/resize, rather than
+stubbing behind unavailable media libraries, the engine implements the
+binary PPM "P6" format (the classic uncompressed RGB interchange
+format: ASCII header ``P6 <w> <h> <maxval>`` with ``#`` comments, then
+``w*h*3`` raw bytes). The parser and nearest-neighbor resampler are
+pure Python over Arrow batches; a JPEG/PNG/ffmpeg decoder drops into
+the same ``mapInPandas`` slot without plan changes.
+
+Fixture payloads are synthesized deterministically from the documents
+table with pure Catalyst expressions (``ppm_payload``), so the DuckDB
+oracle can reconstruct the exact pixel bytes and verify the decoder
+end-to-end (header parse offset, pixel extraction, resample indexing).
 """
 
 from __future__ import annotations
@@ -18,9 +27,15 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Result schema of the (stubbed) feature extraction step.
-DECODE_SCHEMA = (
-    "doc_id long, modality string, n_bytes int, content_fp string, feature_ok boolean"
+#: Result schema of the real PPM feature-extraction step.
+PPM_DECODE_SCHEMA = (
+    "doc_id long, valid boolean, width int, height int, maxval int, "
+    "channels int, n_pixel_bytes int, pixel_sum bigint, pixel_sha256 string"
+)
+
+PPM_RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, new_width int, new_height int, "
+    "resized_sha256 string"
 )
 
 
@@ -38,67 +53,148 @@ def with_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def decode_stub(df: DataFrame, real_decoder=None) -> DataFrame:
-    """'Decode' binary payloads with a partition-wise Pandas batch UDF.
+def ppm_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Synthesize a real binary PPM (P6) image per row, deterministically
+    from the row's text: width ``4 + id % 5``, height ``3 + id % 4``,
+    pixel bytes = the text's (ASCII) bytes repeated cyclically to fill
+    ``w*h*3``. Pure Catalyst expressions — an engine-independent oracle
+    can rebuild the identical payload with ``repeat``/``substr``.
 
-    ``real_decoder``: optional callable(bytes) -> features for real
-    deployments (e.g. PIL image decode / resize). The default is a
-    deterministic fake (sha256 prefix) so the distributed plumbing is
-    testable without media libraries.
-    """
-
-    def _fake_decode(b: bytes) -> str:
-        return hashlib.sha256(b).hexdigest()[:16]
-
-    decoder = real_decoder or _fake_decode
-
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "modality": [m["modality"] for m in pdf["meta"]],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "content_fp": [decoder(bytes(p)) for p in pdf["payload"]],
-                    "feature_ok": True,
-                }
-            )
-            yield out
-
-    return df.mapInPandas(process, schema=DECODE_SCHEMA)
-
-
-def resize_stub(df: DataFrame, scale_num: int = 1, scale_den: int = 4) -> DataFrame:
-    """'Resize' binary payloads to scale_num/scale_den of their size
-    with a partition-wise Pandas batch UDF — the image/video downscale
-    slot. The fake resize keeps a deterministic byte prefix (a real
-    deployment swaps in PIL/ffmpeg; the Arrow batch shape, schema, and
-    partitioning stay identical). Output carries both sizes + the
-    content hash of the resized payload so downstream dedup can run on
-    resized content."""
-    import hashlib
-
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            resized = [
-                bytes(p)[: max(1, (len(p) * scale_num) // scale_den)]
-                for p in pdf["payload"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "orig_bytes": [len(p) for p in pdf["payload"]],
-                    "resized_bytes": [len(r) for r in resized],
-                    "resized_sha256": [
-                        hashlib.sha256(r).hexdigest() for r in resized
-                    ],
-                }
-            )
-
-    return df.mapInPandas(
-        process,
-        schema="doc_id long, orig_bytes int, resized_bytes int, resized_sha256 string",
+    Rows with empty text are dropped (cannot fill pixels)."""
+    did = F.col(id_col).cast("long")
+    w = (F.lit(4) + did % 5).cast("int")
+    h = (F.lit(3) + did % 4).cast("int")
+    npix = (w * h * F.lit(3)).cast("int")
+    src = df.filter(F.length(F.col(text_col)) > 0).select(
+        did.alias("doc_id"),
+        w.alias("w"),
+        h.alias("h"),
+        npix.alias("npix"),
+        F.col(text_col).alias("_t"),
     )
+    filled = src.select(
+        "doc_id",
+        "w",
+        "h",
+        F.expr(
+            "substr(repeat(_t, CAST(ceil(CAST(npix AS DOUBLE) / length(_t)) AS INT)), 1, npix)"
+        ).alias("pix"),
+    )
+    header = F.concat_ws(
+        "", F.lit("P6\n"), F.col("w").cast("string"), F.lit(" "),
+        F.col("h").cast("string"), F.lit("\n255\n"),
+    )
+    return filled.select(
+        "doc_id",
+        F.encode(F.concat(header, F.col("pix")), "UTF-8").alias("payload"),
+    )
+
+
+def _parse_p6(b: bytes):
+    """Parse a binary PPM (P6) header per the Netpbm spec: ``P6``, then
+    three whitespace-separated decimal fields (width, height, maxval),
+    ``#``-to-end-of-line comments allowed in the header, then exactly
+    one whitespace byte before the raw pixel data. Returns
+    ``(width, height, maxval, pixel_offset)`` or ``None``."""
+    if not b.startswith(b"P6"):
+        return None
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(b):
+            c = b[i : i + 1]
+            if c.isspace():
+                i += 1
+            elif c == b"#":
+                while i < len(b) and b[i] != 0x0A:
+                    i += 1
+            else:
+                break
+        j = i
+        while j < len(b) and b[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            return None
+        vals.append(int(b[i:j]))
+        i = j
+    if i >= len(b) or not b[i : i + 1].isspace():
+        return None
+    return vals[0], vals[1], vals[2], i + 1
+
+
+def decode_ppm(df: DataFrame) -> DataFrame:
+    """Real decode/feature-extract over ``mapInPandas``: Arrow batches
+    of PPM payloads in, parsed image properties out — dimensions from
+    the header, channel count, and the pixel block's byte sum + sha256
+    (content identity of the DECODED image, not the container).
+
+    Invalid/truncated payloads yield ``valid=false`` with NULL
+    properties instead of failing the batch — malformed media must
+    never kill a 100 TB scan."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                parsed = _parse_p6(b)
+                if parsed is None:
+                    rows.append((doc_id, False, None, None, None, None, None, None, None))
+                    continue
+                w, h, maxval, off = parsed
+                pix = b[off : off + w * h * 3]
+                if len(pix) != w * h * 3:
+                    rows.append((doc_id, False, w, h, maxval, 3, None, None, None))
+                    continue
+                rows.append(
+                    (doc_id, True, w, h, maxval, 3, len(pix), int(sum(pix)),
+                     hashlib.sha256(pix).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "valid", "width", "height", "maxval",
+                         "channels", "n_pixel_bytes", "pixel_sum", "pixel_sha256"],
+            )
+
+    return df.mapInPandas(process, schema=PPM_DECODE_SCHEMA)
+
+
+def resize_ppm(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Real nearest-neighbor downscale by ``1/factor`` over
+    ``mapInPandas``: decode the PPM, sample source pixel
+    ``(r*factor, c*factor)`` for each output pixel, and report the
+    resized pixel block's sha256 for downstream dedup on resized
+    content. Pure-Python indexing over Arrow batches — same slot a
+    PIL/ffmpeg resampler would fill."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                parsed = _parse_p6(b)
+                if parsed is None:
+                    continue
+                w, h, _maxval, off = parsed
+                pix = b[off : off + w * h * 3]
+                if len(pix) != w * h * 3:
+                    continue
+                nw, nh = max(1, w // factor), max(1, h // factor)
+                out = bytes(
+                    pix[((r * factor) * w + c * factor) * 3 + ch]
+                    for r in range(nh)
+                    for c in range(nw)
+                    for ch in range(3)
+                )
+                rows.append(
+                    (doc_id, w, h, nw, nh, hashlib.sha256(out).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "new_width",
+                         "new_height", "resized_sha256"],
+            )
+
+    return df.mapInPandas(process, schema=PPM_RESIZE_SCHEMA)
 
 
 def frame_sample_plan(n_bytes: Column, frame_size: int, every_k: int) -> Column:

@@ -7,9 +7,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bigdata_financial_reporting_spark.operators.multimodal import (
-    decode_stub,
+    decode_ppm,
     frame_sample_plan,
-    resize_stub,
+    ppm_payload,
+    resize_ppm,
     with_payload,
 )
 from bigdata_financial_reporting_spark.queries.registry import register
@@ -65,48 +66,75 @@ def mm_base64_roundtrip(spark, sf_dir):
     )
 
 
+# Shared oracle CTE: rebuild the synthesized PPM's dimensions and pixel
+# bytes engine-independently (fixture text is ASCII + nonempty, so
+# character ops equal byte ops). Mirrors operators/multimodal.ppm_payload.
+_PPM_PIX_CTE = """
+    WITH dims AS (
+      SELECT doc_id, text,
+             CAST(4 + doc_id % 5 AS INT) AS w,
+             CAST(3 + doc_id % 4 AS INT) AS h
+      FROM documents WHERE doc_id < 100 AND length(text) > 0
+    ), pix AS (
+      SELECT doc_id, w, h, w*h*3 AS npix,
+             substr(repeat(text, CAST(ceil(CAST(w*h*3 AS DOUBLE) / length(text)) AS INT)),
+                    1, w*h*3) AS p
+      FROM dims
+    )
+"""
+
+
 @register(
     "mm_decode_features",
-    oracle="""
-    SELECT doc_id, 'text' AS modality,
-           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           substr(sha256(text), 1, 16) AS content_fp,
-           true AS feature_ok
-    FROM documents
+    oracle=_PPM_PIX_CTE
+    + """
+    SELECT doc_id, true AS valid, w AS width, h AS height, 255 AS maxval,
+           3 AS channels, CAST(npix AS INT) AS n_pixel_bytes,
+           CAST(list_sum(list_transform(generate_series(1, npix),
+                                        i -> ord(substr(p, i, 1)))) AS BIGINT)
+             AS pixel_sum,
+           sha256(p) AS pixel_sha256
+    FROM pix
     """,
     category="multimodal",
 )
 def mm_decode_features(spark, sf_dir):
-    """The (stubbed) decode/feature-extract step over mapInPandas: Arrow
-    batches of binary payloads into Python, deterministic fake features
-    out. The oracle reproduces the fake (sha256 prefix), proving the
-    distributed plumbing end-to-end; a real decoder drops in without
-    plan changes."""
-    d = load_table(spark, sf_dir, "documents")
-    return decode_stub(with_payload(d, "text", "doc_id"))
+    """REAL image decode over mapInPandas: per-row PPM (P6) payloads are
+    synthesized from fixture text with pure expressions (ppm_payload),
+    then a real header parser extracts width/height/maxval and the pixel
+    block's sum + sha256. The oracle reconstructs the identical pixel
+    bytes arithmetically, so a wrong header-offset or pixel-slice in the
+    decoder fails the hash — the codec is verified, not just the
+    plumbing."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return decode_ppm(ppm_payload(d, "text", "doc_id"))
 
 
 @register(
-    "mm_resize_stub",
-    oracle="""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
-           CAST(greatest(octet_length(encode(text)) // 4, 1) AS INT) AS resized_bytes,
-           sha256(substr(text, 1, greatest(octet_length(encode(text)) // 4, 1)))
-             AS resized_sha256
-    FROM documents WHERE doc_id < 200
+    "mm_resize_ppm",
+    oracle=_PPM_PIX_CTE
+    + """
+    SELECT doc_id, w AS width, h AS height,
+           CAST(w // 2 AS INT) AS new_width, CAST(h // 2 AS INT) AS new_height,
+           sha256(array_to_string(
+             list_transform(generate_series(0, (w//2)*(h//2)*3 - 1),
+               i -> substr(p, ((i // ((w//2)*3)) * 2 * w
+                               + ((i % ((w//2)*3)) // 3) * 2) * 3
+                              + (i % 3) + 1, 1)),
+             '')) AS resized_sha256
+    FROM pix
     """,
     category="multimodal",
 )
-def mm_resize_stub(spark, sf_dir):
-    """The resize/downscale slot: Arrow batches of payloads into
-    Python, deterministic 1/4-size fake resize out, with the resized
-    content hash for downstream dedup. The oracle reproduces the fake
-    byte-prefix resize, proving batch shape + hashing end-to-end.
-    (Fixture text is ASCII, so the byte-prefix equals the substr the
-    oracle hashes.)"""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return resize_stub(with_payload(d, "text", "doc_id"), 1, 4)
+def mm_resize_ppm(spark, sf_dir):
+    """REAL nearest-neighbor 1/2 downscale: decode the PPM, sample
+    source pixel (2r, 2c) per output pixel, hash the resized pixel
+    block. The oracle re-derives every sampled byte's source offset
+    independently, so an off-by-one in the resampler's row stride or
+    channel indexing fails the hash. Replaces the round-2
+    mm_resize_stub (byte-prefix fake)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return resize_ppm(ppm_payload(d, "text", "doc_id"), factor=2)
 
 
 @register(

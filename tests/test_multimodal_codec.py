@@ -1,0 +1,94 @@
+"""PPM (P6) codec tests: the real parser/resampler must handle the
+Netpbm spec's header shapes (comments, arbitrary whitespace), reject
+malformed/truncated payloads without failing the batch, and agree with
+an independent pixel-index computation for resize."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+
+from bigdata_financial_reporting_spark.operators.multimodal import (
+    _parse_p6,
+    decode_ppm,
+    ppm_payload,
+    resize_ppm,
+)
+from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+def _ppm(w: int, h: int, pix: bytes, header: bytes | None = None) -> bytes:
+    return (header or f"P6\n{w} {h}\n255\n".encode()) + pix
+
+
+def test_parse_p6_plain_and_comments():
+    pix = bytes(range(2 * 2 * 3))
+    assert _parse_p6(_ppm(2, 2, pix)) == (2, 2, 255, 11)
+    # comments + weird whitespace between header fields are legal
+    hdr = b"P6 # a comment\n  2\t2 # another\n255 "
+    w, h, maxval, off = _parse_p6(hdr + pix)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert (hdr + pix)[off:] == pix
+
+
+def test_parse_p6_rejects_malformed():
+    assert _parse_p6(b"P5\n2 2\n255\n" + b"\x00" * 12) is None  # wrong magic
+    assert _parse_p6(b"P6\n2 x\n255\n") is None  # non-numeric field
+    assert _parse_p6(b"P6\n2 2\n255") is None  # missing ws after maxval
+    assert _parse_p6(b"") is None
+
+
+def test_decode_ppm_flags_truncated_payload(spark):
+    good = _ppm(2, 2, bytes(range(12)))
+    truncated = _ppm(4, 4, b"\x01\x02\x03")  # header claims 48 pixel bytes
+    garbage = b"GIF89a not a ppm"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(good)),
+         Row(doc_id=2, payload=bytearray(truncated)),
+         Row(doc_id=3, payload=bytearray(garbage))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_ppm(df).collect()}
+    assert rows[1].valid and rows[1].n_pixel_bytes == 12
+    assert rows[1].pixel_sum == sum(range(12))
+    assert rows[1].pixel_sha256 == hashlib.sha256(bytes(range(12))).hexdigest()
+    assert rows[2].valid is False and rows[2].width == 4  # header parsed, pixels short
+    assert rows[3].valid is False and rows[3].width is None
+
+
+def test_resize_ppm_nearest_neighbor_indexing(spark):
+    # 4x2 image with distinct bytes; factor 2 -> 2x1 keeping pixels (0,0),(0,2)
+    pix = bytes(range(4 * 2 * 3))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(_ppm(4, 2, pix)))],
+        "doc_id long, payload binary",
+    )
+    [r] = resize_ppm(df, factor=2).collect()
+    assert (r.width, r.height, r.new_width, r.new_height) == (4, 2, 2, 1)
+    expected = bytes([pix[0], pix[1], pix[2], pix[6], pix[7], pix[8]])
+    assert r.resized_sha256 == hashlib.sha256(expected).hexdigest()
+
+
+def test_resize_ppm_skips_invalid_rows(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(b"junk")),
+         Row(doc_id=2, payload=bytearray(_ppm(2, 2, bytes(12))))],
+        "doc_id long, payload binary",
+    )
+    rows = resize_ppm(df).collect()
+    assert [r.doc_id for r in rows] == [2]
+
+
+def test_ppm_payload_is_valid_ppm_and_deterministic(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter("doc_id < 20")
+    p1 = {r.doc_id: bytes(r.payload) for r in ppm_payload(d, "text", "doc_id").collect()}
+    p2 = {r.doc_id: bytes(r.payload) for r in ppm_payload(d, "text", "doc_id").collect()}
+    assert p1 == p2 and p1
+    for doc_id, b in p1.items():
+        parsed = _parse_p6(b)
+        assert parsed is not None, doc_id
+        w, h, maxval, off = parsed
+        assert (w, h) == (4 + doc_id % 5, 3 + doc_id % 4)
+        assert maxval == 255
+        assert len(b) - off == w * h * 3
