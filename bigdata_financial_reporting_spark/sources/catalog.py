@@ -118,14 +118,52 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 BROADCAST_TABLES = {"region", "nation"}
 
 
+def _norm_fields(fields, table: str) -> list[tuple[str, str]]:
+    """Canonicalize a schema for drift comparison.
+
+    - timestamp vs timestamp_ntz depends on the session's
+      inferTimestampNTZ setting, not the file; with the timezone pinned
+      to UTC they are value-equivalent, so fold them.
+    - ``events.ts`` may scan as bigint (TIMESTAMP(NANOS) under
+      nanosAsLong) or as a real timestamp (micros on disk); both are
+      canonicalized to TimestampType by the readers, so both are
+      accepted here — the declared LongType must not reject a
+      micros-precision fixture (round-2 ADVICE).
+    """
+    out = []
+    for f in fields:
+        dt = f.dataType.simpleString().replace("timestamp_ntz", "timestamp")
+        if table == "events" and f.name == "ts" and dt == "bigint":
+            dt = "timestamp"
+        out.append((f.name, dt))
+    return out
+
+
+def validate_schema(schema: T.StructType, name: str, path: str) -> None:
+    """Check an on-disk schema against the declared catalog StructType;
+    drift raises instead of flowing silently into every downstream
+    query. Shared by the batch reader (load_table) and the streaming
+    reader (streaming/runner.events_stream) so both surfaces validate
+    identically. Unknown tables pass (no declared schema to enforce)."""
+    declared = TABLE_SCHEMAS.get(name)
+    if declared is None:
+        return
+    got = _norm_fields(schema.fields, name)
+    want = _norm_fields(declared.fields, name)
+    if got != want:
+        raise ValueError(
+            f"on-disk schema drift for table {name!r} at {path}: "
+            f"got {got}, declared {want}"
+        )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame with canonical types.
 
     ``events.ts`` comes back as a proper TimestampType (micros) no
     matter the on-disk precision. For cataloged tables the on-disk
     schema (from the parquet footer — no data pass) is checked against
-    the declared StructType; drift raises instead of flowing silently
-    into every downstream query.
+    the declared StructType via ``validate_schema``.
     """
     # Defensive: the driver may hand us a session without our configs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -133,22 +171,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    declared = TABLE_SCHEMAS.get(name)
-    if declared is not None:
-        # timestamp vs timestamp_ntz depends on the session's
-        # inferTimestampNTZ setting, not the file; with the timezone
-        # pinned to UTC they are value-equivalent, so fold them.
-        def norm(field):
-            return (field.name, field.dataType.simpleString().replace(
-                "timestamp_ntz", "timestamp"))
-
-        got = [norm(f) for f in df.schema.fields]
-        want = [norm(f) for f in declared.fields]
-        if got != want:
-            raise ValueError(
-                f"on-disk schema drift for table {name!r} at {path}: "
-                f"got {got}, declared {want}"
-            )
+    validate_schema(df.schema, name, path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Integer DIV, not `/`: float division of large nano longs loses
         # the low microsecond digit.

@@ -17,7 +17,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_financial_reporting_spark.sources.catalog import TABLE_SCHEMAS
+from pyspark.sql import types as T
+
+from bigdata_financial_reporting_spark.sources.catalog import (
+    TABLE_SCHEMAS,
+    validate_schema,
+)
 
 # File-stream sources require a DIRECTORY; the fixture is a single
 # parquet file, so stage a symlink dir per sf_dir (cached).
@@ -40,10 +45,31 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Explicit schema (readStream requires one — also the 100 TB posture)
     with the nanosAsLong long->timestamp conversion from the catalog.
+    The on-disk footer schema is validated against the catalog exactly
+    like the batch path (``validate_schema``), and either ts precision
+    (nanos-as-long or real micros timestamp) is accepted — batch and
+    stream readers canonicalize identically.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.readStream.schema(TABLE_SCHEMAS["events"]).parquet(_events_dir(sf_dir))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    path = os.path.join(sf_dir, "events.parquet")
+    # Footer-only static read: same drift gate as load_table, no data pass.
+    on_disk = spark.read.parquet(path).schema
+    validate_schema(on_disk, "events", path)
+    ts_is_long = dict((f.name, f.dataType.simpleString()) for f in on_disk.fields).get(
+        "ts"
+    ) == "bigint"
+    if ts_is_long:
+        df = spark.readStream.schema(TABLE_SCHEMAS["events"]).parquet(
+            _events_dir(sf_dir)
+        )
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    micros_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+            for f in TABLE_SCHEMAS["events"].fields
+        ]
+    )
+    return spark.readStream.schema(micros_schema).parquet(_events_dir(sf_dir))
 
 
 def run_available_now(
