@@ -6,16 +6,23 @@ Prints ONE JSON line:
 
 Methodology (BASELINE.md): one shared SparkSession (startup ~6 s would
 otherwise dominate at these scale factors); per-query time is the wall
-time of plan construction + a full materializing action. The headline
-``value`` is the sum of per-query seconds.
+time of plan construction + a full materializing action, reported as
+the MEDIAN of 3 timed runs after one warm-up (round-2 verdict: n=1
+timing showed up to 60% run-to-run noise on sub-second queries — the
+r1→r2 "regressions" were all measurement variance). ``queries`` holds
+the medians; ``queries_min`` the per-query minima for variance
+inspection. The headline ``value`` is the sum of per-query medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+RUNS = 3
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -60,6 +67,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
@@ -67,18 +75,26 @@ def main() -> None:
             # warm-up pass absorbs one-time codegen compilation and
             # scan caching (BASELINE.md measures warm per-query time —
             # the recurring cost, which is what matters at scale);
-            # the timed pass rebuilds the plan from scratch so plan
+            # each timed pass rebuilds the plan from scratch so plan
             # construction + optimization stay inside the measurement.
             spec.fn(spark, sf_dir).count()
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            n = df.count()
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                n = df.count()
+                samples.append(time.perf_counter() - t0)
         except Exception as exc:  # one broken query must not void the run
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        timings[name] = round(statistics.median(samples), 3)
+        minima[name] = round(min(samples), 3)
+        print(
+            f"# {name}: median {timings[name]:.3f}s min {minima[name]:.3f}s "
+            f"({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -86,7 +102,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": minima,
         "sf": sf_num,
+        "runs_per_query": RUNS,
+        "stat": "median",
     }
     if errors:
         record["errors"] = errors
