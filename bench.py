@@ -26,6 +26,9 @@ RUNS = 3
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from bigdata_financial_reporting_spark.operators.cache import (  # noqa: E402
+    release_operator_caches,
+)
 from bigdata_financial_reporting_spark.queries import QUERIES  # noqa: E402
 from bigdata_financial_reporting_spark.session import get_session  # noqa: E402
 
@@ -90,6 +93,10 @@ def main() -> None:
             continue
         timings[name] = round(statistics.median(samples), 3)
         minima[name] = round(min(samples), 3)
+        # operator-internal persisted frames (minhash/LSH signatures)
+        # are caller-lifetime: release between queries so a long bench
+        # session doesn't accumulate MEMORY_AND_DISK entries.
+        release_operator_caches()
         print(
             f"# {name}: median {timings[name]:.3f}s min {minima[name]:.3f}s "
             f"({n} rows)",

@@ -1,0 +1,40 @@
+"""Lifetime management for operator-internal persisted frames.
+
+Several operators persist intermediate frames that feed multiple
+consumers inside one returned plan (minhash signatures, LSH band
+buckets — Catalyst does not reuse a subtree across branches with
+different downstream partitioning). The persist must outlive the
+returned plan's materialization, so the operator cannot unpersist
+before returning; Spark DOES key cached data by canonicalized plan, so
+re-running the same query reuses one entry — but distinct inputs or
+parameters accumulate entries across a long session (round-2 ADVICE).
+
+Contract: operators register such frames here via ``track``; callers
+that run many different queries in one session call
+``release_operator_caches()`` at safe points (after an action has
+materialized the plans they care about). ``bench.py`` does this after
+each timed query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an operator-persisted frame for later release."""
+    _TRACKED.append(df)
+    return df
+
+
+def release_operator_caches(blocking: bool = False) -> int:
+    """Unpersist every tracked frame; returns how many were released.
+
+    Safe to call at any point — a plan whose persisted input was
+    released simply recomputes on next materialization."""
+    n = len(_TRACKED)
+    while _TRACKED:
+        _TRACKED.pop().unpersist(blocking)
+    return n

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from bigdata_financial_reporting_spark.operators.cache import track
+
 
 def connected_components(
     edges: DataFrame,
@@ -43,6 +45,7 @@ def connected_components(
     sym = fwd.unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    track(sym)
 
     def label_sum(frame):
         return frame.agg(
@@ -81,7 +84,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
         )
-    return labels
+    return track(labels)
 
 
 def dedup_clusters(

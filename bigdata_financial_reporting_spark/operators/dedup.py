@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from bigdata_financial_reporting_spark.operators.cache import track
+
 from bigdata_financial_reporting_spark.operators.text import shingle_rows
 
 
@@ -120,8 +122,10 @@ def minhash_lsh_pairs(
     # MEMORY_AND_DISK: shingle rows are token-sized — safe to spill.
     # Spark keys cached data by canonicalized plan, so repeated runs of
     # the same query share one entry rather than accumulating copies.
-    sh = shingle_rows(df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = track(
+        shingle_rows(df, id_col, text_col, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
 
     # Signature + set size + the shingle-hash SET in ONE groupBy: one
@@ -144,7 +148,7 @@ def minhash_lsh_pairs(
     )
     # Persisted: three consumers (band buckets + both re-check sides);
     # without the persist the shingle scan + groupBy run per consumer.
-    sig = (
+    sig = track(
         hashed.groupBy("id")
         .agg(
             F.expr(
@@ -246,8 +250,10 @@ def ngram_jaccard_pairs(
     extra = [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]
     # Persisted: three consumers (both join sides + sizes); see
     # minhash_lsh_pairs for the reuse rationale.
-    sh = shingle_rows(df, id_col, text_col, shingle_n, extra=extra).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = track(
+        shingle_rows(df, id_col, text_col, shingle_n, extra=extra).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     # merge-hinted: (id, sz) is narrow but corpus-sized — broadcast at
     # 1e9 docs would OOM the driver; AQE promotes when actually small.

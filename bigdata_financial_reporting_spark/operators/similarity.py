@@ -14,9 +14,13 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+from bigdata_financial_reporting_spark.operators.cache import track
 
 from bigdata_financial_reporting_spark.functions.vector import dot, l2_norm
 
@@ -369,12 +373,32 @@ def ivf_topk(
     return _keep_topk(scored, k)
 
 
+def planes_for_threshold(threshold: float, n_bands: int = 32) -> int:
+    """Derive a threshold-appropriate planes-per-band ``r`` for
+    hyperplane LSH banding (round-2 ADVICE: a hardcoded r=2 is wrong at
+    production thresholds >= 0.9).
+
+    A pair at angle θ agrees with one hyperplane w.p. ``p = 1 - θ/π``
+    and collides in a band of r planes w.p. ``p^r``. We pick the LARGEST
+    r keeping ``p(threshold)^r >= 0.35``, so the miss probability over b
+    bands stays ``(1 - p^r)^b <= 0.65^32 ≈ 1e-6`` for every pair AT the
+    threshold (pairs above it miss even less), while larger r maximally
+    prunes sub-threshold candidates. Examples at b=32: threshold 0.35
+    -> r=2 (the round-2 default), 0.7 -> r=4, 0.9 -> r=6 (orthogonal
+    pairs collide per band w.p. 0.5^6 ≈ 1.6%)."""
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    r = 1
+    while r < 16 and p ** (r + 1) >= 0.35:
+        r += 1
+    return r
+
+
 def lsh_blocked_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
-    planes_per_band: int = 2,
+    planes_per_band: int | None = None,
     n_bands: int = 32,
 ) -> DataFrame:
     """Embedding near-dup pairs (id_a < id_b, exact cosine >= threshold)
@@ -390,17 +414,24 @@ def lsh_blocked_pairs(
 
     Recall: a pair at angle θ agrees with one hyperplane w.p.
     1 - θ/π, with a band of r planes w.p. (1-θ/π)^r, and is missed by
-    all b bands w.p. (1-(1-θ/π)^r)^b. Defaults (r=2, b=32) give a
-    miss probability < 3e-7 at cosine 0.35 (θ≈69.5°) — and the
+    all b bands w.p. (1-(1-θ/π)^r)^b. ``planes_per_band`` defaults to
+    ``planes_for_threshold(threshold)`` — the largest r keeping the
+    at-threshold miss probability under ~1e-6 (r=2 at 0.35, r=6 at
+    0.9) — so banding tightens automatically at production near-dup
+    thresholds instead of silently keeping a low-threshold r. The
     hyperplanes are deterministic (xxhash64-derived, no RNG), so
     fixture-scale equality with the exact oracle, once asserted in
-    tests, is stable. At production near-dup thresholds (>= 0.9,
-    θ<=25.8°) use r=8: per-band agreement 0.857^8≈0.29 keeps recall
-    1-(0.71)^32 ≈ 1-2e-5 while pruning ~99.6% of orthogonal-pair
-    buckets per band. At low thresholds LSH cannot discriminate
+    tests, is stable. At low thresholds LSH cannot discriminate
     69° from 90° — candidate pruning is weak there by physics, but
     the dataflow stays the banded, payload-minimized form.
+
+    Cache lifetime: the band-bucket frame is persisted (multiple
+    consumers in this one plan) and registered with operators.cache —
+    long-running sessions call ``release_operator_caches()`` between
+    unrelated queries (bench.py does).
     """
+    if planes_per_band is None:
+        planes_per_band = planes_for_threshold(threshold, n_bands)
     if planes_per_band < 1 or n_bands < 1:
         raise ValueError("planes_per_band and n_bands must be >= 1")
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -416,9 +447,11 @@ def lsh_blocked_pairs(
             out = out * 2 + _hyperplane_sign(F.col("v"), b * planes_per_band + j)
         return out.alias(f"__bkt{b}")
 
-    sigs = base.select(
-        "id", *[band_bucket(b) for b in range(n_bands)]
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = track(
+        base.select("id", *[band_bucket(b) for b in range(n_bands)]).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
 
     buckets = sigs.select(
         "id",

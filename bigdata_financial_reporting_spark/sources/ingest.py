@@ -93,8 +93,10 @@ def stage_dataset(
     NOT called and the existing path is returned, exactly the
     reference's skip-if-cached contract (controller/app.py:259-262).
     Otherwise ``fetch()`` runs, normalization is applied, and the frame
-    is written with its index (the reference keeps yfinance's Date
-    index in the CSV).
+    is written WITHOUT the pandas index: normalization already promotes
+    a named index (yfinance's Date) to an ordinary column, so writing
+    the index again would add a junk unnamed RangeIndex column the
+    reference's CSV does not have (round-2 ADVICE).
     """
     stamp = stamp or date.today().isoformat()
     path = os.path.join(dataset_dir, f"{prefix}_{stamp}.csv")
@@ -102,5 +104,5 @@ def stage_dataset(
         return path
     pdf = normalize_pandas(fetch(), column_mapping, fill_value)
     os.makedirs(dataset_dir, exist_ok=True)
-    pdf.to_csv(path, index=True)
+    pdf.to_csv(path, index=False)
     return path

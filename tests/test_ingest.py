@@ -56,5 +56,9 @@ def test_stage_dataset_caches_by_stamp(tmp_path):
     assert p1.endswith("market_data_2024-01-05.csv")
     assert len(calls) == 1, "cached stamp must not re-fetch"
     staged = pd.read_csv(p1)
-    assert "Date" in staged.columns  # index kept, as the reference's CSV does
+    assert "Date" in staged.columns  # Date survives, as the reference's CSV does
+    # no junk unnamed RangeIndex column (round-2 ADVICE): the promoted
+    # Date column is written once, the pandas index not at all
+    assert not [c for c in staged.columns if c.startswith("Unnamed")]
+    assert list(staged.columns) == ["Date", "BRL=X", "BVSP"]
     assert staged["BRL=X"].tolist() == [4.85, 0.0, 4.91]
