@@ -204,3 +204,123 @@ def frame_sample_plan(n_bytes: Column, frame_size: int, every_k: int) -> Column:
     offsets)."""
     n_frames = F.floor(n_bytes / frame_size)
     return F.ceil(n_frames / every_k).cast("long")
+
+
+#: Result schema of the real WAV feature-extraction step.
+WAV_DECODE_SCHEMA = (
+    "doc_id long, valid boolean, audio_format int, channels int, "
+    "sample_rate int, bits_per_sample int, n_samples int, duration_ms int, "
+    "sample_sum bigint, sample_sha256 string"
+)
+
+
+def wav_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Synthesize a real RIFF/WAVE payload per row (8-bit unsigned PCM,
+    mono): sample rate ``8000 + (id % 4) * 4000``, sample count
+    ``64 + (id % 97) * 3``, sample bytes = the text's (ASCII) bytes
+    repeated cyclically. A decorative LIST chunk sits between fmt and
+    data so a decoder must genuinely walk chunks rather than assume a
+    fixed 44-byte header.
+
+    The container header needs little-endian binary integers, so
+    assembly happens in a Pandas batch UDF — but every DECODED feature
+    (rate, counts, sample bytes) is a pure function of (id, text) that
+    an engine-independent oracle recomputes arithmetically."""
+    import struct
+
+    def build(doc_id: int, text: str) -> bytes:
+        rate = 8000 + (doc_id % 4) * 4000
+        ns = 64 + (doc_id % 97) * 3
+        data = (text.encode("ascii") * (ns // len(text) + 1))[:ns]
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        build(int(i), t) for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    src = df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(process, schema="doc_id long, payload binary")
+
+
+def _parse_riff_wave(b: bytes):
+    """Walk a RIFF/WAVE container: returns ``(fmt_fields, data_bytes)``
+    with ``fmt_fields = (audio_format, channels, sample_rate,
+    bits_per_sample)``, or ``None`` if malformed. Handles unknown
+    chunks and RIFF's even-byte chunk padding per the spec."""
+    import struct
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    declared = struct.unpack("<I", b[4:8])[0]
+    if declared + 8 > len(b):
+        return None
+    fmt_fields = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt " and size >= 16:
+            af, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            fmt_fields = (af, ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size % 2)  # chunks pad to even length
+    if fmt_fields is None or data is None:
+        return None
+    return fmt_fields, data
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """Real audio decode over ``mapInPandas``: RIFF chunk walk, fmt
+    parse, PCM sample extraction; emits per-row audio properties plus
+    the sample block's byte sum + sha256 (content identity of the
+    decoded AUDIO, not the container). Malformed payloads yield
+    ``valid=false`` with NULL properties — bad media must never kill a
+    100 TB scan. 8-bit mono PCM is fully supported; other widths
+    report properties with sample stats over raw data bytes."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = _parse_riff_wave(bytes(payload))
+                if parsed is None:
+                    rows.append(
+                        (doc_id, False, None, None, None, None, None, None, None, None)
+                    )
+                    continue
+                (af, ch, rate, bits), data = parsed
+                bytes_per_sample = max(1, (bits // 8)) * max(1, ch)
+                ns = len(data) // bytes_per_sample
+                dur = ns * 1000 // rate if rate else None
+                rows.append(
+                    (doc_id, True, af, ch, rate, bits, ns, dur, int(sum(data)),
+                     hashlib.sha256(data).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "valid", "audio_format", "channels",
+                         "sample_rate", "bits_per_sample", "n_samples",
+                         "duration_ms", "sample_sum", "sample_sha256"],
+            )
+
+    return df.mapInPandas(process, schema=WAV_DECODE_SCHEMA)

@@ -8,9 +8,11 @@ from pyspark.sql import functions as F
 
 from bigdata_financial_reporting_spark.operators.multimodal import (
     decode_ppm,
+    decode_wav,
     frame_sample_plan,
     ppm_payload,
     resize_ppm,
+    wav_payload,
     with_payload,
 )
 from bigdata_financial_reporting_spark.queries.registry import register
@@ -135,6 +137,44 @@ def mm_resize_ppm(spark, sf_dir):
     mm_resize_stub (byte-prefix fake)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return resize_ppm(ppm_payload(d, "text", "doc_id"), factor=2)
+
+
+@register(
+    "mm_decode_wav",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text,
+             8000 + (doc_id % 4) * 4000 AS rate,
+             64 + (doc_id % 97) * 3 AS ns
+      FROM documents WHERE doc_id < 100 AND length(text) > 0
+    ), smp AS (
+      SELECT doc_id, rate, ns,
+             substr(repeat(text, CAST(ceil(CAST(ns AS DOUBLE) / length(text)) AS INT)),
+                    1, ns) AS s
+      FROM dims
+    )
+    SELECT doc_id, true AS valid, 1 AS audio_format, 1 AS channels,
+           CAST(rate AS INT) AS sample_rate, 8 AS bits_per_sample,
+           CAST(ns AS INT) AS n_samples,
+           CAST(ns * 1000 // rate AS INT) AS duration_ms,
+           CAST(list_sum(list_transform(generate_series(1, ns),
+                                        i -> ord(substr(s, i, 1)))) AS BIGINT)
+             AS sample_sum,
+           sha256(s) AS sample_sha256
+    FROM smp
+    """,
+    category="multimodal",
+)
+def mm_decode_wav(spark, sf_dir):
+    """REAL audio decode over mapInPandas: per-row RIFF/WAVE payloads
+    (8-bit mono PCM, with a decoy LIST chunk between fmt and data) are
+    synthesized deterministically from fixture text, then a real chunk
+    walker parses fmt and extracts the PCM samples. The oracle
+    reconstructs the sample bytes arithmetically, so a wrong chunk
+    offset, fmt unpack, or data slice fails the hash — the second real
+    codec next to PPM (image); the same slot fits mp3/flac decoders."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return decode_wav(wav_payload(d, "text", "doc_id"))
 
 
 @register(

@@ -92,3 +92,74 @@ def test_ppm_payload_is_valid_ppm_and_deterministic(spark, sf_dir):
         assert (w, h) == (4 + doc_id % 5, 3 + doc_id % 4)
         assert maxval == 255
         assert len(b) - off == w * h * 3
+
+
+# ---- WAV (RIFF) codec ----
+
+import struct
+
+from bigdata_financial_reporting_spark.operators.multimodal import (
+    _parse_riff_wave,
+    decode_wav,
+    wav_payload,
+)
+
+
+def _wav(data: bytes, rate: int = 8000, bits: int = 8, ch: int = 1,
+         extra_chunk: bytes = b"") -> bytes:
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * (bits // 8 or 1),
+                      ch * (bits // 8 or 1), bits)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + extra_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_riff_walks_unknown_and_odd_chunks():
+    # odd-sized unknown chunk forces the even-padding rule
+    odd = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    data = bytes(range(16))
+    got = _parse_riff_wave(_wav(data, extra_chunk=odd))
+    assert got == ((1, 1, 8000, 8), data)
+
+
+def test_parse_riff_rejects_malformed():
+    assert _parse_riff_wave(b"RIFX1234WAVE") is None          # bad magic
+    assert _parse_riff_wave(b"RIFF" + struct.pack("<I", 999) + b"WAVE") is None
+    good = _wav(bytes(8))
+    assert _parse_riff_wave(good[:20]) is None                 # truncated
+    # fmt present but no data chunk
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    nodata = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE" \
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    assert _parse_riff_wave(nodata) is None
+
+
+def test_decode_wav_properties_and_invalid_rows(spark):
+    import hashlib
+
+    data = bytes(range(100))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(_wav(data, rate=16000))),
+         Row(doc_id=2, payload=bytearray(b"not audio at all"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_wav(df).collect()}
+    r = rows[1]
+    assert (r.valid, r.audio_format, r.channels, r.sample_rate,
+            r.bits_per_sample) == (True, 1, 1, 16000, 8)
+    assert r.n_samples == 100 and r.duration_ms == 100 * 1000 // 16000
+    assert r.sample_sum == sum(data)
+    assert r.sample_sha256 == hashlib.sha256(data).hexdigest()
+    assert rows[2].valid is False and rows[2].sample_rate is None
+
+
+def test_wav_payload_roundtrips_through_decoder(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter("doc_id < 20")
+    out = {r.doc_id: r for r in decode_wav(wav_payload(d, "text", "doc_id")).collect()}
+    assert out and all(r.valid for r in out.values())
+    for doc_id, r in out.items():
+        assert r.sample_rate == 8000 + (doc_id % 4) * 4000
+        assert r.n_samples == 64 + (doc_id % 97) * 3
