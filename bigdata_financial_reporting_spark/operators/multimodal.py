@@ -324,3 +324,37 @@ def decode_wav(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(process, schema=WAV_DECODE_SCHEMA)
+
+
+def frame_extract(
+    df: DataFrame, frame_size: int, every_k: int
+) -> DataFrame:
+    """Real frame extraction for fixed-size-frame payloads (the video
+    analogue of the PPM/WAV decoders): slice the binary into
+    ``frame_size``-byte frames, keep every ``every_k``-th, and emit one
+    row per kept frame with its index and content sha256 — the shape a
+    frame-level embedding or perceptual-hash stage consumes. Trailing
+    partial frames are dropped (standard fixed-frame semantics).
+
+    One input row fans out to ceil(n_frames / every_k) output rows
+    inside the same Arrow batch — no shuffle; downstream partitioning
+    is inherited."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = len(b) // frame_size
+                for fi in range(0, n_frames, every_k):
+                    frame = b[fi * frame_size : (fi + 1) * frame_size]
+                    rows.append(
+                        (doc_id, fi, hashlib.sha256(frame).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_sha256"]
+            )
+
+    return df.mapInPandas(
+        process, schema="doc_id long, frame_idx int, frame_sha256 string"
+    )

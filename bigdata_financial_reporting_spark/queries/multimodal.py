@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from bigdata_financial_reporting_spark.operators.multimodal import (
     decode_ppm,
     decode_wav,
+    frame_extract,
     frame_sample_plan,
     ppm_payload,
     resize_ppm,
@@ -199,3 +200,30 @@ def mm_frame_sampling(spark, sf_dir):
         F.floor(n_bytes / 16).cast("long").alias("n_frames"),
         frame_sample_plan(n_bytes, 16, 4).alias("n_sampled"),
     )
+
+
+@register(
+    "mm_frame_extract",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, encode(text) AS b, octet_length(encode(text)) // 16 AS nf
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(fi AS INT) AS frame_idx,
+           sha256(substr(CAST(b AS VARCHAR), fi * 16 + 1, 16)) AS frame_sha256
+    FROM p, LATERAL unnest(generate_series(0, nf - 1, 4)) t(fi)
+    WHERE nf > 0
+    """,
+    category="multimodal",
+)
+def mm_frame_extract(spark, sf_dir):
+    """REAL frame extraction (the video analogue): every 4th 16-byte
+    frame of the payload is sliced and content-hashed, one output row
+    per kept frame — the fan-out shape a frame-embedding stage
+    consumes. The oracle re-slices each kept frame with substr
+    arithmetic, so stride or offset bugs fail the hash. Upgrades
+    mm_frame_sampling's count-only plan into the actual sampler.
+    (Fixture text is ASCII, so byte slicing equals character slicing.)"""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return frame_extract(with_payload(d, "text", "doc_id"), frame_size=16, every_k=4)

@@ -163,3 +163,24 @@ def test_wav_payload_roundtrips_through_decoder(spark, sf_dir):
     for doc_id, r in out.items():
         assert r.sample_rate == 8000 + (doc_id % 4) * 4000
         assert r.n_samples == 64 + (doc_id % 97) * 3
+
+
+def test_frame_extract_slices_and_strides(spark):
+    import hashlib
+
+    from bigdata_financial_reporting_spark.operators.multimodal import (
+        frame_extract,
+    )
+
+    payload = bytes(range(100))  # 6 full 16-byte frames + 4 trailing bytes
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(payload)),
+         Row(doc_id=2, payload=bytearray(b"tiny"))],  # < 1 frame -> no rows
+        "doc_id long, payload binary",
+    )
+    rows = frame_extract(df, frame_size=16, every_k=4).collect()
+    got = {(r.doc_id, r.frame_idx): r.frame_sha256 for r in rows}
+    assert set(got) == {(1, 0), (1, 4)}  # frames 0 and 4 of 6; doc 2 empty
+    for (_, fi), h in got.items():
+        expected = hashlib.sha256(payload[fi * 16 : (fi + 1) * 16]).hexdigest()
+        assert h == expected
