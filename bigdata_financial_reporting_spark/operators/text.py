@@ -63,8 +63,11 @@ def shingle_frame(df, id_col: str, text_col: str, n: int, extra=None):
     )
 
 
-def shingle_rows(df, id_col: str, text_col: str, n: int, extra=None):
-    """Distinct word n-gram shingles as ROWS ``(id, [extra...], s)``.
+def shingle_rows(df, id_col: str, text_col: str, n: int, extra=None, distinct=True):
+    """Word n-gram shingles as ROWS ``(id, [extra...], s)`` — distinct
+    per doc by default; ``distinct=False`` keeps every occurrence (the
+    repetition-scoring form, where the duplicate fraction IS the
+    signal).
 
     The scale formulation: ``posexplode`` the token array (tokenize is
     referenced exactly once, so Generate evaluates it once per row),
@@ -96,7 +99,7 @@ def shingle_rows(df, id_col: str, text_col: str, n: int, extra=None):
             *keep,
             F.concat_ws(" ", "t", *[f"__t{j}" for j in range(1, n)]).alias("s"),
         )
-    return out.dropDuplicates(["id", "s"])
+    return out.dropDuplicates(["id", "s"]) if distinct else out
 
 
 def fingerprint(text: Column | str) -> Column:

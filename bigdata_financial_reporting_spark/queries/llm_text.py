@@ -484,3 +484,188 @@ def quality_filter_reasons(spark, sf_dir):
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+# Deterministic split assignment (md5 of doc_id, first 16 bits, mod 10)
+# shared by split_train_test and split_contamination.
+def _split_col():
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+
+
+_DUCK_SPLIT = """CASE
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                         AS BIGINT) % 10 < 8 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                         AS BIGINT) % 10 = 8 THEN 'val'
+               ELSE 'test'
+             END"""
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOK} AS tok FROM documents),
+    sh AS (
+      SELECT doc_id, len(tok) - 2 AS nt,
+             len(list_distinct(
+               list_transform(generate_series(1, len(tok) - 2),
+                              i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])))
+               AS nd
+      FROM toks WHERE len(tok) >= 3
+    )
+    SELECT doc_id,
+           CAST(nt AS BIGINT) AS n_shingles,
+           CAST(nd AS BIGINT) AS n_distinct,
+           round(1 - CAST(nd AS DOUBLE) / nt, 6) AS rep_frac
+    FROM sh
+    """,
+    category="text",
+)
+def text_repetition_score(spark, sf_dir):
+    """Gopher-style repetition signal: the fraction of duplicate word
+    3-grams per document (1 - distinct/total) — high values flag
+    boilerplate and degenerate generations before training. Uses the
+    NON-distinct shingle-row form (one row per occurrence, still
+    HOF-safe — see shingle_rows), then one map-side-combined
+    aggregation per doc; no shingle array ever crosses the shuffle.
+    Docs under 3 tokens are excluded (no 3-grams to score)."""
+    from bigdata_financial_reporting_spark.operators.text import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", 3, distinct=False)
+    return (
+        sh.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_distinct("s").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_distinct",
+            F.round(
+                1 - F.col("n_distinct").cast("double") / F.col("n_shingles"), 6
+            ).alias("rep_frac"),
+        )
+    )
+
+
+@register(
+    "split_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_SPLIT} AS split, {_DUCK_TOK} AS tok FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(
+               list_transform(generate_series(1, len(tok) - 2),
+                              i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) AS s
+      FROM toks WHERE len(tok) >= 3
+    ),
+    train AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+    test AS (SELECT doc_id, s FROM sh WHERE split = 'test')
+    SELECT test.doc_id,
+           count(*) AS n_shingles,
+           count(train.s) AS n_shared,
+           round(CAST(count(train.s) AS DOUBLE) / count(*), 6)
+             AS contaminated_frac
+    FROM test LEFT JOIN train ON test.s = train.s
+    GROUP BY test.doc_id
+    """,
+    category="text",
+)
+def split_contamination(spark, sf_dir):
+    """Train/test contamination check: for every TEST document, the
+    fraction of its distinct 3-gram shingles that also appear in any
+    TRAIN document — the audit a training pipeline runs before
+    reporting eval numbers. Shingle rows carry the split label through
+    one pipeline pass; the train side reduces to a distinct shingle
+    set; the probe is a shuffle hash join on the shingle string with
+    map-side-combined per-doc counts. At 100 TB, filter the
+    stop-shingle head (text_top_shingles) out of both sides first —
+    ubiquitous shingles dominate the join and carry no signal."""
+    from bigdata_financial_reporting_spark.operators.text import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d, "doc_id", "text", 3, extra=[_split_col().alias("split")])
+    train = sh.filter(F.col("split") == "train").select("s").distinct()
+    test = sh.filter(F.col("split") == "test")
+    return (
+        test.join(train.withColumn("__hit", F.lit(1)), "s", "left")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
+@register(
+    "text_redact",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ips,
+           regexp_replace(
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+             AS redacted
+    FROM aug
+    """,
+    category="text",
+)
+def text_redact(spark, sf_dir):
+    """PII-style redaction: emails and IPv4 addresses replaced with
+    typed placeholders, with per-doc match counts — the scrub step
+    before training text leaves the pipeline. Pure Catalyst regexes
+    (whole-stage codegen; no Python in the row path). The fixture text
+    contains no PII, so both engines append a deterministic synthetic
+    email + IP per row first — the redaction is proven to FIRE, not
+    just to no-op."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(email), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(ip), F.lit(0))).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace("t", email, "<EMAIL>"), ip, "<IP>"
+        ).alias("redacted"),
+    )
