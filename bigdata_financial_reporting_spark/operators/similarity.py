@@ -163,45 +163,110 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     k: int = 10,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus rows in the query's
-    random-hyperplane bucket. ~2^n_planes× less work than brute force;
-    recall measured in tests."""
+    """Approximate top-k: score only corpus rows sharing a
+    random-hyperplane bucket with the query in at least one of
+    ``n_tables`` independent hash tables (table t uses planes seeded
+    ``t*n_planes .. t*n_planes+n_planes-1``).
 
-    def bucket(vec):
-        bits = [_hyperplane_sign(vec, seed) for seed in range(n_planes)]
+    A neighbor at per-plane agreement p lands in the same bucket of one
+    table w.p. ``p^n_planes`` and is missed by ALL tables w.p.
+    ``(1 - p^n_planes)^n_tables`` — multi-table is the standard recall
+    lever that keeps per-table buckets selective (work ~ n_tables ×
+    corpus/2^n_planes per query) instead of shortening one table and
+    admitting everything. Candidates are deduplicated across tables
+    before scoring, so each (query, neighbor) pair is scored once.
+
+    Plan shape: bucket columns are computed in ONE projection and
+    persisted before the explode (the HOF/Generate collapse trap —
+    see lsh_blocked_pairs), the candidate join carries only
+    ``(id, table, bucket)``, and vectors rejoin AFTER the cross-table
+    distinct — merge-hinted on the corpus side. Deterministic:
+    hyperplanes derive from xxhash64, no RNG."""
+
+    def table_bucket(vec, t: int):
+        bits = [
+            _hyperplane_sign(vec, t * n_planes + j) for j in range(n_planes)
+        ]
         out = F.lit(0)
         for b in bits:
             out = out * 2 + b
         return out
 
-    q = queries.select(
+    if n_tables == 1:
+        # single-table fast path: bucket rides the row, no explode
+        q = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+            table_bucket(F.col(vec_col), 0).alias("__bkt"),
+        )
+        c = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            l2_norm(F.col(vec_col)).alias("__cn"),
+            table_bucket(F.col(vec_col), 0).alias("__bkt"),
+        )
+        scored = c.join(F.broadcast(q), on="__bkt").select(
+            "query_id",
+            "neighbor_id",
+            _cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cosine"),
+        )
+        return _keep_topk(scored, k)
+
+    def bucket_rows(df, id_col_name: str, out_id: str):
+        base = df.select(F.col(id_col_name).alias(out_id), F.col(vec_col).alias("v"))
+        sigs = track(
+            base.select(
+                out_id, *[table_bucket(F.col("v"), t).alias(f"__b{t}") for t in range(n_tables)]
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return sigs.select(
+            out_id,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"), F.col(f"__b{t}").alias("bkt")
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(out_id, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+
+    qb = bucket_rows(queries, query_id, "query_id")
+    cb = bucket_rows(corpus, corpus_id, "neighbor_id")
+    candidates = (
+        cb.join(F.broadcast(qb), on=["tbl", "bkt"])
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         l2_norm(F.col(vec_col)).alias("__qn"),
-        bucket(F.col(vec_col)).alias("__bkt"),
     )
-    c = corpus.select(
+    cv = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
-        bucket(F.col(vec_col)).alias("__bkt"),
+    ).hint("merge")
+    scored = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cosine"),
+        )
     )
-    scored = c.join(F.broadcast(q), on="__bkt").select(
-        "query_id",
-        "neighbor_id",
-        _cosine_with_norms(
-            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _keep_topk(scored, k)
 
 
 def train_centroids(

@@ -102,11 +102,19 @@ def main() -> None:
 
     out: dict = {"sf_dir": SF_DIR, "k": K, "n_queries": len(exact_top), "queries": {}}
 
-    # sim_lsh_topk — hyperplane buckets; only same-bucket candidates scored.
-    lsh_rows = lsh_bucket_topk(q, e, "vec_id", "vec_id", n_planes=6, k=K).collect()
+    # sim_lsh_topk — multi-table hyperplane LSH at the registry params;
+    # candidates from any of 4 independent tables, scored once.
+    lsh_rows = lsh_bucket_topk(
+        q, e, "vec_id", "vec_id", n_planes=6, k=K, n_tables=4
+    ).collect()
+    single_rows = lsh_bucket_topk(
+        q, e, "vec_id", "vec_id", n_planes=6, k=K, n_tables=1
+    ).collect()
+    single = _topk_metrics(single_rows, exact_top, exact_scores)
     out["queries"]["sim_lsh_topk"] = {
-        "params": {"n_planes": 6},
+        "params": {"n_planes": 6, "n_tables": 4},
         **_topk_metrics(lsh_rows, exact_top, exact_scores),
+        "single_table_recall_at_k": single["recall_at_k"],
         "floor": {"rank1_self_hit_all_queries": True},
     }
 

@@ -227,3 +227,46 @@ def test_trained_ivf_recall_and_determinism(spark, sf_dir):
         assert abs(got[key] - brute[key]) < 1e-9, "scores must be exact"
     rerun = {(r.query_id, r.neighbor_id): r.cosine for r in run().collect()}
     assert got == rerun, "trained IVF must be deterministic"
+
+
+def test_multi_table_lsh_recall_dominates_single_table(spark, sf_dir):
+    """Multi-table LSH must (a) be a superset-or-equal recall lever —
+    every single-table candidate pair is also a candidate of table 0 in
+    the multi-table form, so recall is monotone in n_tables; (b) score
+    exactly (same cosine as brute force); (c) stay deterministic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(q, e, "vec_id", "vec_id", k=10_000).collect()
+    }
+    top = {}
+    for r in cosine_topk(q, e, "vec_id", "vec_id", k=10).collect():
+        top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    denom = sum(len(v) for v in top.values())
+
+    def recall(n_tables):
+        rows = lsh_bucket_topk(
+            q, e, "vec_id", "vec_id", n_planes=6, k=10, n_tables=n_tables
+        ).collect()
+        for r in rows:
+            assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-6
+        hits = sum(1 for r in rows if r.neighbor_id in top.get(r.query_id, set()))
+        return hits / denom, rows
+
+    r1, _ = recall(1)
+    r4, rows4 = recall(4)
+    assert r4 >= r1, f"multi-table recall {r4} below single-table {r1}"
+    # rank-1 self hit survives every table count (own bucket contains self)
+    assert {r.query_id for r in rows4 if r.neighbor_id == r.query_id and r.rank == 1} \
+        == {0, 1, 2, 3, 4}
+    rerun = lsh_bucket_topk(
+        q, e, "vec_id", "vec_id", n_planes=6, k=10, n_tables=4
+    ).collect()
+    assert sorted(map(tuple, rows4)) == sorted(map(tuple, rerun))
+
+    from bigdata_financial_reporting_spark.operators.cache import (
+        release_operator_caches,
+    )
+
+    release_operator_caches()
