@@ -590,10 +590,21 @@ def split_contamination(spark, sf_dir):
     map-side-combined per-doc counts. At 100 TB, filter the
     stop-shingle head (text_top_shingles) out of both sides first —
     ubiquitous shingles dominate the join and carry no signal."""
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
     from bigdata_financial_reporting_spark.operators.text import shingle_rows
 
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows(d, "doc_id", "text", 3, extra=[_split_col().alias("split")])
+    # Persisted: the train and test branches would otherwise each
+    # re-run the full shingle pipeline (posexplode + per-doc window) —
+    # measured 2x wall at the 10x corpus. Registered with
+    # operators.cache (caller-released, see bench.py).
+    sh = track(
+        shingle_rows(
+            d, "doc_id", "text", 3, extra=[_split_col().alias("split")]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     train = sh.filter(F.col("split") == "train").select("s").distinct()
     test = sh.filter(F.col("split") == "test")
     return (
