@@ -187,3 +187,41 @@ def test_runtime_bloom_filter_available_for_selective_joins(spark, sf_dir):
     finally:
         spark.conf.set(thresh_key, old_thresh)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_round3_text_op_plan_shapes(spark, sf_dir):
+    """Plan discipline for the round-3 text operators: redaction is a
+    pure scan->project (zero exchanges, doc_id filter pushed);
+    repetition scoring is one shingle pipeline + bounded aggregation
+    shuffles; contamination joins without cartesian and with bounded
+    exchanges (shingle frame persisted -> exchanges read from cache)."""
+    spark.catalog.clearCache()
+    redact = QUERIES["text_redact"].fn(spark, sf_dir)
+    assert count_exchanges(redact) == 0
+    assert "doc_id" in " ".join(pushed_filters(redact))
+
+    rep = QUERIES["text_repetition_score"].fn(spark, sf_dir)
+    assert count_exchanges(rep) <= 3  # window partition + final agg
+    assert "CartesianProduct" not in physical_plan(rep)
+
+    cont = QUERIES["split_contamination"].fn(spark, sf_dir)
+    plan = physical_plan(cont)
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(cont) <= 6
+
+    from bigdata_financial_reporting_spark.operators.cache import (
+        release_operator_caches,
+    )
+
+    release_operator_caches()
+
+
+def test_multitable_lsh_plan_has_no_cartesian_and_bounded_shuffles(spark, sf_dir):
+    """The multi-table candidate join must ride (tbl, bkt) equi-joins,
+    never a cartesian; the signature computation is two aggregations
+    and the vector rejoin is hash/merge."""
+    df = QUERIES["sim_lsh_topk"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_exchanges(df) <= 10
