@@ -1,6 +1,8 @@
 """Multimodal-column queries (SURVEY.md §2B.9): binary payloads with
-typed metadata, identity hashing, base64 transport, stubbed decode via
-mapInPandas, frame-sampling arithmetic."""
+typed metadata, identity hashing, base64 transport, REAL codecs (PPM
+image decode + resize, RIFF/WAV audio decode) and frame extraction via
+mapInPandas — each verified byte-exactly against an arithmetic DuckDB
+reconstruction of the expected decode."""
 
 from __future__ import annotations
 

@@ -83,7 +83,7 @@ def test_no_rowbased_python_udfs_outside_udf_family(spark, sf_dir):
     for name, spec in QUERIES.items():
         if spec.category in ("udf", "streaming") or name.startswith("udf_"):
             continue
-        if name.startswith("mm_"):  # multimodal decode stubs are pandas UDFs
+        if name.startswith("mm_"):  # multimodal codecs are pandas UDFs by design
             continue
         r = plan_report(spec.fn(spark, sf_dir))
         assert not r["rowbased_python_udf"], f"{name} fell back to row-based Python"
