@@ -240,3 +240,89 @@ def test_lsh_blocked_pairs_equals_exact_for_any_vectors(spark, vecs):
         )
     )
     assert blocked == exact
+
+
+# ---- codec parser robustness (pure functions — generous example counts) ----
+
+from bigdata_financial_reporting_spark.operators.multimodal import (
+    _parse_p6,
+    _parse_riff_wave,
+)
+
+PURE_SETTINGS = settings(max_examples=200, deadline=None)
+
+
+@PURE_SETTINGS
+@given(st.binary(max_size=512))
+def test_parse_p6_never_raises_on_arbitrary_bytes(b):
+    """Malformed media must never kill a scan: the parser returns a
+    parse or None, it never throws."""
+    out = _parse_p6(b)
+    if out is not None:
+        w, h, maxval, off = out
+        assert w >= 0 and h >= 0 and maxval >= 0
+        assert 0 <= off <= len(b)
+
+
+@PURE_SETTINGS
+@given(st.binary(max_size=512))
+def test_parse_riff_never_raises_on_arbitrary_bytes(b):
+    out = _parse_riff_wave(b)
+    if out is not None:
+        (af, ch, rate, bits), data = out
+        assert isinstance(data, bytes)
+        assert af >= 0 and ch >= 0 and rate >= 0 and bits >= 0
+
+
+@PURE_SETTINGS
+@given(
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+    st.binary(min_size=0, max_size=64 * 64 * 3),
+    st.binary(max_size=16),
+)
+def test_parse_p6_roundtrip_and_truncation(w, h, pix_source, junk):
+    """A well-formed header always parses to its exact fields and pixel
+    offset; whether the pixel block is complete is the caller's check
+    (decode_ppm flags short blocks as invalid)."""
+    need = w * h * 3
+    pix = (pix_source * (need // max(1, len(pix_source)) + 1))[:need] if pix_source else b"\x00" * need
+    payload = f"P6\n{w} {h}\n255\n".encode() + pix + junk
+    out = _parse_p6(payload)
+    assert out is not None
+    pw, ph, maxval, off = out
+    assert (pw, ph, maxval) == (w, h, 255)
+    assert payload[off : off + need] == pix
+
+
+@PURE_SETTINGS
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=80,
+    ),
+)
+def test_wav_synthesis_parses_back_exactly(doc_id, text):
+    """wav_payload's container builder and _parse_riff_wave are exact
+    inverses for any id/ASCII text: fmt fields and the PCM block
+    roundtrip byte-exactly (the property the mm_decode_wav oracle
+    depends on)."""
+    import struct
+
+    rate = 8000 + (doc_id % 4) * 4000
+    ns = 64 + (doc_id % 97) * 3
+    data = (text.encode("ascii") * (ns // len(text) + 1))[:ns]
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    out = _parse_riff_wave(payload)
+    assert out is not None
+    (af, ch, got_rate, bits), got_data = out
+    assert (af, ch, got_rate, bits) == (1, 1, rate, 8)
+    assert got_data == data
