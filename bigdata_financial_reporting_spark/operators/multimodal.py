@@ -231,7 +231,11 @@ def wav_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     def build(doc_id: int, text: str) -> bytes:
         rate = 8000 + (doc_id % 4) * 4000
         ns = 64 + (doc_id % 97) * 3
-        data = (text.encode("ascii") * (ns // len(text) + 1))[:ns]
+        # utf-8, not ascii: a stray non-ASCII doc must not kill the
+        # batch (oracle parity assumes ASCII fixtures, where character
+        # arithmetic equals byte arithmetic — documented in the query)
+        raw = text.encode("utf-8")
+        data = (raw * (ns // len(raw) + 1))[:ns]
         fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
         chunks = (
             b"fmt " + struct.pack("<I", len(fmt)) + fmt

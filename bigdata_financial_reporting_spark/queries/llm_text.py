@@ -385,16 +385,8 @@ def split_train_test(spark, sf_dir):
     re-processing never migrates a document across splits. No
     sampling, no RNG state, embarrassingly parallel."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long")
-        % 10
-    )
-    split = (
-        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
-    )
     return (
-        d.select(split.alias("split"), "n_chars")
+        d.select(_split_col().alias("split"), "n_chars")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
