@@ -23,7 +23,10 @@ def sessionize(
     ``F.session_window`` streaming aggregation."""
     order = [F.col(ts_col)] + [F.col(c) for c in (order_tiebreak or [])]
     w = Window.partitionBy(key_col).orderBy(*order)
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double")
+    # Cast through timestamp first: TIMESTAMP_NTZ inputs reject a direct
+    # numeric cast, and for TimestampType the extra cast is a no-op.
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
     new_session = (
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     )
@@ -114,7 +117,9 @@ def cohort_retention(
     bucket (the cohort); for each (cohort, age-in-buckets) the count of
     distinct users still active. Two aggregations + a broadcastable
     first-seen join."""
-    b = F.date_trunc(bucket, F.col(ts_col))
+    # NTZ-safe: date_trunc of a TIMESTAMP_NTZ column is itself NTZ and
+    # rejects the numeric casts below; normalize to TimestampType first.
+    b = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
     firsts = df.groupBy(key_col).agg(F.min(b).alias("cohort"))
     activity = df.select(F.col(key_col), b.alias("bucket")).distinct()
     joined = activity.join(firsts, key_col)

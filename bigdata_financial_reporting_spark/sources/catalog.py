@@ -172,10 +172,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     validate_schema(df.schema, name, path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(df.dtypes).get("ts")
+    if name == "events" and ts_dtype == "bigint":
         # Integer DIV, not `/`: float division of large nano longs loses
         # the low microsecond digit.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif name == "events" and ts_dtype == "timestamp_ntz":
+        # Micros-on-disk without UTC adjustment scans as TIMESTAMP_NTZ
+        # under inferTimestampNTZ; with the session zone pinned to UTC
+        # the cast to TimestampType is value-identical and restores the
+        # documented canonical type (NTZ also rejects numeric casts that
+        # downstream epoch arithmetic relies on).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
