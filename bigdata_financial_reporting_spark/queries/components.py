@@ -9,12 +9,18 @@ from pyspark.sql import functions as F
 
 from bigdata_financial_reporting_spark.operators.components import dedup_clusters
 from bigdata_financial_reporting_spark.operators.dedup import minhash_lsh_pairs
+from bigdata_financial_reporting_spark.operators.text import tokenize
 from bigdata_financial_reporting_spark.queries.dedup import _DUCK_SHINGLES
+from bigdata_financial_reporting_spark.queries.oracle_helpers import (
+    DUCK_TOKENIZE as _DUCK_TOKENIZE,
+)
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 
-_ORACLE = (
-    # recursive CTE needs the RECURSIVE keyword on the WITH clause
+# Recursive min-label closure over the exact near-dup pair set; shared
+# by both cluster queries below (recursive CTE needs the RECURSIVE
+# keyword on the WITH clause).
+_LABELS_CTE = (
     _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
     + """
     , pairs AS (
@@ -38,6 +44,12 @@ _ORACLE = (
     labels AS (
       SELECT id, min(comp) AS component FROM walk GROUP BY id
     )
+"""
+)
+
+_ORACLE = (
+    _LABELS_CTE
+    + """
     SELECT d.doc_id AS id,
            COALESCE(l.component, d.doc_id) AS component,
            COALESCE(l.component, d.doc_id) = d.doc_id AS is_survivor
@@ -58,4 +70,66 @@ def dedup_clusters_q(spark, sf_dir):
     ).select("id_a", "id_b")
     return dedup_clusters(pairs, d, "doc_id").select(
         "id", "component", "is_survivor"
+    )
+
+_SURVIVOR_ORACLE = (
+    _LABELS_CTE
+    + f"""
+    , membered AS (
+      SELECT d.doc_id AS id,
+             COALESCE(l.component, d.doc_id) AS component,
+             len({_DUCK_TOKENIZE}) AS n_tokens
+      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    )
+    SELECT component, id AS survivor_id, n_tokens AS survivor_tokens,
+           n_members
+    FROM (
+      SELECT *,
+             count(*) OVER (PARTITION BY component) AS n_members,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_tokens DESC, id) AS rn
+      FROM membered
+    )
+    WHERE rn = 1
+    """
+)
+
+
+@register("dedup_survivor_quality", oracle=_SURVIVOR_ORACLE, category="dedup")
+def dedup_survivor_quality(spark, sf_dir):
+    """Quality-aware survivor selection: near-dup pairs -> connected
+    components -> per cluster keep the member with the MOST tokens
+    (doc_id as the deterministic tiebreak), the RefinedWeb-style
+    'keep the best duplicate' policy rather than min-id. Emits one row
+    per cluster (singletons included) with the survivor and member
+    count. Cluster labels come from the same bounded-iteration
+    min-label propagation as dedup_clusters; the ranking is one
+    partitioned window over cluster-sized groups — no global state."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", shingle_n=3, num_hashes=128, bands=64, threshold=0.35
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs, d, "doc_id").select("id", "component")
+    toks = d.select(
+        F.col("doc_id").alias("id"),
+        F.size(tokenize(F.col("text"))).alias("n_tokens"),
+    )
+    m = clusters.join(toks, "id")
+    by_comp = Window.partitionBy("component")
+    ranked = (
+        m.withColumn("n_members", F.count(F.lit(1)).over(by_comp))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                by_comp.orderBy(F.desc("n_tokens"), F.asc("id"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("id").alias("survivor_id"),
+        F.col("n_tokens").alias("survivor_tokens"),
+        "n_members",
     )

@@ -88,6 +88,15 @@ DRIVER_SEEN: frozenset[str] = _seen_from_artifacts()
 # after round 2 (0 failures). Populate when a round reports a failure.
 RECHECK_FIRST: tuple[str, ...] = ()
 
+# Keys added AFTER the round's rotation was sized. The 50 keys that were
+# unseen when round 3 started exactly fill the driver's ~50-key budget;
+# ranking these new arrivals behind them keeps that set intact (the new
+# keys carry fresh local-oracle evidence and get their driver row next
+# round). Remove entries once they appear in a CORRECTNESS artifact.
+DEFER_NEW: frozenset[str] = frozenset(
+    {"text_pack_sequences", "dedup_survivor_quality"}
+)
+
 # SURVEY §2B families the driver has never checked, most core first.
 # After round 2 the unseen remainder is: similarity (8), multimodal (5),
 # streaming (9), timeseries (5), reference (4), text (8 incl. split/
@@ -123,6 +132,8 @@ def ordered_names() -> list[str]:
         spec = QUERIES[name]
         if name in RECHECK_FIRST:
             tier = 0
+        elif name in DEFER_NEW and name not in DRIVER_SEEN:
+            tier = 1.5
         elif name not in DRIVER_SEEN:
             tier = 1
         else:

@@ -672,3 +672,64 @@ def text_redact(spark, sf_dir):
             F.regexp_replace("t", email, "<EMAIL>"), ip, "<IP>"
         ).alias("redacted"),
     )
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DUCK_TOK}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum_end - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(floor((cum_end - 1) / 512.0)
+                          - floor((cum_end - n_tokens) / 512.0) + 1 AS BIGINT)
+           END AS n_windows
+    FROM c
+    """,
+    category="text",
+)
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing for training batches: concatenate each source
+    shard's token stream in deterministic (doc_id) order and chunk it
+    into fixed 512-token context windows. Emits, per document, the
+    window its first token lands in (``pack_id``) and how many windows
+    it spans. The window is partitioned by ``source`` — pack state never
+    crosses shard boundaries, so at 100 TB each shard's running sum is
+    an independent partitioned window, not a global one."""
+    from pyspark.sql import Window
+
+    budget = 512.0
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum_end", F.sum("n_tokens").over(w))
+    start = F.col("cum_end") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / budget).cast("long").alias("pack_id"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            (
+                F.floor((F.col("cum_end") - 1) / budget)
+                - F.floor(start / budget)
+                + 1
+            ).cast("long")
+        )
+        .alias("n_windows"),
+    )
