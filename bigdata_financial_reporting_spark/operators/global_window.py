@@ -80,6 +80,64 @@ def global_lag(
     return patched
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "pos",
+    num_partitions: int | None = None,
+    bucket_col: Column | None = None,
+) -> DataFrame:
+    """``row_number()`` over the global order defined by ``order_cols``
+    (must be a total order), without the single-partition collapse:
+    rank within disjoint order-respecting groups in parallel, then add
+    per-group offsets. The offset table is one row per group — the only
+    unpartitioned window in the plan runs over those rows, never over
+    the data.
+
+    Two grouping strategies:
+
+    - ``bucket_col`` given: it must be a COARSENING of the order —
+      rows sort by bucket first, e.g. a fixed-width prefix of the
+      first order column (hash keys qualify; arbitrary keys usually
+      don't). Then ONE hash shuffle of the data on the static bucket
+      suffices, with no boundary sampling and no persist: bucket
+      assignment is a pure function of the row, so every consumer
+      recomputes it identically.
+    - otherwise: ``repartitionByRange`` on the order key (works for
+      any key distribution), which costs the range shuffle plus the
+      window's hash shuffle on the partition id, and a persist so the
+      sampled boundaries stay consistent across consumers (callers
+      own the cache lifetime, as with the shingle frames in
+      operators/dedup).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    order = [F.col(c) for c in order_cols]
+    if bucket_col is not None:
+        parts = df.withColumn("__b", bucket_col)
+    else:
+        parts = (
+            df.repartitionByRange(
+                *([num_partitions] if num_partitions else []), *order
+            )
+            .withColumn("__b", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    w = Window.partitionBy("__b").orderBy(*order)
+    within = parts.withColumn("__rn", F.row_number().over(w))
+
+    counts = parts.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "__b")
+        .withColumn(out_col, (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__b", "__rn", "__off")
+    )
+
+
 def global_pct_change(
     df: DataFrame,
     order_cols: list[str],

@@ -94,7 +94,14 @@ RECHECK_FIRST: tuple[str, ...] = ()
 # keys carry fresh local-oracle evidence and get their driver row next
 # round). Remove entries once they appear in a CORRECTNESS artifact.
 DEFER_NEW: frozenset[str] = frozenset(
-    {"text_pack_sequences", "dedup_survivor_quality"}
+    {
+        "text_pack_sequences",
+        "dedup_survivor_quality",
+        "mix_temperature_sample",
+        "text_global_shuffle",
+        "text_vocab_coverage",
+        "text_source_overlap",
+    }
 )
 
 # SURVEY §2B families the driver has never checked, most core first.

@@ -675,6 +675,225 @@ def text_redact(spark, sf_dir):
 
 
 @register(
+    "mix_temperature_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len({_DUCK_TOK})) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT *, n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS nat
+      FROM t
+    ),
+    w AS (SELECT *, pow(nat, 0.7) AS wraw FROM p)
+    SELECT source, n_docs, n_tokens,
+           round(nat, 6) AS natural_share,
+           round(wraw / sum(wraw) OVER (), 6) AS weight,
+           round((wraw / sum(wraw) OVER ()) / nat, 6) AS epochs
+    FROM w
+    """,
+    category="text",
+)
+def mix_temperature_sample(spark, sf_dir):
+    """Temperature-based data-mixture weights (the multilingual-
+    sampling rule from the XLM-R / mT5 line of work): per source,
+    natural token share p_s, resampling weight p_s^0.7 / sum(p^0.7),
+    and the implied epochs-over-source multiplier weight/p_s. The raw
+    data is touched by exactly one map-side-combined aggregation; the
+    temperature math runs on the per-source frame, whose row count is
+    the (bounded) source dimension — the unpartitioned windows below
+    never see document rows."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(F.col("text")))).alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    nat = F.col("n_tokens") / F.sum("n_tokens").over(everything).cast("double")
+    p = t.withColumn("nat", nat).withColumn("wraw", F.pow("nat", 0.7))
+    share = F.col("wraw") / F.sum("wraw").over(everything)
+    return p.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("nat", 6).alias("natural_share"),
+        F.round(share, 6).alias("weight"),
+        F.round(share / F.col("nat"), 6).alias("epochs"),
+    )
+
+
+@register(
+    "text_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS pos
+    FROM documents
+    """,
+    category="text",
+)
+def text_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle for training-data export: every
+    document gets a stable pseudo-random position (rank over
+    md5(doc_id)) that is identical across runs, engines, and
+    partitionings — the property epoch-reproducible training needs.
+    The total order comes from operators/global_window.global_row_number
+    with the hex prefix of the hash as a static 256-way bucket: one
+    hash shuffle of the data + a broadcast of 256 offset rows, NOT a
+    single-partition window, so the sort parallelizes at any scale
+    (widen the prefix for more parallelism)."""
+    from bigdata_financial_reporting_spark.operators.global_window import (
+        global_row_number,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("shuffle_key")
+    )
+    return global_row_number(
+        keyed,
+        ["shuffle_key", "doc_id"],
+        "pos",
+        bucket_col=F.substring("shuffle_key", 1, 2),
+    ).select("doc_id", "shuffle_key", "pos")
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH v AS (
+      SELECT tok AS token, count(*) AS tf
+      FROM (SELECT unnest({_DUCK_TOK}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    tot AS (SELECT sum(tf) AS t FROM v),
+    top AS (
+      SELECT token, tf,
+             row_number() OVER (ORDER BY tf DESC, token) AS rank,
+             sum(tf) OVER (ORDER BY tf DESC, token
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM v ORDER BY tf DESC, token LIMIT 100
+    )
+    SELECT rank, token, tf,
+           round(cum / (SELECT CAST(t AS DOUBLE) FROM tot), 6) AS cum_share
+    FROM top
+    """,
+    category="text",
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: the 100 most frequent tokens with
+    the cumulative share of ALL token occurrences they cover — the
+    how-big-must-the-vocab-be question. The corpus is reduced by one
+    map-side-combined count; the top-100 comes out via Spark's
+    TakeOrdered (per-partition heads, no global sort); the cumulative
+    window then runs over exactly 100 rows. The global total is a
+    1-row aggregate joined in by broadcast."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    v = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = v.agg(F.sum("tf").cast("double").alias("__total"))
+    top = v.orderBy(F.desc("tf"), F.asc("token")).limit(100)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum", F.sum("tf").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return ranked.join(F.broadcast(total)).select(
+        "rank",
+        "token",
+        "tf",
+        F.round(F.col("cum") / F.col("__total"), 6).alias("cum_share"),
+    )
+
+
+@register(
+    "text_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOK} AS tok FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(
+               list_transform(generate_series(1, len(tok) - 2),
+                              i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) AS s
+      FROM toks WHERE len(tok) >= 3
+    ),
+    sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+    common AS (
+      SELECT a.source AS sa, b.source AS sb, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT x.source AS source_a, y.source AS source_b,
+           COALESCE(c.n_common, 0) AS n_common,
+           round(COALESCE(c.n_common, 0)
+                 / CAST(x.n_sh + y.n_sh - COALESCE(c.n_common, 0) AS DOUBLE),
+                 6) AS jaccard
+    FROM sizes x JOIN sizes y ON x.source < y.source
+    LEFT JOIN common c ON c.sa = x.source AND c.sb = y.source
+    """,
+    category="text",
+)
+def text_source_overlap(spark, sf_dir):
+    """Cross-source contamination census: Jaccard similarity of the
+    DISTINCT word-3-gram sets of every source pair — how much of one
+    shard's content leaks into another. The shingle join is keyed on
+    the shingle string but its fan-out is bounded by the SOURCE
+    dimension, not the corpus: shingles are first deduplicated to one
+    row per (source, shingle), so a shingle appearing in every source
+    yields at most |sources| rows on each side. The final pair frame
+    is |sources| choose 2 — broadcast territory at any scale."""
+    from bigdata_financial_reporting_spark.operators.text import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingle_rows(d, "doc_id", "text", 3, extra=[F.col("source")])
+        .select("source", "s")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = (
+        sizes.alias("x")
+        .join(sizes.alias("y"), F.col("x.source") < F.col("y.source"))
+        .join(
+            F.broadcast(common),
+            (F.col("sa") == F.col("x.source"))
+            & (F.col("sb") == F.col("y.source")),
+            "left",
+        )
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0).cast("long"))
+    return pairs.select(
+        F.col("x.source").alias("source_a"),
+        F.col("y.source").alias("source_b"),
+        n_common.alias("n_common"),
+        F.round(
+            n_common
+            / (F.col("x.n_sh") + F.col("y.n_sh") - n_common).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+@register(
     "text_pack_sequences",
     oracle=f"""
     WITH t AS (

@@ -124,6 +124,45 @@ def test_global_lag_matches_naive_window(spark, rows):
 
 @SETTINGS
 @given(rows=rows_strategy)
+def test_global_row_number_matches_naive_window(spark, rows):
+    """Both global_row_number strategies (range-partitioned and static
+    hash-prefix buckets) must equal the naive single-partition
+    row_number for ANY data. The md5 prefix bucket is an
+    order-coarsening of the md5 order key, the bucketed path's
+    contract."""
+    from bigdata_financial_reporting_spark.operators.global_window import (
+        global_row_number,
+    )
+
+    df = _df(spark, rows).select(
+        "idx", F.md5(F.col("idx").cast("string")).alias("h")
+    )
+    naive_w = Window.orderBy("h", "idx")
+    naive = {
+        r.idx: r.p
+        for r in df.select(
+            "idx", F.row_number().over(naive_w).cast("long").alias("p")
+        ).collect()
+    }
+    for nparts in (1, 3, 7):
+        got = {
+            r["idx"]: r["pos"]
+            for r in global_row_number(
+                df, ["h", "idx"], num_partitions=nparts
+            ).collect()
+        }
+        assert got == naive, f"num_partitions={nparts}"
+    bucketed = {
+        r["idx"]: r["pos"]
+        for r in global_row_number(
+            df, ["h", "idx"], bucket_col=F.substring("h", 1, 1)
+        ).collect()
+    }
+    assert bucketed == naive
+
+
+@SETTINGS
+@given(rows=rows_strategy)
 def test_groupby_sum_equals_global_sum(spark, rows):
     df = _df(spark, rows)
     per_group = df.groupBy("k").agg(F.sum("v").alias("s"))
