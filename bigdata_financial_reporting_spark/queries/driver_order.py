@@ -101,6 +101,8 @@ DEFER_NEW: frozenset[str] = frozenset(
         "text_global_shuffle",
         "text_vocab_coverage",
         "text_source_overlap",
+        "text_unigram_logprob",
+        "ts_inter_event_gaps",
     }
 )
 

@@ -952,3 +952,49 @@ def text_pack_sequences(spark, sf_dir):
         )
         .alias("n_windows"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOK}) AS tok FROM documents
+    ),
+    v AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    c AS (SELECT sum(tf) AS total, count(*) AS vocab FROM v)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln((v.tf + 1) / CAST(c.total + c.vocab AS DOUBLE))), 6)
+             AS avg_neg_logp
+    FROM toks t JOIN v ON t.tok = v.tok CROSS JOIN c
+    GROUP BY t.doc_id
+    """,
+    category="text",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM fluency score — the CCNet/KenLM quality-filter shape
+    with the simplest possible model: corpus unigram frequencies with
+    add-one smoothing, scored as each document's mean negative log
+    probability (low = stereotypical text, high = rare-token soup).
+    The corpus is read once into (token, tf); scoring joins tokens to
+    that model on the token key — a fact-to-vocab join whose per-key
+    fan-out on the model side is exactly 1 row, so hot tokens skew the
+    probe side only and AQE's skew-join split applies. The (total,
+    vocab) pair is a 1-row broadcast. Docs with zero tokens drop out,
+    as in the SQL form."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    v = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    c = v.agg(
+        F.sum("tf").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    scored = toks.join(v, "tok").crossJoin(F.broadcast(c))
+    neg_logp = -F.log(
+        (F.col("tf") + 1) / (F.col("total") + F.col("vocab")).cast("double")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(neg_logp), 6).alias("avg_neg_logp"),
+    )

@@ -174,3 +174,50 @@ def ts_cohort_retention(spark, sf_dir):
     return out.select(
         F.date_format("cohort", "yyyy-MM-dd").alias("cohort_s"), "age", "n_active"
     )
+
+
+@register(
+    "ts_inter_event_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(*) + 1 AS n_events,
+           count(*) AS n_gaps,
+           round(avg(gap_us) / 1e6, 3) AS avg_gap_sec,
+           max(gap_us) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    category="timeseries",
+)
+def ts_inter_event_gaps(spark, sf_dir):
+    """Inter-event gap distribution per user — the arrival-cadence
+    census that sizes sessionization thresholds and watermark delays.
+    One partitioned lag window + one map-side-combined aggregation,
+    both keyed on user_id, so the two stages reuse a single shuffle
+    partitioning. Users with a single event carry no gaps and drop
+    out, exactly as in the SQL form. The mean is reported in seconds
+    at 3 decimals: microsecond gaps are ~1e10, where a 6-decimal
+    rounding would sit below double-precision ulp and make the value
+    summation-order-dependent across engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_us") / 1e6, 3).alias("avg_gap_sec"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
