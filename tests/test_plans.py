@@ -225,3 +225,34 @@ def test_multitable_lsh_plan_has_no_cartesian_and_bounded_shuffles(spark, sf_dir
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_exchanges(df) <= 10
+
+
+def test_global_shuffle_ranks_in_static_buckets(spark, sf_dir):
+    """text_global_shuffle must rank inside the static hash-prefix
+    buckets — one data shuffle, no range-partition sampling, offsets
+    joined by broadcast. The only SinglePartition exchange allowed is
+    the 256-row offsets branch, which is why the data-side window must
+    be keyed on the bucket."""
+    df = QUERIES["text_global_shuffle"].fn(spark, sf_dir)
+    p = physical_plan(df)
+    assert "rangepartitioning" not in p
+    assert "windowspecdefinition(__b" in p
+    assert has_broadcast_hash_join(df)
+
+
+def test_vocab_coverage_uses_take_ordered(spark, sf_dir):
+    """The top-100 must come out via TakeOrdered (per-partition heads)
+    — a global Sort of the vocabulary would shuffle every distinct
+    token to one task."""
+    df = QUERIES["text_vocab_coverage"].fn(spark, sf_dir)
+    p = physical_plan(df)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_unigram_logprob_model_join_is_not_cartesian(spark, sf_dir):
+    """Scoring joins tokens to the unigram model on the token key; the
+    1-row (total, vocab) frame rides a broadcast."""
+    df = QUERIES["text_unigram_logprob"].fn(spark, sf_dir)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert count_exchanges(df) <= 6
