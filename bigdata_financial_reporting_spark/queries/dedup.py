@@ -163,3 +163,80 @@ def dedup_embedding_cosine(spark, sf_dir):
     join would make the oracle comparison vacuous."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_blocked_pairs(e, "vec_id", "embedding", 0.35)
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, sha256(lower(trim(text))) AS h FROM documents
+    ),
+    corpus AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 400),
+    batch AS (
+      SELECT doc_id, h FROM hashed WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 1000, h FROM hashed WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id + 2000, h FROM hashed WHERE doc_id BETWEEN 400 AND 419
+    )
+    SELECT b.doc_id,
+           CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                WHEN row_number() OVER (PARTITION BY b.h
+                                        ORDER BY b.doc_id) > 1
+                  THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM batch b LEFT JOIN corpus c ON b.h = c.h
+    """,
+    category="dedup",
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup — the rolling-ingest shape: a new batch
+    is checked against the already-ingested corpus (doc_id < 400), and
+    batch-internal dups are separated from corpus dups so ingest stats
+    stay honest. The fixture corpus has no exact duplicates, so the
+    batch is built as a re-crawl: today's docs (doc_id >= 400) plus
+    re-keyed copies of 50 corpus docs (fires dup_of_corpus) and of 20
+    batch docs (fires dup_in_batch) — every status path executes and
+    the oracle checks all three. Only (id, 32-byte hash) rows move:
+    the corpus side reduces to its distinct hash set before the join
+    (at 100 TB that set lives as a bucketed table or bloom filter; the
+    join here IS the probe), and the batch-internal check is a window
+    over the same hash partitioning the join just established."""
+    from pyspark.sql import Window
+
+    from bigdata_financial_reporting_spark.operators.dedup import (
+        normalized_text_hash,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalized_text_hash("text").alias("h")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") < 400).select("h").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    batch = (
+        d.filter(F.col("doc_id") >= 400)
+        .unionAll(
+            d.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "h"
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id").between(400, 419)).select(
+                (F.col("doc_id") + 2000).alias("doc_id"), "h"
+            )
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        batch.join(corpus, "h", "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("__hit") == 1, "dup_of_corpus")
+            .when(F.col("__rn") > 1, "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )

@@ -103,6 +103,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "text_source_overlap",
         "text_unigram_logprob",
         "ts_inter_event_gaps",
+        "dedup_incremental",
     }
 )
 

@@ -679,7 +679,7 @@ def text_redact(spark, sf_dir):
     oracle=f"""
     WITH t AS (
       SELECT source, count(*) AS n_docs,
-             sum(len({_DUCK_TOK})) AS n_tokens
+             CAST(sum(len({_DUCK_TOK})) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
     p AS (
