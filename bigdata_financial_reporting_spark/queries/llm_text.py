@@ -791,12 +791,22 @@ def text_vocab_coverage(spark, sf_dir):
     map-side-combined count; the top-100 comes out via Spark's
     TakeOrdered (per-partition heads, no global sort); the cumulative
     window then runs over exactly 100 rows. The global total is a
-    1-row aggregate joined in by broadcast."""
+    1-row aggregate joined in by broadcast. The vocabulary frame is
+    persisted (tracked, caller-released): both the top-100 and the
+    total read it, and without the persist each branch re-runs the
+    corpus explode+count — one corpus pass instead of two."""
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokenize(F.col("text"))).alias("token"))
-    v = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    v = track(
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     total = v.agg(F.sum("tf").cast("double").alias("__total"))
     top = v.orderBy(F.desc("tf"), F.asc("token")).limit(100)
     w = Window.orderBy(F.desc("tf"), F.asc("token"))
@@ -981,12 +991,25 @@ def text_unigram_logprob(spark, sf_dir):
     fan-out on the model side is exactly 1 row, so hot tokens skew the
     probe side only and AQE's skew-join split applies. The (total,
     vocab) pair is a 1-row broadcast. Docs with zero tokens drop out,
-    as in the SQL form."""
+    as in the SQL form. The model frame v is persisted (tracked,
+    caller-released): it feeds both the scoring join and the totals,
+    and is vocabulary-sized — persisting it costs O(vocab) memory and
+    saves a third corpus explode; the token stream itself is NOT
+    persisted (corpus-sized — two streaming passes over the source
+    beat materializing 1:1 token rows at 100 TB)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
     )
-    v = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    v = track(
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     c = v.agg(
         F.sum("tf").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
