@@ -108,3 +108,46 @@ def fingerprint(text: Column | str) -> Column:
     """
     toks = F.sort_array(F.array_distinct(tokenize(text)))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 5, w: int = 4):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS plagiarism-detection algorithm): normalize to [a-z0-9],
+    hash every char k-gram with a polynomial rolling hash (base 131
+    mod 2^31-1 — plain BIGINT arithmetic, so any engine reproduces the
+    values bit-for-bit), then keep the minimum hash of each window of
+    ``w`` consecutive k-gram hashes. Any substring match of length
+    >= w + k - 1 between two documents is guaranteed to share a
+    fingerprint — the property bag-of-words hashing (``fingerprint``)
+    lacks. Returns ``(id, n_kgrams, fps)`` with ``fps`` the distinct
+    selected hashes; explode ``fps`` for the inverted fingerprint
+    index that powers sub-string-level near-dup candidate generation
+    at scale (same join shape as the shingle pipeline). Everything is
+    one codegen projection per row — no shuffle, no Python."""
+    kgram = (
+        f"transform(sequence(1, length(__t) - {k - 1}), "
+        f"i -> aggregate(transform(sequence(0, {k - 1}), "
+        f"j -> cast(ascii(substring(__t, i + j, 1)) AS bigint)), "
+        f"cast(0 AS bigint), (acc, c) -> (acc * 131 + c) % 2147483647))"
+    )
+    mins = ", ".join(f"element_at(__kh, i+{j})" for j in range(w))
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "").alias("__t"),
+    )
+    kg = normed.select(
+        "id",
+        F.expr(
+            f"CASE WHEN length(__t) >= {k} THEN {kgram} ELSE array() END"
+        ).alias("__kh"),
+    )
+    return kg.select(
+        "id",
+        F.size("__kh").cast("long").alias("n_kgrams"),
+        F.expr(
+            f"CASE WHEN size(__kh) >= {w} THEN "
+            f"array_distinct(transform(sequence(1, size(__kh) - {w - 1}), "
+            f"i -> least({mins}))) "
+            f"ELSE array_distinct(__kh) END"
+        ).alias("fps"),
+    )

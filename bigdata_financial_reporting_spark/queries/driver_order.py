@@ -104,6 +104,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "text_unigram_logprob",
         "ts_inter_event_gaps",
         "dedup_incremental",
+        "text_winnow_fingerprint",
     }
 )
 

@@ -1021,3 +1021,63 @@ def text_unigram_logprob(spark, sf_dir):
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg(neg_logp), 6).alias("avg_neg_logp"),
     )
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= 5 THEN
+               list_transform(generate_series(1, length(t) - 4),
+                 i -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(generate_series(0, 4),
+                            j -> CAST(unicode(substr(t, i + j, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 131 + c) % 2147483647))
+             ELSE [] END AS kh
+      FROM norm
+    ),
+    win AS (
+      SELECT doc_id, kh,
+             CASE WHEN len(kh) >= 4 THEN
+               list_distinct(list_transform(generate_series(1, len(kh) - 3),
+                 i -> least(kh[i], kh[i+1], kh[i+2], kh[i+3])))
+             ELSE list_distinct(kh) END AS fps
+      FROM kg
+    )
+    SELECT doc_id, len(kh) AS n_kgrams, len(fps) AS n_fps,
+           md5(array_to_string(list_sort(fps), '-')) AS fp_digest
+    FROM win
+    """,
+    category="text",
+)
+def text_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprints via winnowing (k=5, w=4) —
+    see operators/text.winnow_fingerprints for the algorithm and its
+    shared-substring guarantee. Emits per doc the k-gram count, the
+    selected-fingerprint count, and an md5 digest of the sorted
+    fingerprint set (two docs sharing a digest are near-certain
+    substring-level duplicates; explode the set instead for the
+    inverted candidate index). Scan -> one codegen projection; the
+    polynomial arithmetic is engine-neutral BIGINT, verified
+    bit-exactly against the SQL oracle."""
+    from bigdata_financial_reporting_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d, "doc_id", "text", k=5, w=4)
+    return fp.select(
+        F.col("id").alias("doc_id"),
+        "n_kgrams",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.expr(
+            "md5(array_join(transform(array_sort(fps), x -> cast(x AS string)), '-'))"
+        ).alias("fp_digest"),
+    )

@@ -256,3 +256,11 @@ def test_unigram_logprob_model_join_is_not_cartesian(spark, sf_dir):
     p = physical_plan(df)
     assert "CartesianProduct" not in p
     assert count_exchanges(df) <= 6
+
+
+def test_winnow_fingerprint_is_single_projection(spark, sf_dir):
+    """Winnowing is per-row arithmetic: scan -> one codegen projection,
+    zero exchanges. Any shuffle appearing here means the rolling hash
+    was accidentally reformulated as a join or window."""
+    df = QUERIES["text_winnow_fingerprint"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0

@@ -365,3 +365,31 @@ def test_wav_synthesis_parses_back_exactly(doc_id, text):
     (af, ch, got_rate, bits), got_data = out
     assert (af, ch, got_rate, bits) == (1, 1, rate, 8)
     assert got_data == data
+
+
+@SETTINGS
+@given(
+    pre=st.text(alphabet="abcdefgh", min_size=0, max_size=20),
+    shared=st.text(alphabet="abcdefgh", min_size=8, max_size=24),
+    post=st.text(alphabet="abcdefgh", min_size=0, max_size=20),
+)
+def test_winnowing_shared_substring_guarantee(spark, pre, shared, post):
+    """Winnowing (k=5, w=4) guarantees: two documents sharing a
+    substring of length >= w + k - 1 = 8 share at least one
+    fingerprint — the SIGMOD'03 correctness property, for ANY
+    surrounding text."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=1, t=pre + shared), Row(id=2, t=shared + post)],
+        "id int, t string",
+    )
+    fps = {
+        r["id"]: set(r["fps"])
+        for r in winnow_fingerprints(df, "id", "t", k=5, w=4).collect()
+    }
+    assert fps[1] & fps[2], (pre, shared, post)
