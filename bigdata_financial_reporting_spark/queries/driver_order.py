@@ -105,6 +105,8 @@ DEFER_NEW: frozenset[str] = frozenset(
         "ts_inter_event_gaps",
         "dedup_incremental",
         "text_winnow_fingerprint",
+        "ops_compact_roundtrip",
+        "ops_upsert_roundtrip",
     }
 )
 

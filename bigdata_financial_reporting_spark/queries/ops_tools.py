@@ -82,3 +82,78 @@ def ops_validate_quality(spark, sf_dir):
         accepted_values("o_orderstatus", ["O", "F", "P"]),
     ]
     return validate(o, rules).select("rule", "n_rows", "n_violations")
+
+
+@register(
+    "ops_compact_roundtrip",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n,
+           round(sum(c_acctbal), 4) AS acctbal
+    FROM customer GROUP BY c_nationkey
+    """,
+    category="ops",
+)
+def ops_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction as a verified roundtrip: customer is
+    scattered into 16 tiny parquet files (the streaming-append
+    pathology), compact_parquet rewrites the directory to the target
+    file size with a staged-then-swapped temp dir, and the compacted
+    table must aggregate identically to the source of truth. The
+    operator's file-count reduction is asserted in test_ops_tools; the
+    oracle here pins content preservation through the rewrite."""
+    import os
+    import tempfile
+
+    from bigdata_financial_reporting_spark.operators.compact import (
+        compact_parquet,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    path = os.path.join(tempfile.mkdtemp(prefix="bdfr_compact_"), "customer")
+    c.repartition(16).write.mode("overwrite").parquet(path)
+    compact_parquet(spark, path, target_file_bytes=256 * 1024 * 1024)
+    back = spark.read.parquet(path)
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 4).alias("acctbal"),
+    )
+
+
+@register(
+    "ops_upsert_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey BETWEEN 10000 AND 30000
+                 THEN o_totalprice * 2 ELSE o_totalprice END, 4) AS price
+    FROM orders
+    WHERE o_orderkey <= 20000 OR o_orderkey BETWEEN 10000 AND 30000
+    """,
+    category="ops",
+)
+def ops_upsert_roundtrip(spark, sf_dir):
+    """Keyed MERGE as a verified roundtrip: the target table holds
+    orders with key <= 20000; the source batch re-states keys
+    10000-30000 with doubled prices. After upsert_parquet (anti-join +
+    union, staged swap), matched keys must carry the update, unmatched
+    source keys must be inserted, and untouched target rows must
+    survive — exactly the CASE expression the oracle evaluates against
+    the original table. Read-join-rewrite is the log-less-parquet MERGE
+    cost; the operator docstring is the semantic reference for a
+    table-format upgrade."""
+    import os
+    import tempfile
+
+    from bigdata_financial_reporting_spark.operators.upsert import (
+        upsert_parquet,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("price")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="bdfr_upsert_"), "orders")
+    o.filter(F.col("o_orderkey") <= 20000).write.mode("overwrite").parquet(path)
+    source = o.filter(F.col("o_orderkey").between(10000, 30000)).select(
+        "o_orderkey", F.round(F.col("price") * 2, 4).alias("price")
+    )
+    upsert_parquet(spark, path, source, ["o_orderkey"])
+    return spark.read.parquet(path).select("o_orderkey", "price")
