@@ -42,13 +42,16 @@ def global_lag(
     results)."""
     from pyspark.storagelevel import StorageLevel
 
+    from bigdata_financial_reporting_spark.operators.cache import track
+
     order = [F.col(c) for c in order_cols]
     # Persisted for CORRECTNESS, not just speed: repartitionByRange
     # samples the data to pick boundaries, so two independent
     # evaluations of this subtree could assign rows to different
     # partitions — the boundary stitch below requires every consumer to
-    # see the SAME __pid assignment.
-    parts = (
+    # see the SAME __pid assignment. Tracked so callers' cache-release
+    # points free it like every other operator-internal persist.
+    parts = track(
         df.repartitionByRange(*([num_partitions] if num_partitions else []), *order)
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -112,11 +115,13 @@ def global_row_number(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from bigdata_financial_reporting_spark.operators.cache import track
+
     order = [F.col(c) for c in order_cols]
     if bucket_col is not None:
         parts = df.withColumn("__b", bucket_col)
     else:
-        parts = (
+        parts = track(
             df.repartitionByRange(
                 *([num_partitions] if num_partitions else []), *order
             )

@@ -58,6 +58,15 @@ _ORACLE = (
 )
 
 
+def _near_dup_pairs(d):
+    """The ONE near-dup pair definition both cluster queries share —
+    its LSH parameters must stay in lockstep with _LABELS_CTE's exact
+    oracle closure, so it exists exactly once."""
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", shingle_n=3, num_hashes=128, bands=64, threshold=0.35
+    ).select("id_a", "id_b")
+
+
 @register("dedup_clusters", oracle=_ORACLE, category="dedup")
 def dedup_clusters_q(spark, sf_dir):
     """Full dedup pipeline ending: minhash pairs -> connected
@@ -65,10 +74,7 @@ def dedup_clusters_q(spark, sf_dir):
     per cluster; singletons survive themselves. Oracle closes the same
     pair set with a recursive CTE."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        d, "doc_id", "text", shingle_n=3, num_hashes=128, bands=64, threshold=0.35
-    ).select("id_a", "id_b")
-    return dedup_clusters(pairs, d, "doc_id").select(
+    return dedup_clusters(_near_dup_pairs(d), d, "doc_id").select(
         "id", "component", "is_survivor"
     )
 
@@ -108,10 +114,9 @@ def dedup_survivor_quality(spark, sf_dir):
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        d, "doc_id", "text", shingle_n=3, num_hashes=128, bands=64, threshold=0.35
-    ).select("id_a", "id_b")
-    clusters = dedup_clusters(pairs, d, "doc_id").select("id", "component")
+    clusters = dedup_clusters(_near_dup_pairs(d), d, "doc_id").select(
+        "id", "component"
+    )
     toks = d.select(
         F.col("doc_id").alias("id"),
         F.size(tokenize(F.col("text"))).alias("n_tokens"),

@@ -175,9 +175,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     batch AS (
       SELECT doc_id, h FROM hashed WHERE doc_id >= 400
       UNION ALL
-      SELECT doc_id + 1000, h FROM hashed WHERE doc_id < 50
+      SELECT doc_id + 1000000000, h FROM hashed WHERE doc_id < 50
       UNION ALL
-      SELECT doc_id + 2000, h FROM hashed WHERE doc_id BETWEEN 400 AND 419
+      SELECT doc_id + 2000000000, h FROM hashed
+      WHERE doc_id BETWEEN 400 AND 419
     )
     SELECT b.doc_id,
            CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
@@ -215,16 +216,19 @@ def dedup_incremental(spark, sf_dir):
         d.filter(F.col("doc_id") < 400).select("h").distinct()
         .withColumn("__hit", F.lit(1))
     )
+    # Re-key offsets sit far above any fixture id range (sf0.1 reaches
+    # doc_id 4999; the 10x staging replicates at +1e10) so synthetic
+    # batch ids never collide with real batch docs at ANY scale factor.
     batch = (
         d.filter(F.col("doc_id") >= 400)
         .unionAll(
             d.filter(F.col("doc_id") < 50).select(
-                (F.col("doc_id") + 1000).alias("doc_id"), "h"
+                (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "h"
             )
         )
         .unionAll(
             d.filter(F.col("doc_id").between(400, 419)).select(
-                (F.col("doc_id") + 2000).alias("doc_id"), "h"
+                (F.col("doc_id") + 2_000_000_000).alias("doc_id"), "h"
             )
         )
     )

@@ -690,7 +690,8 @@ def text_redact(spark, sf_dir):
     SELECT source, n_docs, n_tokens,
            round(nat, 6) AS natural_share,
            round(wraw / sum(wraw) OVER (), 6) AS weight,
-           round((wraw / sum(wraw) OVER ()) / nat, 6) AS epochs
+           round(CASE WHEN nat > 0
+                 THEN (wraw / sum(wraw) OVER ()) / nat END, 6) AS epochs
     FROM w
     """,
     category="text",
@@ -721,7 +722,11 @@ def mix_temperature_sample(spark, sf_dir):
         "n_tokens",
         F.round("nat", 6).alias("natural_share"),
         F.round(share, 6).alias("weight"),
-        F.round(share / F.col("nat"), 6).alias("epochs"),
+        # guard the all-empty-source corner: 0/0 is NULL in Spark
+        # (ANSI off) but NaN in DuckDB — pin both engines to NULL
+        F.round(F.when(F.col("nat") > 0, share / F.col("nat")), 6).alias(
+            "epochs"
+        ),
     )
 
 

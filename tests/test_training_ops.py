@@ -63,9 +63,11 @@ def test_pack_sequences_covers_the_stream(spark, sf_dir):
 
 def test_source_overlap_is_bounded_and_total(spark, sf_dir):
     """One row per unordered source pair; jaccard in [0, 1]."""
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
     rows = _rows(spark, sf_dir, "text_source_overlap")
     n_sources = (
-        QUERIES["mix_temperature_sample"].fn(spark, sf_dir).count()
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
     )
     assert len(rows) == n_sources * (n_sources - 1) // 2
     assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
@@ -96,16 +98,42 @@ def test_incremental_dedup_statuses_partition_the_batch(spark, sf_dir):
 
 
 def test_survivor_quality_keeps_max_token_member(spark, sf_dir):
-    """Each emitted survivor has the cluster's maximum token count and
-    member counts sum to the corpus size (every doc is in exactly one
-    cluster, singletons included)."""
+    """Each emitted survivor carries its cluster's MAXIMUM token count
+    (checked against an independent per-cluster max over the clusters
+    frame — regressing the ranking to min-token or min-id fails here),
+    and member counts sum to the corpus size (every doc is in exactly
+    one cluster, singletons included)."""
     from bigdata_financial_reporting_spark.operators.cache import (
         release_operator_caches,
+    )
+    from bigdata_financial_reporting_spark.operators.components import (
+        dedup_clusters,
+    )
+    from bigdata_financial_reporting_spark.operators.text import tokenize
+    from bigdata_financial_reporting_spark.queries.components import (
+        _near_dup_pairs,
     )
     from bigdata_financial_reporting_spark.sources.catalog import load_table
 
     rows = _rows(spark, sf_dir, "dedup_survivor_quality")
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    assert sum(r["n_members"] for r in rows) == n_docs
-    assert all(r["survivor_tokens"] >= 0 for r in rows)
+    d = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_members"] for r in rows) == d.count()
+
+    clusters = dedup_clusters(_near_dup_pairs(d), d, "doc_id").select(
+        "id", "component"
+    )
+    toks = d.select(
+        F.col("doc_id").alias("id"),
+        F.size(tokenize(F.col("text"))).alias("n_tokens"),
+    )
+    true_max = {
+        r["component"]: r["mx"]
+        for r in clusters.join(toks, "id")
+        .groupBy("component")
+        .agg(F.max("n_tokens").alias("mx"))
+        .collect()
+    }
+    assert len(rows) == len(true_max)
+    for r in rows:
+        assert r["survivor_tokens"] == true_max[r["component"]], r
     release_operator_caches()
