@@ -264,3 +264,33 @@ def test_winnow_fingerprint_is_single_projection(spark, sf_dir):
     was accidentally reformulated as a join or window."""
     df = QUERIES["text_winnow_fingerprint"].fn(spark, sf_dir)
     assert count_exchanges(df) == 0
+
+
+def test_dynamic_partition_pruning_from_dim_join(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: when the partition column is joined
+    to a FILTERED small dimension, the fact scan must receive a
+    runtime `dynamicpruning` subquery filter instead of reading every
+    partition — at 100 TB this is the difference between scanning one
+    date's directories and scanning the lake. Static pruning (above)
+    can't cover this case because the qualifying keys are only known
+    after the dim filter runs."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "etype", F.col("event_type")
+    )
+    path = os.path.join(str(tmp_path), "ev_dpp")
+    ev.write.partitionBy("etype").mode("overwrite").parquet(path)
+
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("view", 1.0), ("purchase", 9.9)],
+        "etype string, weight double",
+    ).filter(F.col("weight") > 5)  # selects only 'purchase'
+    joined = fact.join(dim, "etype").groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = physical_plan(joined, mode="formatted")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = joined.collect()
+    assert [r["etype"] for r in rows] == ["purchase"]
