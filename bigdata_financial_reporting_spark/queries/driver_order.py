@@ -107,6 +107,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "text_winnow_fingerprint",
         "ops_compact_roundtrip",
         "ops_upsert_roundtrip",
+        "join_range_banded",
     }
 )
 

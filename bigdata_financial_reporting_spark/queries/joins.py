@@ -385,3 +385,48 @@ def join_self(spark, sf_dir):
             "pair_price"
         ),
     )
+
+
+@register(
+    "join_range_banded",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey,
+             TIMESTAMP '2024-01-01' + (o_orderkey % 25) * INTERVAL 1 DAY AS w_start,
+             TIMESTAMP '2024-01-01' + (o_orderkey % 25) * INTERVAL 1 DAY
+               + INTERVAL 2 DAY AS w_end
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT o_orderkey, count(*) AS n_events, round(sum(value), 4) AS value_sum
+    FROM w JOIN events ON ts >= w_start AND ts < w_end
+    GROUP BY o_orderkey
+    """,
+    category="joins",
+)
+def join_range_banded(spark, sf_dir):
+    """PURE range containment with NO equi key — every event against
+    every order window whose 2-day span contains it. Catalyst's only
+    native plans for this are broadcast-nested-loop or a cartesian;
+    operators/rangejoin.banded_range_join rewrites it as an equi-join
+    on 1-day band buckets (each interval covers <= 3 buckets, each
+    point exactly one, every match meets exactly once), so BOTH sides
+    can be arbitrarily large — the large-to-large range join the
+    docstring of join_theta defers to. A plan test pins the equi-join
+    shape."""
+    from bigdata_financial_reporting_spark.operators.rangejoin import (
+        banded_range_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    w = o.select(
+        "o_orderkey",
+        F.expr(
+            "timestampadd(DAY, CAST(o_orderkey % 25 AS INT), TIMESTAMP '2024-01-01')"
+        ).alias("w_start"),
+    ).withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 DAYS"))
+    e = load_table(spark, sf_dir, "events").select("ts", "value")
+    j = banded_range_join(e, w, "ts", "w_start", "w_end", band_seconds=86400)
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )

@@ -294,3 +294,17 @@ def test_dynamic_partition_pruning_from_dim_join(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     rows = joined.collect()
     assert [r["etype"] for r in rows] == ["purchase"]
+
+
+def test_banded_range_join_is_an_equi_join(spark, sf_dir):
+    """The pure-range containment query must ride the band-bucket
+    EQUI join — never BroadcastNestedLoopJoin (needs a small side) or
+    CartesianProduct (quadratic). This is the property that makes it a
+    large-to-large join at 100 TB."""
+    df = QUERIES["join_range_banded"].fn(spark, sf_dir)
+    p = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )

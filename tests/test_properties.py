@@ -393,3 +393,53 @@ def test_winnowing_shared_substring_guarantee(spark, pre, shared, post):
         for r in winnow_fingerprints(df, "id", "t", k=5, w=4).collect()
     }
     assert fps[1] & fps[2], (pre, shared, post)
+
+
+@SETTINGS
+@given(
+    pts=st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=25),
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=500),   # start
+            st.integers(min_value=0, max_value=120),     # length
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    band=st.sampled_from([7, 60, 100]),
+)
+def test_banded_range_join_matches_naive(spark, pts, ivs, band):
+    """The banded rewrite must equal the naive theta join for ANY
+    points/intervals and any band width — including empty intervals,
+    boundary-touching ends (exclusive), and intervals spanning many
+    bands."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.rangejoin import (
+        banded_range_join,
+    )
+
+    p = spark.createDataFrame(
+        [Row(pid=i, pt=v) for i, v in enumerate(pts)], "pid int, pt long"
+    ).select("pid", F.timestamp_micros((F.col("pt") * 1_000_000)).alias("pt"))
+    iv = spark.createDataFrame(
+        [Row(iid=i, s=s, e=s + ln) for i, (s, ln) in enumerate(ivs)],
+        "iid int, s long, e long",
+    ).select(
+        "iid",
+        F.timestamp_micros(F.col("s") * 1_000_000).alias("s"),
+        F.timestamp_micros(F.col("e") * 1_000_000).alias("e"),
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in p.join(
+            iv, (p.pt >= iv.s) & (p.pt < iv.e)
+        ).select("pid", "iid").collect()
+    )
+    banded = sorted(
+        (r["pid"], r["iid"])
+        for r in banded_range_join(p, iv, "pt", "s", "e", band_seconds=band)
+        .select("pid", "iid")
+        .collect()
+    )
+    assert banded == naive
