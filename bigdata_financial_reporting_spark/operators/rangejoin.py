@@ -70,3 +70,48 @@ def banded_range_join(
         how,
     )
     return joined.drop("__pb", "__ib")
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    band_seconds: int,
+) -> DataFrame:
+    """Interval-OVERLAP join (``l_start < r_end AND r_start < l_end``,
+    half-open) via the same banding: both sides explode into covered
+    buckets, overlapping pairs share at least one bucket, and the
+    first-common-bucket condition ``bucket == greatest(bucket(l_start),
+    bucket(r_start))`` emits each pair EXACTLY once — no distinct pass
+    over the output. Column names must not collide."""
+
+    def bucket(c: Column) -> Column:
+        return F.floor(F.unix_micros(c) / (band_seconds * 1_000_000)).cast("long")
+
+    def spanned(df: DataFrame, s: str, e: str, out: str) -> DataFrame:
+        return df.withColumn(
+            out,
+            F.explode(
+                F.sequence(
+                    bucket(F.col(s)),
+                    bucket(F.timestamp_micros(F.unix_micros(F.col(e)) - F.lit(1))),
+                )
+            ),
+        )
+
+    l = spanned(left, left_start, left_end, "__lb")
+    r = spanned(right, right_start, right_end, "__rb")
+    joined = l.join(
+        r,
+        (F.col("__lb") == F.col("__rb"))
+        & (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+        & (
+            F.col("__lb")
+            == F.greatest(bucket(F.col(left_start)), bucket(F.col(right_start)))
+        ),
+    )
+    return joined.drop("__lb", "__rb")

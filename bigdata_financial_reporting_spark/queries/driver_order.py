@@ -108,6 +108,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "ops_compact_roundtrip",
         "ops_upsert_roundtrip",
         "join_range_banded",
+        "join_interval_overlap",
     }
 )
 

@@ -430,3 +430,61 @@ def join_range_banded(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("value_sum"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS a_key,
+             TIMESTAMP '2024-01-01' + (o_orderkey % 25) * INTERVAL 1 DAY AS a_start,
+             TIMESTAMP '2024-01-01' + (o_orderkey % 25) * INTERVAL 1 DAY
+               + INTERVAL 2 DAY AS a_end
+      FROM orders WHERE o_orderkey < 500
+    ),
+    b AS (
+      SELECT o_orderkey AS b_key,
+             TIMESTAMP '2024-01-01' + (o_orderkey % 20) * INTERVAL 1 DAY AS b_start,
+             TIMESTAMP '2024-01-01' + (o_orderkey % 20) * INTERVAL 1 DAY
+               + INTERVAL 3 DAY AS b_end
+      FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 800
+    )
+    SELECT b_key, count(*) AS n_overlaps, min(a_key) AS first_a
+    FROM a JOIN b ON a_start < b_end AND b_start < a_end
+    GROUP BY b_key
+    """,
+    category="joins",
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-to-interval OVERLAP join with no equi key — two window
+    sets meet wherever their half-open spans intersect.
+    operators/rangejoin.banded_interval_join explodes BOTH sides into
+    band buckets and keeps a pair only in the FIRST bucket the two
+    spans share, so each overlapping pair is emitted exactly once with
+    no distinct pass — large-to-large, both sides shuffled by bucket."""
+    from bigdata_financial_reporting_spark.operators.rangejoin import (
+        banded_interval_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") < 500).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.expr(
+            "timestampadd(DAY, CAST(o_orderkey % 25 AS INT), TIMESTAMP '2024-01-01')"
+        ).alias("a_start"),
+    ).withColumn("a_end", F.col("a_start") + F.expr("INTERVAL 2 DAYS"))
+    b = o.filter(
+        (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 800)
+    ).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.expr(
+            "timestampadd(DAY, CAST(o_orderkey % 20 AS INT), TIMESTAMP '2024-01-01')"
+        ).alias("b_start"),
+    ).withColumn("b_end", F.col("b_start") + F.expr("INTERVAL 3 DAYS"))
+    j = banded_interval_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", band_seconds=86400
+    )
+    return j.groupBy("b_key").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.min("a_key").alias("first_a"),
+    )

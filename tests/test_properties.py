@@ -443,3 +443,52 @@ def test_banded_range_join_matches_naive(spark, pts, ivs, band):
         .collect()
     )
     assert banded == naive
+
+
+@SETTINGS
+@given(
+    lhs=st.lists(
+        st.tuples(st.integers(min_value=-50, max_value=400),
+                  st.integers(min_value=0, max_value=150)),
+        min_size=0, max_size=12,
+    ),
+    rhs=st.lists(
+        st.tuples(st.integers(min_value=-50, max_value=400),
+                  st.integers(min_value=0, max_value=150)),
+        min_size=0, max_size=12,
+    ),
+    band=st.sampled_from([13, 60, 90]),
+)
+def test_banded_interval_join_matches_naive(spark, lhs, rhs, band):
+    """The first-common-bucket dedup must make the banded overlap join
+    equal the naive theta overlap join — every pair exactly once — for
+    ANY interval sets and band width."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.rangejoin import (
+        banded_interval_join,
+    )
+
+    def iv(rows, k, s, e):
+        return spark.createDataFrame(
+            [Row(**{k: i, "__s": a, "__e": a + ln}) for i, (a, ln) in enumerate(rows)],
+            f"{k} int, __s long, __e long",
+        ).select(
+            k,
+            F.timestamp_micros(F.col("__s") * 1_000_000).alias(s),
+            F.timestamp_micros(F.col("__e") * 1_000_000).alias(e),
+        )
+
+    l = iv(lhs, "lid", "ls", "le")
+    r = iv(rhs, "rid", "rs", "re")
+    naive = sorted(
+        (x["lid"], x["rid"])
+        for x in l.join(r, (l.ls < r.re) & (r.rs < l.le)).select("lid", "rid").collect()
+    )
+    banded = sorted(
+        (x["lid"], x["rid"])
+        for x in banded_interval_join(l, r, "ls", "le", "rs", "re", band_seconds=band)
+        .select("lid", "rid")
+        .collect()
+    )
+    assert banded == naive
