@@ -109,6 +109,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "ops_upsert_roundtrip",
         "join_range_banded",
         "join_interval_overlap",
+        "dedup_winnow_pairs",
     }
 )
 

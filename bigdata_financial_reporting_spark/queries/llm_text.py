@@ -1028,9 +1028,10 @@ def text_unigram_logprob(spark, sf_dir):
     )
 
 
-@register(
-    "text_winnow_fingerprint",
-    oracle="""
+# Winnowing (k=5, w=4) in DuckDB — identical BIGINT arithmetic to
+# operators/text.winnow_fingerprints; shared by the fingerprint and
+# pair queries below.
+_DUCK_WINNOW = """
     WITH norm AS (
       SELECT doc_id,
              regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
@@ -1056,6 +1057,13 @@ def text_unigram_logprob(spark, sf_dir):
              ELSE list_distinct(kh) END AS fps
       FROM kg
     )
+"""
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=_DUCK_WINNOW
+    + """
     SELECT doc_id, len(kh) AS n_kgrams, len(fps) AS n_fps,
            md5(array_to_string(list_sort(fps), '-')) AS fp_digest
     FROM win
@@ -1086,3 +1094,96 @@ def text_winnow_fingerprint(spark, sf_dir):
             "md5(array_join(transform(array_sort(fps), x -> cast(x AS string)), '-'))"
         ).alias("fp_digest"),
     )
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=_DUCK_WINNOW
+    + """
+    , rows_ AS (SELECT doc_id, unnest(fps) AS f FROM win),
+    kept AS (
+      SELECT doc_id, f FROM (
+        SELECT doc_id, f, count(*) OVER (PARTITION BY f) AS df FROM rows_
+      ) WHERE df <= 100
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           round(n_shared / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+    FROM shared JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_shared >= 5
+      AND n_shared / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.5
+    """,
+    category="dedup",
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Substring-level near-dup pairs via the winnowing inverted
+    index — the complement to MinHash (word-shingle Jaccard): pairs
+    rank by CONTAINMENT (shared fingerprints / smaller doc's set), so
+    a short doc copied into a long one scores ~1.0 where Jaccard
+    dilutes toward 0. Fingerprint rows (id, fp) self-join on the
+    fingerprint key — identical shape and scale posture to the shingle
+    pair join, with winnowing already thinning the index ~3x vs raw
+    k-grams. The hot-fingerprint escape is built IN, not optional: a
+    fingerprint appearing in more than 100 documents (a stop-phrase)
+    is dropped before the pair join, bounding the per-key fan-out at
+    C(100,2) — without the cap the 10x-duplicated stress corpus drove
+    the pair aggregation to an executor OOM. The df filter is one
+    window over the same fingerprint partitioning the join needs, and
+    the oracle applies the identical cap, so the comparison stays
+    exact. TWO persists (tracked): the fingerprint frame — not just
+    reuse but an EVALUATION BARRIER, because exploding the unpersisted
+    fps column lets projection collapse inline the winnowing
+    expression into the Generate, re-evaluating the k-gram array per
+    output element (observed: sf0.01 went from ~2 s to minutes) — and
+    the capped rows frame, which the pair join reads twice and the
+    sizes once."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+    from bigdata_financial_reporting_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = track(
+        winnow_fingerprints(d, "doc_id", "text", k=5, w=4)
+        .select("id", "fps")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rows = fp.select("id", F.explode("fps").alias("f"))
+    by_f = Window.partitionBy("f")
+    kept = track(
+        rows.withColumn("__df", F.count(F.lit(1)).over(by_f))
+        .filter(F.col("__df") <= 100)
+        .drop("__df")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.f") == F.col("b.f")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
+            ),
+        )
+        .filter((F.col("n_shared") >= 5) & (F.col("containment") >= 0.5))
+    )
+    return out.select("id_a", "id_b", "n_shared", "containment")
