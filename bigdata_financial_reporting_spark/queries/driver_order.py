@@ -110,6 +110,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "join_range_banded",
         "join_interval_overlap",
         "dedup_winnow_pairs",
+        "mix_apply_sample",
     }
 )
 

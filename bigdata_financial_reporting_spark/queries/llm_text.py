@@ -1187,3 +1187,101 @@ def dedup_winnow_pairs(spark, sf_dir):
         .filter((F.col("n_shared") >= 5) & (F.col("containment") >= 0.5))
     )
     return out.select("id_a", "id_b", "n_shared", "containment")
+
+
+@register(
+    "mix_apply_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, CAST(sum(len({_DUCK_TOK})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT *, n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS nat
+      FROM t
+    ),
+    w AS (SELECT *, pow(nat, 0.7) AS wraw FROM p),
+    rates AS (
+      SELECT source,
+             least(1.0, (wraw / sum(wraw) OVER ()) / nat) AS rate
+      FROM w
+    ),
+    u AS (
+      SELECT d.source, d.doc_id,
+             CAST(concat('0x', substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) / 16777216.0 AS u
+      FROM documents d
+    )
+    SELECT u.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN u.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(r.rate, 6) AS target_rate,
+           round(sum(CASE WHEN u.u < r.rate THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS realized_rate
+    FROM u JOIN rates r ON r.source = u.source
+    GROUP BY u.source, r.rate
+    """,
+    category="text",
+)
+def mix_apply_sample(spark, sf_dir):
+    """EXECUTION of the temperature-mixing policy: every document is
+    kept iff a deterministic uniform draw (first 24 bits of
+    md5('sample:' || doc_id), the salt decorrelating it from the
+    train/val/test and shuffle hashes) falls under its source's
+    down-sampling rate least(1, epochs) from mix_temperature_sample.
+    The decision is a pure function of (doc_id, corpus stats): stable
+    across runs, engines, partitionings — reproducible-epoch sampling
+    with no RNG state. Per-source census out; the same keep predicate
+    with a filter is the actual gate. The rates frame is source-dim
+    sized and broadcast."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(tokenize(F.col("text")))).alias("n_tokens")
+    )
+    everything = Window.partitionBy()
+    nat = F.col("n_tokens") / F.sum("n_tokens").over(everything).cast("double")
+    w = t.withColumn("nat", nat).withColumn("wraw", F.pow("nat", 0.7))
+    rates = w.select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.col("wraw") / F.sum("wraw").over(everything)) / F.col("nat"),
+        ).alias("rate"),
+    )
+    u = d.select(
+        "source",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(16777216.0)
+        ).alias("u"),
+    )
+    kept = F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0))
+    return (
+        u.join(F.broadcast(rates), "source")
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            kept.cast("long").alias("n_kept"),
+            F.round(kept / F.count(F.lit(1)).cast("double"), 6).alias(
+                "realized_rate"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.round("rate", 6).alias("target_rate"),
+            "realized_rate",
+        )
+    )
