@@ -80,8 +80,8 @@ def sim_cosine_topk_vectorized(spark, sf_dir):
     )
     SELECT vec_id,
            round(CAST(amax AS DOUBLE), 6) AS scale_amax,
-           list_transform(embedding,
-                          x -> CAST(round(x / amax * 127.0) AS INTEGER)) AS q
+           array_to_string(list_transform(embedding,
+                          x -> CAST(round(x / amax * 127.0) AS INTEGER)), ',') AS q
     FROM scaled
     """,
     category="similarity",
@@ -90,7 +90,9 @@ def sim_quantize_int8(spark, sf_dir):
     """Symmetric int8 quantization of embeddings (absmax scaling) —
     the 4x memory/bandwidth cut before ANN at scale. Pure higher-order
     array expressions; the scale factor travels with the row for
-    dequantization."""
+    dequantization. The quantized vector is serialized to a comma
+    string (registry convention — driver-facing schemas carry no
+    complex types; cf. agg_collect_sorted)."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     scaled = e.select(
         "vec_id",
@@ -100,9 +102,12 @@ def sim_quantize_int8(spark, sf_dir):
     return scaled.select(
         "vec_id",
         F.round(F.col("amax").cast("double"), 6).alias("scale_amax"),
-        F.transform(
-            "embedding",
-            lambda x: F.round(x / F.col("amax") * 127.0).cast("int"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x / F.col("amax") * 127.0).cast("int").cast("string"),
+            ),
         ).alias("q"),
     )
 
@@ -161,8 +166,9 @@ def sim_pairwise_matrix(spark, sf_dir):
       GROUP BY label, i
     )
     SELECT CAST(label AS BIGINT) AS label,
-           max(nv) AS n_vectors,
-           list(m ORDER BY pos) AS centroid
+           CAST(max(nv) AS BIGINT) AS n_vectors,
+           array_to_string(list_transform(list(m ORDER BY pos),
+                           y -> CAST(round(y * 1000000) AS BIGINT)), ',') AS centroid_micro
     FROM per
     GROUP BY label
     """,
@@ -175,7 +181,10 @@ def sim_centroid_per_label(spark, sf_dir):
     aggregation per (label, pos), then reassemble the vector ordered
     by position — no vector ever crosses the shuffle whole, and the
     output is |labels| x dim rows reduced to |labels|. The fixture
-    dim (64) is pinned in the oracle's generate_series."""
+    dim (64) is pinned in the oracle's generate_series. The centroid is
+    serialized as comma-joined micro-units (6-dp mean x 1e6 as BIGINT)
+    so the driver-facing schema carries no array column and the string
+    form is engine-neutral (integer formatting, not double repr)."""
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select(
         F.col("label").cast("long").alias("label"),
@@ -190,12 +199,17 @@ def sim_centroid_per_label(spark, sf_dir):
         per.groupBy("label")
         .agg(
             F.max("nv").alias("n_vectors"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s.getField("m"),
-            ).alias("centroid"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.round(s.getField("m") * 1000000)
+                    .cast("long")
+                    .cast("string"),
+                ),
+            ).alias("centroid_micro"),
         )
-        .select("label", "n_vectors", "centroid")
+        .select("label", "n_vectors", "centroid_micro")
     )
 
 

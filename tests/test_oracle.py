@@ -47,9 +47,31 @@ ORACLE_SPECS = [s for s in QUERIES.values() if s.oracle is not None]
 ROWS_ONLY_SPECS = [s for s in QUERIES.values() if s.oracle is None]
 
 
+def assert_no_complex_output_types(sdf, name):
+    """Registry-wide guard (round-3 verdict item 2): the external
+    driver's canonicalizer does a pandas ``sort_values`` over every
+    output column and crashes on list/dict cells (``TypeError:
+    unhashable type: 'list'`` — cost two hard driver failures in r3).
+    No driver-facing schema may contain Array/Map/Struct; serialize
+    with to_json/concat_ws instead (cf. agg_collect_sorted). No
+    whitelist — every registered query must comply."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: complex-typed output columns {bad} would crash the "
+        f"driver canonicalizer — serialize via to_json/concat_ws"
+    )
+
+
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
 def test_oracle_match(spec, spark, ddb, sf_dir):
     sdf = spec.fn(spark, sf_dir)
+    assert_no_complex_output_types(sdf, spec.name)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
@@ -78,5 +100,6 @@ def test_rows_only_runs(spec, spark, sf_dir):
     produce a stable schema, and return rows (an empty result checks
     nothing); value checks live in dedicated tests."""
     sdf = spec.fn(spark, sf_dir)
+    assert_no_complex_output_types(sdf, spec.name)
     assert sdf.columns
     assert sdf.count() > 0, f"{spec.name}: empty result"
