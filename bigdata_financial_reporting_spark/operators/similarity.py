@@ -138,13 +138,43 @@ def _cosine_topk_vectorized(
     return _keep_topk(scored, k)
 
 
-def _hyperplane_sign(vec, plane_seed: int) -> "F.Column":
+def _neutral_plane_component(p, pos) -> "F.Column":
+    """Engine-neutral pseudo-random hyperplane component in
+    [-1e6, 1e6] as a BIGINT: first 32 bits of md5('plane:p:pos')
+    mod 2000001, shifted. Any engine with md5 + BIGINT arithmetic
+    reproduces it bit-for-bit (the DuckDB oracle does)."""
+    digest = F.md5(
+        F.concat(
+            F.lit("plane:"), p.cast("string"), F.lit(":"), pos.cast("string")
+        )
+    )
+    return (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % 2000001 - 1000000
+    )
+
+
+def _hyperplane_sign(vec, plane_seed: int, neutral: bool = False) -> "F.Column":
     """Sign of <v, h> for a pseudo-random hyperplane h whose component j
     is derived from xxhash64(seed, j) mapped into [-1, 1). Deterministic
-    across runs/engines — no RNG state."""
+    across runs/engines — no RNG state.
+
+    ``neutral=True`` swaps in the md5-derived integer components AND
+    quantizes the vector to micro-units, making the whole sign an exact
+    BIGINT sum — order-independent and bit-reproducible in any engine
+    (LSH is a hash: quantizing inside the sign changes which arbitrary
+    hyperplane family is used, not the operator's semantics)."""
     # element i (1-based in transform's index-free form): use index via
     # zip with a position sequence.
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    if neutral:
+        comp = F.zip_with(
+            idx,
+            vec,
+            lambda j, x: F.round(x.cast("double") * 1000000).cast("long")
+            * _neutral_plane_component(F.lit(plane_seed), j),
+        )
+        s = F.aggregate(comp, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return (s >= 0).cast("int")
     comp = F.zip_with(
         idx,
         vec,
@@ -164,6 +194,7 @@ def lsh_bucket_topk(
     n_planes: int = 8,
     k: int = 10,
     n_tables: int = 1,
+    neutral_planes: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows sharing a
     random-hyperplane bucket with the query in at least one of
@@ -187,7 +218,8 @@ def lsh_bucket_topk(
 
     def table_bucket(vec, t: int):
         bits = [
-            _hyperplane_sign(vec, t * n_planes + j) for j in range(n_planes)
+            _hyperplane_sign(vec, t * n_planes + j, neutral=neutral_planes)
+            for j in range(n_planes)
         ]
         out = F.lit(0)
         for b in bits:
@@ -236,20 +268,34 @@ def lsh_bucket_topk(
             "x",
             F.explode(F.array(*[F.lit(p) for p in range(total)])).alias("p"),
         )
-        h = (
-            (F.xxhash64(F.col("p"), F.col("pos")) % 2000001).cast("double")
-            / 1000000.0
-            - 1.0
-        )
-        signs = (
-            rows.groupBy(out_id, "p")
-            .agg(
-                F.sum((F.col("x").cast("double") * h).cast("decimal(28,15)")).alias(
-                    "dot"
-                )
+        if neutral_planes:
+            # Micro-quantized vector x md5-derived integer component:
+            # the per-plane dot is an exact BIGINT sum (max |term|
+            # 1e6 * 1e6, x dim 64 planes well under 2^63) — order-
+            # independent without DECIMAL, and bit-reproducible in the
+            # DuckDB oracle.
+            h = _neutral_plane_component(F.col("p"), F.col("pos"))
+            term = F.round(F.col("x").cast("double") * 1000000).cast("long") * h
+            signs = (
+                rows.groupBy(out_id, "p")
+                .agg(F.sum(term).alias("dot"))
+                .select(out_id, "p", (F.col("dot") >= 0).cast("long").alias("s"))
             )
-            .select(out_id, "p", (F.col("dot") >= 0).cast("long").alias("s"))
-        )
+        else:
+            h = (
+                (F.xxhash64(F.col("p"), F.col("pos")) % 2000001).cast("double")
+                / 1000000.0
+                - 1.0
+            )
+            signs = (
+                rows.groupBy(out_id, "p")
+                .agg(
+                    F.sum(
+                        (F.col("x").cast("double") * h).cast("decimal(28,15)")
+                    ).alias("dot")
+                )
+                .select(out_id, "p", (F.col("dot") >= 0).cast("long").alias("s"))
+            )
         # bucket of table t = sum_j sign(t*n_planes + j) << (n_planes-1-j)
         tbl = (F.col("p") / n_planes).cast("int")
         weight = F.pow(

@@ -362,24 +362,64 @@ def agg_median_percentile(spark, sf_dir):
     )
 
 
-@register("agg_approx_quantiles", oracle=None, category="aggregates")
+@register(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS med_exact,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_exact,
+           TRUE AS approx_med_in_band,
+           TRUE AS approx_p90_in_band
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    category="aggregates",
+)
 def agg_approx_quantiles(spark, sf_dir):
     """approx_percentile (GK sketch) — mergeable, one pass, bounded
-    memory: the percentile that scales. Tolerance-checked in tests."""
+    memory: the percentile that scales. Spark's sketch has no DuckDB
+    twin, so the driver-facing output is a TOLERANCE WITNESS: the
+    exact percentiles (cross-engine comparable) plus in-band booleans
+    asserting the sketch landed within 2% of exact — the oracle
+    expects exact + TRUE, so a drifting sketch fails the hash."""
     li = load_table(spark, sf_dir, "lineitem")
+    med_e = F.percentile("l_extendedprice", F.lit(0.5))
+    p90_e = F.percentile("l_extendedprice", F.lit(0.9))
+    med_a = F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000))
+    p90_a = F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000))
     return li.groupBy("l_linestatus").agg(
-        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_med"),
-        F.approx_percentile("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+        F.round(med_e, 6).alias("med_exact"),
+        F.round(p90_e, 6).alias("p90_exact"),
+        (F.abs(med_a - med_e) / med_e <= 0.02).alias("approx_med_in_band"),
+        (F.abs(p90_a - p90_e) / p90_e <= 0.02).alias("approx_p90_in_band"),
     )
 
 
-@register("agg_approx_count_distinct", oracle=None, category="aggregates")
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
+           TRUE AS approx_in_band
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregates",
+)
 def agg_approx_count_distinct(spark, sf_dir):
     """HyperLogLog++ distinct — constant memory per group vs the exact
-    count's shuffle of every key. ±5% tolerance-checked in tests."""
+    count's shuffle of every key. Tolerance-witness output (cf.
+    agg_approx_quantiles): exact distinct count + a boolean pinning the
+    HLL estimate within 5% (2.5 sigma at rsd=0.02; deterministic for a
+    fixed fixture, so the witness is stable)."""
     o = load_table(spark, sf_dir, "orders")
+    exact = F.count_distinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", 0.02)
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_n_cust")
+        exact.cast("long").alias("n_cust_exact"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= 0.05
+        ).alias("approx_in_band"),
     )
 
 

@@ -131,13 +131,62 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     )
 
 
-@register("dedup_simhash", oracle=None, category="dedup")
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(regexp_replace(lower(text),
+                    '[^a-z0-9 \\t\\n]', ' ', 'g'), '\\s+'), t -> t <> '')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(t)),
+                 i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 131 + c) % 2147483647)
+             * CAST(2147483648 AS BIGINT)
+             + list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(t)),
+                 i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 137 + c) % 2147483647) AS th
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             sum((th >> j) & 1) AS sc, count(*) AS n
+      FROM h, generate_series(0, 61) g(j)
+      GROUP BY doc_id, j
+    ),
+    fp0 AS (
+      SELECT doc_id,
+             sum(CASE WHEN sc * 2 >= n THEN (CAST(1 AS BIGINT) << j)
+                      ELSE CAST(0 AS BIGINT) END) AS fp
+      FROM bits GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT d.doc_id, coalesce(fp0.fp, 4611686018427387903) AS fp
+      FROM documents d LEFT JOIN fp0 USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+    category="dedup",
+)
 def dedup_simhash_q(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming <= 3 on 64-bit fingerprints) via
-    exact pigeonhole banding. xxhash64-based -> no SQL oracle;
-    determinism + banding-exactness properties in test_llm_ops.py."""
+    """SimHash near-dup pairs (Hamming <= 3) via exact pigeonhole
+    banding, on the 62-bit ENGINE-NEUTRAL fingerprint (two polynomial
+    char folds per token, bases 131/137 mod 2^31-1 — same BIGINT-
+    arithmetic family as the winnowing hash), so the full pipeline has
+    a bit-exact DuckDB twin: the oracle recomputes every fingerprint
+    and does the all-pairs Hamming join the banding avoids at scale.
+    xxhash64-mode determinism + banding-exactness properties stay in
+    test_llm_ops.py."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_distance=3)
+    return simhash_pairs(d, "doc_id", "text", max_distance=3, neutral=True)
 
 
 @register(

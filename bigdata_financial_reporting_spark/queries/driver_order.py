@@ -84,35 +84,34 @@ def _seen_from_artifacts() -> frozenset[str]:
 
 DRIVER_SEEN: frozenset[str] = _seen_from_artifacts()
 
-# Keys whose latest driver row failed and have since been fixed — none
-# after round 2 (0 failures). Populate when a round reports a failure.
-RECHECK_FIRST: tuple[str, ...] = ()
-
-# Keys added AFTER the round's rotation was sized. The 50 keys that were
-# unseen when round 3 started exactly fill the driver's ~50-key budget;
-# ranking these new arrivals behind them keeps that set intact (the new
-# keys carry fresh local-oracle evidence and get their driver row next
-# round). Remove entries once they appear in a CORRECTNESS artifact.
-DEFER_NEW: frozenset[str] = frozenset(
-    {
-        "text_pack_sequences",
-        "dedup_survivor_quality",
-        "mix_temperature_sample",
-        "text_global_shuffle",
-        "text_vocab_coverage",
-        "text_source_overlap",
-        "text_unigram_logprob",
-        "ts_inter_event_gaps",
-        "dedup_incremental",
-        "text_winnow_fingerprint",
-        "ops_compact_roundtrip",
-        "ops_upsert_roundtrip",
-        "join_range_banded",
-        "join_interval_overlap",
-        "dedup_winnow_pairs",
-        "mix_apply_sample",
-    }
+# Keys whose latest driver row was an ERROR and have since been fixed
+# (round 4): the 2 array-column canon crashes (now serialized) and the
+# 9 structural `oracle=None` errs (all converted to exact oracles —
+# hash-Bernoulli sampling, neutral-hash simhash/LSH planes, unrolled
+# Lloyd CTEs for IVF, tolerance witnesses for the approx aggregates,
+# invariant outputs for the id functions). Clear once green in a
+# CORRECTNESS artifact.
+RECHECK_FIRST: tuple[str, ...] = (
+    "sim_quantize_int8",
+    "sim_centroid_per_label",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_ivf_trained_topk",
+    "dedup_simhash",
+    "sample_seeded",
+    "sample_stratified",
+    "agg_approx_quantiles",
+    "agg_approx_count_distinct",
+    "fn_nondeterministic_ids",
 )
+
+# Keys added AFTER the round's rotation was sized: rank new arrivals
+# behind the existing never-checked backlog so the driver's ~50-key
+# budget clears the backlog first (the new keys carry fresh
+# local-oracle evidence and get their driver row next round). The 16
+# round-3 additions left this set at the start of round 4 — they ARE
+# the backlog now; round-4 additions go here.
+DEFER_NEW: frozenset[str] = frozenset()
 
 # SURVEY §2B families the driver has never checked, most core first.
 # After round 2 the unseen remainder is: similarity (8), multimodal (5),
@@ -148,8 +147,10 @@ def ordered_names() -> list[str]:
     def key(name: str):
         spec = QUERIES[name]
         if name in RECHECK_FIRST:
-            tier = 0
-        elif name in DEFER_NEW and name not in DRIVER_SEEN:
+            # listed order IS the priority (the tuple is ranked by
+            # expected evidence value)
+            return (0, RECHECK_FIRST.index(name), 0)
+        if name in DEFER_NEW and name not in DRIVER_SEEN:
             tier = 1.5
         elif name not in DRIVER_SEEN:
             tier = 1

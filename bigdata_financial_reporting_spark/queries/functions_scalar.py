@@ -387,16 +387,41 @@ def fn_hash(spark, sf_dir):
     )
 
 
-@register("fn_nondeterministic_ids", oracle=None, category="functions")
+@register(
+    "fn_nondeterministic_ids",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS mono_unique,
+           TRUE AS uuid_unique,
+           TRUE AS mono_nonneg,
+           TRUE AS rand_in_unit,
+           CAST(count(DISTINCT text) AS BIGINT) AS xx64_distinct
+    FROM documents
+    """,
+    category="functions",
+)
 def fn_nondeterministic_ids(spark, sf_dir):
-    """xxhash64 / monotonically_increasing_id / uuid / rand(seed) — no
-    cross-engine oracle exists; determinism properties are asserted in
-    dedicated tests (xxhash64 stability, id uniqueness)."""
+    """xxhash64 / monotonically_increasing_id / uuid / rand(seed) —
+    the raw values have no cross-engine twin, so the driver-facing
+    output is the INVARIANTS the functions guarantee (uniqueness,
+    ranges, hash-distinctness mirroring text-distinctness), which ARE
+    exactly checkable: the oracle computes the expected values and the
+    comparison proves the invariants held. Raw-value determinism
+    (xxhash64 stability across runs) stays in test_tolerance.py."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
+    ids = d.select(
+        "text",
         F.xxhash64("text").alias("xx64"),
         F.monotonically_increasing_id().alias("mono_id"),
         F.expr("uuid()").alias("uid"),
         F.rand(seed=42).alias("r"),
+    )
+    n = F.count(F.lit(1))
+    return ids.agg(
+        n.cast("long").alias("n_rows"),
+        (F.count_distinct("mono_id") == n).alias("mono_unique"),
+        (F.count_distinct("uid") == n).alias("uuid_unique"),
+        (F.min("mono_id") >= 0).alias("mono_nonneg"),
+        ((F.min("r") >= 0.0) & (F.max("r") < 1.0)).alias("rand_in_unit"),
+        F.count_distinct("xx64").alias("xx64_distinct"),
     )

@@ -231,24 +231,76 @@ def dropdup_keys_pinned(spark, sf_dir):
     return top_k_per_group(c, ["c_nationkey"], [F.col("c_custkey").asc()], 1)
 
 
-@register("sample_seeded", oracle=None, category="relational")
-def sample_seeded(spark, sf_dir):
-    """Seeded Bernoulli sample — no cross-engine oracle (row membership
-    is engine-specific); verified by row-count tolerance in tests."""
-    return load_table(spark, sf_dir, "lineitem").sample(0.1, seed=42).select(
-        "l_orderkey", "l_linenumber"
+def _hash_uniform(salt: str, key_col):
+    """Deterministic uniform draw in [0, 1): first 24 bits of
+    md5(salt || key). A pure function of the key — stable across runs,
+    engines, and partitionings, unlike Spark's ``df.sample(seed)``
+    whose membership depends on partition-local XORShift streams.
+    DuckDB mirror: ``_duck_uniform``."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777216.0)
     )
 
 
-@register("sample_stratified", oracle=None, category="relational")
+def _duck_uniform(salt: str, key_expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), "
+        f"1, 6)) AS BIGINT) / 16777216.0"
+    )
+
+
+@register(
+    "sample_seeded",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE {_duck_uniform('seed42:', "l_orderkey * 8 + l_linenumber")} < 0.1
+    """,
+    category="relational",
+)
+def sample_seeded(spark, sf_dir):
+    """Reproducible 10% Bernoulli sample via salted-md5 hash draw
+    (pattern: mix_apply_sample) — the deterministic form of
+    ``df.sample(0.1, seed)``: same keep-rate semantics, but membership
+    is a pure function of the row key, so it is identical across
+    engines and partitionings (exact oracle instead of the engine-
+    private RNG that kept this key rows-only through round 3). The
+    composite key (orderkey*8+linenumber) is unique per lineitem row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = _hash_uniform(
+        "seed42:", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    return li.filter(u < 0.1).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_duck_uniform('strat:', 'doc_id')} <
+          CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3 WHEN 'fr' THEN 0.3
+                    WHEN 'de' THEN 0.3 WHEN 'zh' THEN 0.1 ELSE 0.0 END
+    """,
+    category="relational",
+)
 def sample_stratified(spark, sf_dir):
     """Stratified (per-key fraction) sampling — rebalancing a skewed
-    corpus by language is the canonical training-data use. Seeded but
-    membership is engine-specific -> rows-only; per-stratum bounds in
-    tests/test_tolerance.py."""
+    corpus by language is the canonical training-data use. Same
+    hash-Bernoulli draw as sample_seeded with a per-stratum rate map
+    (the deterministic form of ``df.sampleBy(fractions, seed)``); the
+    fractions literal is a broadcast-free CASE expression, so the scan
+    is a single filtered pass at any scale."""
     d = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "es": 0.3, "fr": 0.3, "de": 0.3, "zh": 0.1}
-    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    rate = F.lit(0.0)
+    for lang, frac in fractions.items():
+        rate = F.when(F.col("lang") == lang, F.lit(frac)).otherwise(rate)
+    u = _hash_uniform("strat:", F.col("doc_id"))
+    return d.filter(u < rate).select("doc_id", "lang")
 
 
 @register(

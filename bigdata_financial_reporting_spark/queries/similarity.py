@@ -112,27 +112,114 @@ def sim_quantize_int8(spark, sf_dir):
     )
 
 
-@register("sim_ivf_topk", oracle=None, category="similarity")
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS v, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (SELECT neighbor_id, v, cent_id AS cell FROM assigned WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qv, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {duck_cosine('q.embedding', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5
+    ),
+    pcells AS (SELECT query_id, qv, cell FROM probes WHERE rn <= 4),
+    scored AS (
+      SELECT p.query_id, s.neighbor_id, {duck_cosine('p.qv', 's.v')} AS cos_raw
+      FROM pcells p JOIN cells s USING (cell)
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    category="similarity",
+)
 def sim_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN: nearest-centroid cells, probe the top-4 of 16.
     Scores ~1/4 of the corpus per query; recall vs brute force measured
-    in test_llm_ops.py."""
+    in test_llm_ops.py. The pipeline is deterministic end-to-end
+    (lowest-id coarse quantizer, cosine as an in-order double fold —
+    identical fold order in DuckDB's list_aggregate — and cent_id/
+    neighbor_id tie-breaks), so the ENTIRE candidate+score dataflow has
+    an exact SQL oracle: assignment, probing, and re-rank are mirrored
+    CTE-for-stage."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return ivf_topk(q, e, "vec_id", "vec_id", n_centroids=16, n_probe=4, k=10)
 
 
-@register("sim_lsh_topk", oracle=None, category="similarity")
+@register(
+    "sim_lsh_topk",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    hh AS (
+      SELECT vec_id, p,
+             xq * (CAST(concat('0x', substr(md5('plane:' || CAST(p AS VARCHAR)
+                    || ':' || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 2000001 - 1000000) AS term
+      FROM ex, generate_series(0, 23) t(p)
+    ),
+    signs AS (
+      SELECT vec_id, p,
+             CASE WHEN sum(term) >= 0 THEN 1 ELSE 0 END AS s
+      FROM hh GROUP BY vec_id, p
+    ),
+    bkts AS (
+      SELECT vec_id, p // 6 AS tbl,
+             sum(s * (CAST(1 AS BIGINT) << (5 - (p % 6)))) AS bkt
+      FROM signs GROUP BY vec_id, p // 6
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bkts c JOIN bkts q ON c.tbl = q.tbl AND c.bkt = q.bkt
+      WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {duck_cosine('qe.embedding', 'ce.embedding')} AS cos_raw
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    category="similarity",
+)
 def sim_lsh_topk(spark, sf_dir):
     """ANN variant: multi-table random-hyperplane LSH (4 independent
-    6-plane tables, deterministic planes from xxhash64) — candidates
-    from any table's bucket, deduplicated, scored exactly once. Recall
-    vs brute force measured in test_llm_ops.py and exported to
-    SIM_RECALL.json; multi-table lifts recall from ~0.16 (1 table) at
-    ~4x the candidate work, still ~2^6/4 x below brute force."""
+    6-plane tables) — candidates from any table's bucket,
+    deduplicated, scored exactly once. The planes are ENGINE-NEUTRAL
+    (md5-derived integer components on a micro-quantized vector, so
+    each per-plane sign is an exact BIGINT sum), which makes the whole
+    candidate+score pipeline DuckDB-expressible: the oracle recomputes
+    every bucket bit-for-bit and mirrors the exact-cosine re-rank.
+    Recall vs brute force measured in test_llm_ops.py and exported to
+    SIM_RECALL.json; multi-table lifts recall at ~4x the candidate
+    work, still ~2^6/4 x below brute force."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return lsh_bucket_topk(q, e, "vec_id", "vec_id", n_planes=6, k=10, n_tables=4)
+    return lsh_bucket_topk(
+        q, e, "vec_id", "vec_id", n_planes=6, k=10, n_tables=4, neutral_planes=True
+    )
 
 
 @register(
@@ -213,14 +300,84 @@ def sim_centroid_per_label(spark, sf_dir):
     )
 
 
-@register("sim_ivf_trained_topk", oracle=None, category="similarity")
+@register(
+    "sim_ivf_trained_topk",
+    oracle=f"""
+    WITH init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id,
+             embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN init c
+    ),
+    cell1 AS (SELECT vec_id, embedding, cent_id AS cell FROM a1 WHERE rn = 1),
+    m1 AS (
+      SELECT cell, i - 1 AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS m
+      FROM cell1, generate_series(1, 64) g(i) GROUP BY cell, i
+    ),
+    nc1 AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell),
+    c1 AS (
+      SELECT i.cent_id, coalesce(n.cv, CAST(i.cv AS DOUBLE[])) AS cv
+      FROM init i LEFT JOIN nc1 n USING (cent_id)
+    ),
+    a2 AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN c1 c
+    ),
+    cell2 AS (SELECT vec_id, embedding, cent_id AS cell FROM a2 WHERE rn = 1),
+    m2 AS (
+      SELECT cell, i - 1 AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS m
+      FROM cell2, generate_series(1, 64) g(i) GROUP BY cell, i
+    ),
+    nc2 AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv FROM m2 GROUP BY cell),
+    c2 AS (
+      SELECT i.cent_id, coalesce(n.cv, CAST(i.cv AS DOUBLE[])) AS cv
+      FROM c1 i LEFT JOIN nc2 n USING (cent_id)
+    ),
+    assigned AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS v, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN c2 c
+    ),
+    cells AS (SELECT neighbor_id, v, cent_id AS cell FROM assigned WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qv, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {duck_cosine('q.embedding', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 5
+    ),
+    pcells AS (SELECT query_id, qv, cell FROM probes WHERE rn <= 4),
+    scored AS (
+      SELECT p.query_id, s.neighbor_id, {duck_cosine('p.qv', 's.v')} AS cos_raw
+      FROM pcells p JOIN cells s USING (cell)
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    category="similarity",
+)
 def sim_ivf_trained_topk(spark, sf_dir):
     """IVF ANN with REAL trained centroids: deterministic spherical
     k-means (lowest-id init, 2 Lloyd iterations, broadcast assignment,
     posexplode mean update) replaces the degenerate lowest-id coarse
     quantizer — the full IVF dataflow a production index build runs.
     Recall vs brute force and rerun-determinism asserted in
-    test_llm_ops.py."""
+    test_llm_ops.py. Deterministic by construction (lowest-id init,
+    9-dp rounded means, 2 unrollable Lloyd iterations, in-order double
+    folds), so the TRAINING LOOP ITSELF is oracle-checked: the SQL
+    unrolls both Lloyd iterations as CTE pairs (assign -> mean) with
+    the same empty-cell fallback, then mirrors assignment/probing/
+    re-rank."""
     from bigdata_financial_reporting_spark.operators.similarity import (
         train_centroids,
     )

@@ -12,22 +12,26 @@ from bigdata_financial_reporting_spark.sources.catalog import load_table
 
 
 def test_approx_count_distinct_within_5pct_per_group(spark, sf_dir):
-    approx = {
-        r.o_orderstatus: r.approx_n_cust
-        for r in QUERIES["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
-    }
+    """The registered query is now a tolerance witness (exact + in-band
+    boolean); re-derive the raw HLL estimate here so the 5% bound stays
+    independently pinned, and assert the witness booleans agree."""
     o = load_table(spark, sf_dir, "orders")
-    exact = {
-        r.o_orderstatus: r.n
+    raw = {
+        r.o_orderstatus: (r.approx, r.exact)
         for r in o.groupBy("o_orderstatus")
-        .agg(F.countDistinct("o_custkey").alias("n"))
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
         .collect()
     }
-    assert approx.keys() == exact.keys()
-    for k in exact:
-        assert abs(approx[k] - exact[k]) / exact[k] <= 0.05, (
-            f"group {k}: approx {approx[k]} vs exact {exact[k]}"
-        )
+    for k, (a, e) in raw.items():
+        assert abs(a - e) / e <= 0.05, f"group {k}: approx {a} vs exact {e}"
+    witness = QUERIES["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
+    assert all(r.approx_in_band for r in witness)
+    assert {r.o_orderstatus: r.n_cust_exact for r in witness} == {
+        k: e for k, (a, e) in raw.items()
+    }
 
 
 def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
@@ -50,9 +54,9 @@ def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
 
 
 def test_sample_seeded_bounds(spark, sf_dir):
-    """Seeded sampling is deterministic only for a fixed partition
-    layout (seed + partition index drive the RNG), so the contract here
-    is the statistical bound, not row membership."""
+    """Hash-Bernoulli sampling: membership is exact (oracle-checked);
+    this test pins the statistical contract — the md5 draw must behave
+    like a fair uniform, keeping ~10% of rows."""
     n1 = QUERIES["sample_seeded"].fn(spark, sf_dir).count()
     total = load_table(spark, sf_dir, "lineitem").count()
     frac = n1 / total
@@ -61,17 +65,33 @@ def test_sample_seeded_bounds(spark, sf_dir):
 
 
 def test_nondeterministic_ids_properties(spark, sf_dir):
-    df = QUERIES["fn_nondeterministic_ids"].fn(spark, sf_dir)
-    rows = df.collect()
+    """Raw-value properties of the id functions (the registered query
+    now exports the aggregate invariants; the raw frame is rebuilt here
+    so per-row checks and cross-run xxhash64 stability stay pinned)."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def raw():
+        return d.select(
+            "doc_id",
+            F.xxhash64("text").alias("xx64"),
+            F.monotonically_increasing_id().alias("mono_id"),
+            F.expr("uuid()").alias("uid"),
+            F.rand(seed=42).alias("r"),
+        )
+
+    rows = raw().collect()
     mono = [r.mono_id for r in rows]
     uids = [r.uid for r in rows]
     assert len(set(mono)) == len(mono), "monotonically_increasing_id collided"
     assert len(set(uids)) == len(uids), "uuid collided"
     assert all(0.0 <= r.r < 1.0 for r in rows), "rand(seed) out of [0,1)"
     # xxhash64 must be stable across runs (it anchors dedup identities)
-    again = {r.doc_id: r.xx64 for r in df.collect()}
+    again = {r.doc_id: r.xx64 for r in raw().collect()}
     first = {r.doc_id: r.xx64 for r in rows}
     assert first == again
+
+    [inv] = QUERIES["fn_nondeterministic_ids"].fn(spark, sf_dir).collect()
+    assert inv.mono_unique and inv.uuid_unique and inv.rand_in_unit
 
 
 def test_stratified_sample_per_stratum_bounds(spark, sf_dir):
