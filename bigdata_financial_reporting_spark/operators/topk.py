@@ -3,9 +3,15 @@
 Spark has no QUALIFY; the idiomatic form is ``row_number`` over a
 partitioned window plus a filter, which Catalyst executes as a single
 shuffle on the group keys followed by a streaming rank — and since
-Spark 3.3, a ``WindowGroupLimit`` pushdown keeps only k rows per
-partition before the final sort, so this scales to arbitrarily many
-groups without collecting.
+Spark 3.5, a ``WindowGroupLimit(Partial)`` stage prunes each MAP
+partition to k rows per group BEFORE the exchange, so even a
+low-cardinality group key (3 distinct values) never funnels the full
+table through |groups| tasks: the shuffle carries at most
+k x groups x map-partitions rows. Plan pinned by
+tests/test_plans.py::test_topk_per_group_prunes_map_side_before_exchange;
+two explicit two-phase rewrites measured SLOWER at sf0.1 (SCALING.md
+"Round-4"). The only full-data work is the embarrassingly-parallel
+per-partition sort feeding the Partial stage.
 """
 
 from __future__ import annotations

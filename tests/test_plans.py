@@ -308,3 +308,26 @@ def test_banded_range_join_is_an_equi_join(spark, sf_dir):
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
         "ShuffledHashJoin" in p
     )
+
+
+def test_topk_per_group_prunes_map_side_before_exchange(spark, sf_dir):
+    """topk_per_group (round-3 verdict item 4): the low-cardinality
+    group key must NOT funnel the full table through |groups| tasks.
+    Spark's WindowGroupLimit(Partial) prunes each map partition to k
+    rows per group BEFORE the shuffle, so the exchange carries at most
+    k x groups x partitions rows. Pin the Partial stage's position.
+    (Round-4 measurements at sf0.1: this plan beats both the
+    groupBy(group, pid)+slice two-phase (1.52s) and a broadcast
+    kth-threshold prefilter (1.75s) — see SCALING.md 'Round-4'.)"""
+    df = QUERIES["topk_per_group"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan, "partial top-k pushdown missing"
+    # simple-mode explain prints the tree top-down (final stage first,
+    # scan last): a node EXECUTING before the exchange prints BELOW it.
+    partial_at = plan.index("Partial")
+    exchange_at = plan.index("Exchange")
+    assert partial_at > exchange_at, (
+        "WindowGroupLimit Partial must execute BEFORE the exchange "
+        "(map-side prune) — in top-down explain text it must print "
+        "below the Exchange line; full rows would shuffle otherwise"
+    )
