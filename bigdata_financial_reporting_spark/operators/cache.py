@@ -32,8 +32,15 @@ def track(df: DataFrame) -> DataFrame:
 def release_operator_caches(blocking: bool = False) -> int:
     """Unpersist every tracked frame; returns how many were released.
 
-    Safe to call at any point — a plan whose persisted input was
-    released simply recomputes on next materialization."""
+    CONTRACT: call only after every consumer of the returned plans has
+    materialized. Some tracked persists are CORRECTNESS barriers, not
+    perf caches — e.g. global_lag/global_row_number's range path
+    persists the bucketed frame so all downstream branches see ONE
+    repartitionByRange boundary sampling; after release, a
+    re-materialized plan re-runs the range exchange independently per
+    branch and the __pid/__b assignments can diverge, silently
+    corrupting positions. Releasing mid-lifetime is therefore not just
+    a recompute cost (round-3 ADVICE)."""
     n = len(_TRACKED)
     while _TRACKED:
         _TRACKED.pop().unpersist(blocking)

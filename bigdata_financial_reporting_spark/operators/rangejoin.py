@@ -41,7 +41,19 @@ def banded_range_join(
     ``intervals``) must be timestamps. Returns the joined frame with
     all columns from both sides (bucket helpers dropped). Column names
     must not collide between the two inputs.
+
+    ``how`` is restricted to ``inner``/``left``: the interval side is
+    pre-exploded into one row per covered bucket, so for ``right``/
+    ``full`` an UNMATCHED interval would surface once per bucket
+    instead of once — null-extended duplicates. The point side is
+    never exploded, so ``left`` (preserving points) is exact.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"banded_range_join supports how='inner'|'left', got {how!r}: "
+            "the exploded interval side would duplicate unmatched rows "
+            "(one per covered bucket) under right/full"
+        )
 
     def bucket(c: Column) -> Column:
         return F.floor(F.unix_micros(c) / (band_seconds * 1_000_000)).cast("long")

@@ -1179,12 +1179,14 @@ def dedup_winnow_pairs(spark, sf_dir):
         shared.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
         .withColumn(
-            "containment",
-            F.round(
-                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
-            ),
+            "__containment_raw",
+            F.col("n_shared") / F.least("n_a", "n_b").cast("double"),
         )
-        .filter((F.col("n_shared") >= 5) & (F.col("containment") >= 0.5))
+        # Filter on the RAW ratio — the oracle filters unrounded, so a
+        # pair in [0.4999995, 0.5) must fail on BOTH sides; rounding is
+        # presentation only (round-3 ADVICE).
+        .filter((F.col("n_shared") >= 5) & (F.col("__containment_raw") >= 0.5))
+        .withColumn("containment", F.round("__containment_raw", 6))
     )
     return out.select("id_a", "id_b", "n_shared", "containment")
 

@@ -10,6 +10,18 @@ from bigdata_financial_reporting_spark.operators.profile import profile_table
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 
+
+def _scratch_path(op: str, table: str) -> str:
+    """Fixed scratch directory per (op, table), reused across
+    invocations — writers run mode('overwrite'), so reruns are safe and
+    nothing accumulates (one leaked copy per invocation otherwise)."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "bdfr_scratch", op)
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, table)
+
 _COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
 _ORACLE = " UNION ALL ".join(
@@ -101,15 +113,15 @@ def ops_compact_roundtrip(spark, sf_dir):
     table must aggregate identically to the source of truth. The
     operator's file-count reduction is asserted in test_ops_tools; the
     oracle here pins content preservation through the rewrite."""
-    import os
-    import tempfile
-
     from bigdata_financial_reporting_spark.operators.compact import (
         compact_parquet,
     )
 
     c = load_table(spark, sf_dir, "customer")
-    path = os.path.join(tempfile.mkdtemp(prefix="bdfr_compact_"), "customer")
+    # Fixed per-query scratch path (overwrite handles reruns): mkdtemp
+    # here leaked a parquet copy of customer per invocation — two per
+    # bench round with the warm phase (round-3 ADVICE).
+    path = _scratch_path("compact", "customer")
     c.repartition(16).write.mode("overwrite").parquet(path)
     compact_parquet(spark, path, target_file_bytes=256 * 1024 * 1024)
     back = spark.read.parquet(path)
@@ -140,9 +152,6 @@ def ops_upsert_roundtrip(spark, sf_dir):
     the original table. Read-join-rewrite is the log-less-parquet MERGE
     cost; the operator docstring is the semantic reference for a
     table-format upgrade."""
-    import os
-    import tempfile
-
     from bigdata_financial_reporting_spark.operators.upsert import (
         upsert_parquet,
     )
@@ -150,7 +159,7 @@ def ops_upsert_roundtrip(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.round("o_totalprice", 4).alias("price")
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="bdfr_upsert_"), "orders")
+    path = _scratch_path("upsert", "orders")
     o.filter(F.col("o_orderkey") <= 20000).write.mode("overwrite").parquet(path)
     source = o.filter(F.col("o_orderkey").between(10000, 30000)).select(
         "o_orderkey", F.round(F.col("price") * 2, 4).alias("price")
