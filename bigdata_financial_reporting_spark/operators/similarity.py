@@ -672,3 +672,74 @@ def pairwise_above_threshold(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas ±1 signs) —
+    the dimensionality cut that front-runs ANN at 100 TB: distances are
+    preserved within (1±eps) w.h.p. while the stored vector shrinks
+    in_dim/out_dim x.
+
+    Engine-neutral and exactly reproducible: the sign matrix derives
+    from md5('jl:d:pos') (no RNG), the input is micro-quantized
+    (round(x*1e6) as BIGINT), and each output component is an exact
+    integer sum — order-independent across partitionings and
+    bit-identical in any engine with md5 + BIGINT arithmetic
+    (quantizing first changes WHICH random matrix is applied, not the
+    JL guarantee).
+
+    Row-form dataflow (the 100 TB posture proven on the LSH signatures,
+    SCALING.md round-3): posexplode the vector once, explode the
+    out-dims, one map-side-combined aggregation — no interpreted
+    HOF fold per output dim.
+
+    Returns ``(id, proj_micro: array<long> ordered by out-dim)`` —
+    callers serialize for driver-facing output.
+    """
+    sign = (
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("jl:"),
+                            F.col("d").cast("string"),
+                            F.lit(":"),
+                            F.col("pos").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x")
+    )
+    rows = ex.select(
+        "id",
+        "pos",
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
+        F.explode(F.array(*[F.lit(d) for d in range(out_dim)])).alias("d"),
+    )
+    per = rows.groupBy("id", "d").agg(F.sum(F.col("xq") * sign).alias("c"))
+    return per.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("proj_micro")
+    )

@@ -111,7 +111,19 @@ RECHECK_FIRST: tuple[str, ...] = (
 # local-oracle evidence and get their driver row next round). The 16
 # round-3 additions left this set at the start of round 4 — they ARE
 # the backlog now; round-4 additions go here.
-DEFER_NEW: frozenset[str] = frozenset()
+DEFER_NEW: frozenset[str] = frozenset(
+    {
+        "sim_random_projection",
+        "sim_embedding_outliers",
+        "sample_weighted_topk",
+        "sample_per_stratum_topk",
+        "text_token_entropy",
+        "batch_length_buckets",
+        "text_bigram_logprob",
+        "text_distinctive_ngrams",
+        "ts_event_rate_anomaly",
+    }
+)
 
 # SURVEY §2B families the driver has never checked, most core first.
 # After round 2 the unseen remainder is: similarity (8), multimodal (5),

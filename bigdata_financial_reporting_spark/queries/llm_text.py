@@ -1287,3 +1287,330 @@ def mix_apply_sample(spark, sf_dir):
             "realized_rate",
         )
     )
+
+
+@register(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH u AS (
+      SELECT source, doc_id, n_chars,
+             (CAST(concat('0x', substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+                    1, 6)) AS BIGINT) + 1) / 16777217.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT source, doc_id, n_chars, ln(u) / n_chars AS k FROM u
+    )
+    SELECT source, doc_id, n_chars, round(k, 6) AS sample_key,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY k DESC, doc_id) AS INT) AS rank
+    FROM keyed
+    QUALIFY rank <= 10
+    """,
+    category="text",
+)
+def sample_weighted_topk(spark, sf_dir):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): per source, keep the 10 docs with the
+    largest u^(1/w) — here ranked by the monotone-equivalent
+    ln(u)/w — where w = n_chars (longer docs proportionally likelier)
+    and u is a salted-md5 uniform in (0, 1]. This is how a quality- or
+    length-weighted subsample is drawn reproducibly at 100 TB: no RNG
+    state, membership is a pure function of doc_id, and the per-group
+    top-k is one window (WindowGroupLimit prunes map-side). The +1 /
+    2^24+1 shift keeps u strictly positive for ln."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(16777217.0)
+    keyed = d.select(
+        "source", "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.round("k", 6).alias("sample_key"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "sample_per_stratum_topk",
+    oracle="""
+    SELECT lang, doc_id,
+           CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('ssel:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+             AS pick
+    FROM documents
+    QUALIFY pick <= 20
+    """,
+    category="text",
+)
+def sample_per_stratum_topk(spark, sf_dir):
+    """Fixed-size uniform sample per stratum (exactly 20 docs per
+    language) — eval-set construction. Ranking by the md5 hash STRING
+    of the doc id gives an order that is uniform, deterministic, and
+    engine-identical with no floating point at all; one window per
+    stratum, map-side pruned. Contrast sample_stratified (Bernoulli,
+    fraction-sized) — this is the exact-k form."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit("ssel:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        d.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= 20)
+        .select("lang", "doc_id", "pick")
+    )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOK}) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+    tot AS (SELECT doc_id, sum(c) AS n, count(*) AS v FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           CAST(max(tot.n) AS BIGINT) AS n_tokens,
+           CAST(max(tot.v) AS BIGINT) AS n_distinct,
+           round(-sum((tf.c / CAST(tot.n AS DOUBLE))
+                      * log2(tf.c / CAST(tot.n AS DOUBLE))), 6) AS entropy
+    FROM tf JOIN tot USING (doc_id)
+    GROUP BY tf.doc_id
+    """,
+    category="text",
+)
+def text_token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's token distribution — the
+    repetitive-document signal (template spam and boilerplate score
+    low; natural text scores near log2 of its vocabulary breadth).
+    Explode -> per-(doc, token) counts -> one agg; all map-side
+    combined, no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    n = F.sum("c").over(w)
+    p = F.col("c") / n.cast("double")
+    return (
+        tf.select(
+            "doc_id",
+            n.alias("n_all"),
+            p.alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_all").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy"),
+        )
+    )
+
+
+@register(
+    "batch_length_buckets",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, CAST(len({_DUCK_TOK}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tokens, n_tokens // 32 AS bucket,
+             row_number() OVER (PARTITION BY n_tokens // 32
+                                ORDER BY doc_id) AS rn
+      FROM sized
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST((rn - 1) // 8 AS BIGINT) AS batch_id
+    FROM bucketed
+    """,
+    category="text",
+)
+def batch_length_buckets(spark, sf_dir):
+    """Length-bucketed micro-batch assignment — the padding-efficiency
+    step before batched inference/tokenization: docs are grouped into
+    token-length buckets of width 32, then packed 8 per batch in
+    deterministic doc_id order. Output is (doc, bucket, batch) —
+    a pure windowed computation with no data movement beyond one
+    shuffle on the bucket key."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    b = (F.col("n_tokens") / 32).cast("long")
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        sized.withColumn("bucket", F.floor(F.col("n_tokens") / 32))
+        .withColumn("batch_id", ((F.row_number().over(w) - 1) / 8).cast("long"))
+        .select("doc_id", "n_tokens", "bucket", "batch_id")
+    )
+
+
+# Corpus bigram list in DuckDB — shared by the LM and the
+# distinctive-ngram oracles below.
+_DUCK_BIGRAMS = f"""
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(tok) - 1),
+                                   i -> tok[i] || ' ' || tok[i+1])) AS bg
+      FROM (SELECT doc_id, source, {_DUCK_TOK} AS tok FROM documents)
+      WHERE len(tok) >= 2
+"""
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH bgs AS ({_DUCK_BIGRAMS}),
+    model AS (SELECT bg, count(*) AS c12 FROM bgs GROUP BY bg),
+    ctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+      FROM model GROUP BY split_part(bg, ' ', 1)
+    ),
+    v AS (
+      SELECT count(DISTINCT t) AS vsize
+      FROM (SELECT unnest({_DUCK_TOK}) AS t FROM documents)
+    )
+    SELECT bgs.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-log2((model.c12 + 0.5)
+                 / (ctx.c1 + 0.5 * v.vsize))), 6) AS avg_neg_log2p
+    FROM bgs
+    JOIN model USING (bg)
+    JOIN ctx ON ctx.w1 = split_part(bgs.bg, ' ', 1)
+    CROSS JOIN v
+    GROUP BY bgs.doc_id
+    """,
+    category="text",
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM fluency scoring (add-0.5 smoothing), the CCNet-style
+    perplexity filter one step up from text_unigram_logprob: train
+    bigram/context counts on the corpus (both model frames are
+    vocabulary-sized -> broadcast), then score every document's mean
+    -log2 P(w_i | w_{{i-1}}). Two corpus passes (train, score), zero
+    UDFs; the 1:1 bigram stream is never persisted."""
+    d = load_table(spark, sf_dir, "documents")
+    tokd = d.select(
+        "doc_id", "source", tokenize(F.col("text")).alias("__tok")
+    )
+    bgs = tokd.filter(F.size("__tok") >= 2).select(
+        "doc_id", F.explode(word_ngrams(F.col("__tok"), 2)).alias("bg")
+    )
+    model = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = (
+        model.select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c12"
+        )
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vsize = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    p = (F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.lit(float(vsize)))
+    return (
+        bgs.join(F.broadcast(model), "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(ctx), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 6).alias("avg_neg_log2p"),
+        )
+    )
+
+
+@register(
+    "text_distinctive_ngrams",
+    oracle=f"""
+    WITH bgs AS ({_DUCK_BIGRAMS}),
+    per_src AS (SELECT source, bg, count(*) AS tf_s FROM bgs GROUP BY source, bg),
+    corpus_tf AS (SELECT bg, count(*) AS tf_g FROM bgs GROUP BY bg),
+    scored AS (
+      SELECT p.source, p.bg AS bigram, p.tf_s,
+             (g.tf_g - p.tf_s) AS tf_rest,
+             (p.tf_s + 1.0) / ((g.tf_g - p.tf_s) + 1.0) AS ratio
+      FROM per_src p JOIN corpus_tf g USING (bg)
+    )
+    SELECT source, bigram, CAST(tf_s AS BIGINT) AS tf_source,
+           CAST(tf_rest AS BIGINT) AS tf_rest,
+           round(ratio, 6) AS ratio,
+           CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY ratio DESC, bigram) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    category="text",
+)
+def text_distinctive_ngrams(spark, sf_dir):
+    """Per-source distinctive bigrams — corpus contrastive analysis
+    (which phrases characterize a source vs the rest): smoothed ratio
+    (tf_source + 1) / (tf_rest + 1), top-5 per source. The ratio is a
+    pure integer-arithmetic double division, so ranking is
+    engine-exact with bigram string tie-break; both count frames are
+    vocabulary-sized aggregations with map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    tokd = d.select("source", tokenize(F.col("text")).alias("__tok"))
+    bgs = tokd.filter(F.size("__tok") >= 2).select(
+        "source", F.explode(word_ngrams(F.col("__tok"), 2)).alias("bigram")
+    )
+    per_src = bgs.groupBy("source", "bigram").agg(
+        F.count(F.lit(1)).alias("tf_s")
+    )
+    glob = bgs.groupBy("bigram").agg(F.count(F.lit(1)).alias("tf_g"))
+    scored = per_src.join(F.broadcast(glob), "bigram").select(
+        "source",
+        "bigram",
+        "tf_s",
+        (F.col("tf_g") - F.col("tf_s")).alias("tf_rest"),
+        (
+            (F.col("tf_s") + F.lit(1.0))
+            / (F.col("tf_g") - F.col("tf_s") + F.lit(1.0))
+        ).alias("ratio"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("ratio").desc(), F.col("bigram")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "source",
+            "bigram",
+            F.col("tf_s").cast("long").alias("tf_source"),
+            F.col("tf_rest").cast("long").alias("tf_rest"),
+            F.round("ratio", 6).alias("ratio"),
+            "rank",
+        )
+    )

