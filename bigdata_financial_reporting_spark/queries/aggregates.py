@@ -541,3 +541,141 @@ def agg_pivot(spark, sf_dir):
         .pivot("l_linestatus", ["F", "O"])
         .agg(F.round(F.sum("l_quantity"), 4))
     )
+
+
+@register(
+    "tpch_q4_shape",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+    category="aggregates",
+)
+def tpch_q4_shape(spark, sf_dir):
+    """TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join (the
+    fixture lacks commit/receipt dates, so the inner predicate is
+    'has a returned line'): order counts by priority for a half-year
+    window. The semi join shuffles only the order keys of matching
+    lineitems; the date filter prunes orders at the scan.
+    Ref parity: controller/script.py:22-100 has no multi-table
+    analytics — this extends the engine beyond R1-R23."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q7_shape",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE (ns.n_nationkey = 0 AND nc.n_nationkey = 1)
+       OR (ns.n_nationkey = 1 AND nc.n_nationkey = 0)
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    """,
+    category="aggregates",
+)
+def tpch_q7_shape(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between a nation pair, by
+    year): the 6-table join chain where dimension placement decides
+    the plan — supplier/customer/nation broadcast, so the only big
+    shuffle is lineitem-orders; the nation-pair disjunction prunes at
+    the dim scan before any fact row moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("s_nk") == 0) & (F.col("c_nk") == 1))
+            | ((F.col("s_nk") == 1) & (F.col("c_nk") == 0))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("volume")
+    )
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_cont(l_extendedprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM lineitem
+    )
+    SELECT len(list_filter(b.bs, x -> l.l_extendedprice >= x)) AS bucket,
+           count(*) AS n,
+           round(min(l.l_extendedprice), 4) AS lo,
+           round(max(l.l_extendedprice), 4) AS hi
+    FROM lineitem l CROSS JOIN bounds b
+    GROUP BY 1
+    """,
+    category="aggregates",
+)
+def agg_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram (decile buckets): exact decile boundaries
+    in one percentile pass (interpolation arithmetic is IEEE-identical
+    across engines), broadcast as a 9-element array, bucket = count of
+    boundaries <= value — two scans, no global sort, no single-
+    partition window (the ntile() formulation would funnel the table
+    through one task; this form scales). Complements agg_histogram
+    (equi-width)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("bs")
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            "l_extendedprice",
+            F.size(
+                F.filter("bs", lambda x: F.col("l_extendedprice") >= x)
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 4).alias("lo"),
+            F.round(F.max("l_extendedprice"), 4).alias("hi"),
+        )
+    )

@@ -122,6 +122,11 @@ DEFER_NEW: frozenset[str] = frozenset(
         "text_bigram_logprob",
         "text_distinctive_ngrams",
         "ts_event_rate_anomaly",
+        "tpch_q4_shape",
+        "tpch_q7_shape",
+        "agg_equidepth_histogram",
+        "window_ntile_quartiles",
+        "ops_scd2_build",
     }
 )
 

@@ -166,3 +166,64 @@ def ops_upsert_roundtrip(spark, sf_dir):
     )
     upsert_parquet(spark, path, source, ["o_orderkey"])
     return spark.read.parquet(path).select("o_orderkey", "price")
+
+
+@register(
+    "ops_scd2_build",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    versioned AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM changes
+    )
+    SELECT user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           CASE WHEN valid_to IS NULL THEN NULL
+                ELSE strftime(valid_to, '%Y-%m-%d %H:%M:%S') END AS valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM versioned
+    WHERE user_id < 100
+    """,
+    category="ops",
+)
+def ops_scd2_build(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build from a change stream:
+    collapse consecutive equal states per user (gaps-and-islands lag
+    compare), then close each version with the next change's
+    timestamp — valid_to NULL marks the current row. One user_id
+    shuffle shared by both windows; timestamps rendered as strings on
+    both engines (registry precision convention). The dimension-build
+    half of the CDC story whose merge half is ops_upsert_roundtrip."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

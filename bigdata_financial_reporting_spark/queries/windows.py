@@ -258,3 +258,35 @@ def window_zscore_anomaly(spark, sf_dir):
             (F.abs("z_raw") > 2).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(l_extendedprice, 4) AS price,
+           CAST(ntile(4) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT)
+             AS quartile
+    FROM lineitem
+    WHERE l_orderkey < 5000
+    """,
+    category="windows",
+)
+def window_ntile_quartiles(spark, sf_dir):
+    """ntile(4) quartile assignment within each return-flag group —
+    the remaining rank-family member (row_number/rank/dense_rank/
+    percent_rank/cume_dist live in window_rank_family). Total order
+    pinned by the unique (orderkey, linenumber) tie-break so bucket
+    boundaries are engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_extendedprice", 4).alias("price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
