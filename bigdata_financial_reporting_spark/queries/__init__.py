@@ -21,6 +21,7 @@ from bigdata_financial_reporting_spark.queries import (  # noqa: E402,F401
     aggregates,
     components,
     dedup,
+    fin_timeseries,
     functions_scalar,
     joins,
     llm_text,

@@ -127,6 +127,13 @@ DEFER_NEW: frozenset[str] = frozenset(
         "agg_equidepth_histogram",
         "window_ntile_quartiles",
         "ops_scd2_build",
+        # round-4 session additions
+        "fin_ohlc_bars",
+        "fin_vwap",
+        "fin_drawdown",
+        "fin_ema_window",
+        "fin_gapfill_interpolate",
+        "fin_beta_market",
     }
 )
 
@@ -140,6 +147,7 @@ CATEGORY_PRIORITY: tuple[str, ...] = (
     "multimodal",    # §2B.9 binary columns — zero driver rows
     "reference",     # §2A pipeline parity
     "timeseries",
+    "finance",       # market-data rollups (round-4 additions)
     "text",          # remaining §2B.9 text ops
     "rollup",
     "skew",

@@ -331,3 +331,35 @@ def test_topk_per_group_prunes_map_side_before_exchange(spark, sf_dir):
         "(map-side prune) — in top-down explain text it must print "
         "below the Exchange line; full rows would shuffle otherwise"
     )
+
+
+def test_finance_rollups_are_single_shuffle(spark, sf_dir):
+    """The market-data rollups (round 4) all key their windows AND
+    their aggregations on the instrument id, so each is exactly one
+    hash exchange — the shape that runs shuffle-free on a tick store
+    bucketed by instrument."""
+    for name in ["fin_ohlc_bars", "fin_vwap", "fin_drawdown", "fin_ema_window"]:
+        df = QUERIES[name].fn(spark, sf_dir)
+        n = count_exchanges(df)
+        assert n == 1, f"{name}: {n} exchanges, expected 1"
+        assert "SinglePartition" not in physical_plan(df)
+
+
+def test_beta_market_broadcasts_the_market_series(spark, sf_dir):
+    """The one-row-per-day market frame must broadcast to the daily
+    panel — shuffling the panel against a ~30-row series would be the
+    classic small-dim mistake at 100 TB."""
+    df = QUERIES["fin_beta_market"].fn(spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    r = plan_report(df)
+    assert not r["sort_merge_join"]
+    assert count_exchanges(df) <= 4
+
+
+def test_gapfill_spine_join_shares_instrument_partitioning(spark, sf_dir):
+    """Gap-fill = spine explode + left join + two IGNORE-NULLS windows,
+    all keyed on user_id; the windows must reuse the join's exchange
+    rather than add their own."""
+    df = QUERIES["fin_gapfill_interpolate"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 2
+    assert "SinglePartition" not in physical_plan(df)
