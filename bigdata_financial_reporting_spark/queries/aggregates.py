@@ -12,6 +12,7 @@ Cross-engine gotchas handled here:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from bigdata_financial_reporting_spark.queries.registry import register
@@ -678,4 +679,239 @@ def agg_equidepth_histogram(spark, sf_dir):
             F.round(F.min("l_extendedprice"), 4).alias("lo"),
             F.round(F.max("l_extendedprice"), 4).alias("hi"),
         )
+    )
+
+
+@register(
+    "tpch_q17_shape",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    category="aggregates",
+)
+def tpch_q17_shape(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    scalar subquery — the per-part average quantity — decorrelated
+    Spark-first into a pre-aggregation joined back to the fact. The
+    per-part threshold frame is #parts-sized, so it broadcasts; the
+    lineitem side never shuffles. This is exactly the rewrite Catalyst
+    performs for correlated scalar subqueries, expressed explicitly so
+    the plan is pinned rather than planner-dependent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q2_shape",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, min(cost) AS mc FROM ps GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name,
+           round(ps.cost, 6) AS min_cost
+    FROM ps
+    JOIN best b ON ps.l_partkey = b.l_partkey AND ps.cost = b.mc
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE p.p_size >= 40
+    """,
+    category="aggregates",
+)
+def tpch_q2_shape(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated
+    min-subquery against partsupp, emulated on lineitem (per-(part,
+    supplier) minimum unit price stands in for ps_supplycost). The
+    min-per-part is a window over the already-aggregated ps frame —
+    ranking #part×supp rows, not lineitem — and ties (two suppliers at
+    the same min cost) are KEPT, matching the SQL join-on-equality
+    semantics. Unit prices divide identically under IEEE-754 in both
+    engines, so the float equality against the min is exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("mc", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("mc")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.round("cost", 6).alias("min_cost"),
+        )
+    )
+
+
+@register(
+    "agg_filtered_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
+             AS rev_discounted,
+           round(avg(CASE WHEN l_tax > 0.04 THEN l_extendedprice END), 6)
+             AS avg_price_taxed,
+           count(*) AS n_all
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregates",
+)
+def agg_filtered_conditional(spark, sf_dir):
+    """Conditional aggregation (SQL FILTER clause): count_if and
+    when()-guarded sum/avg compile to the same partial-aggregate
+    tree as their unconditional forms — one map-side-combined shuffle,
+    the predicate evaluated before any row moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))),
+            4,
+        ).alias("rev_discounted"),
+        F.round(
+            F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 6
+        ).alias("avg_price_taxed"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+
+
+@register(
+    "agg_bool_bitwise",
+    oracle="""
+    SELECT user_id,
+           bit_and(event_id) AS band,
+           bit_or(event_id) AS bor,
+           bit_xor(event_id) AS bxor,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(event_type = 'purchase') AS any_purchase
+    FROM events
+    GROUP BY user_id
+    """,
+    category="aggregates",
+)
+def agg_bool_bitwise(spark, sf_dir):
+    """Bitwise and boolean aggregate family (bit_and/or/xor,
+    bool_and/bool_or) — the flag-merging aggregates a permissions or
+    feature-mask rollup uses. All are commutative/associative, so the
+    partial-aggregate shuffle carries one word per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.bit_and("event_id").alias("band"),
+        F.bit_or("event_id").alias("bor"),
+        F.bit_xor("event_id").alias("bxor"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("event_type") == "purchase").alias("any_purchase"),
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_n
+    FROM r WHERE rn = 1
+    """,
+    category="aggregates",
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Mode (most frequent value) per group with a deterministic
+    lexicographic tie-break. Counting first collapses the input to
+    #(group, value) rows, so the ranking window runs over the small
+    aggregated frame — never over raw events — and reuses the count's
+    group partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"),
+                F.col("n").alias("mode_n"))
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH o AS (
+      SELECT l_returnflag, l_quantity, l_extendedprice,
+             sum(l_extendedprice) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_quantity, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(l_extendedprice) OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(CASE WHEN cw >= tot / 2 THEN l_quantity END), 6)
+             AS weighted_median_qty,
+           round(min(tot), 4) AS total_weight
+    FROM o GROUP BY l_returnflag
+    """,
+    category="aggregates",
+)
+def agg_weighted_median(spark, sf_dir):
+    """Weighted median (price-weighted quantity) per group: the first
+    value whose cumulative weight crosses half the total. The
+    cumulative fold is order-pinned by (quantity, orderkey,
+    linenumber) so both engines sum the identical sequence — without
+    the tie-break the crossing row would be summation-order-dependent
+    at the ulp. One ordered window + one keyed agg on the same key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    o = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("l_extendedprice").over(wc).alias("cw"),
+        F.sum("l_extendedprice").over(wt).alias("tot"),
+    )
+    return o.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(F.when(F.col("cw") >= F.col("tot") / 2, F.col("l_quantity"))),
+            6,
+        ).alias("weighted_median_qty"),
+        F.round(F.min("tot"), 4).alias("total_weight"),
     )

@@ -134,6 +134,13 @@ DEFER_NEW: frozenset[str] = frozenset(
         "fin_ema_window",
         "fin_gapfill_interpolate",
         "fin_beta_market",
+        "tpch_q17_shape",
+        "tpch_q2_shape",
+        "agg_filtered_conditional",
+        "agg_bool_bitwise",
+        "agg_mode_per_group",
+        "agg_weighted_median",
+        "window_longest_streak",
     }
 )
 

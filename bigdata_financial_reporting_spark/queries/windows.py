@@ -290,3 +290,56 @@ def window_ntile_quartiles(spark, sf_dir):
         F.round("l_extendedprice", 4).alias("price"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@register(
+    "window_longest_streak",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS inc
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id,
+             sum(1 - inc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o
+    ),
+    runs AS (
+      SELECT user_id, grp, count(*) AS run_len
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           max(run_len) AS longest_streak,
+           count(*) AS n_runs
+    FROM runs GROUP BY user_id
+    """,
+    category="windows",
+)
+def window_longest_streak(spark, sf_dir):
+    """Longest strictly-increasing run per series — the gaps-and-
+    islands pattern (lag → reset flag → cumulative group id → run
+    lengths). A sequential scan in an imperative engine; here it is
+    two ordered windows plus two aggregations, ALL keyed on the series
+    id, so the whole pipeline rides one user_id shuffle. A run of
+    length n means n consecutive ticks where each strictly exceeds the
+    previous (the run includes its starting tick)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inc = F.when(
+        F.col("value") > F.lag("value").over(w), F.lit(1)
+    ).otherwise(F.lit(0))
+    g = ev.select(
+        "user_id", "ts", "event_id", inc.alias("inc")
+    ).select(
+        "user_id",
+        F.sum(F.lit(1) - F.col("inc")).over(wc).alias("grp"),
+    )
+    runs = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_runs"),
+    )

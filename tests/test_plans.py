@@ -363,3 +363,29 @@ def test_gapfill_spine_join_shares_instrument_partitioning(spark, sf_dir):
     df = QUERIES["fin_gapfill_interpolate"].fn(spark, sf_dir)
     assert count_exchanges(df) <= 2
     assert "SinglePartition" not in physical_plan(df)
+
+
+def test_decorrelated_subquery_shapes_broadcast_the_small_side(spark, sf_dir):
+    """Q17/Q2 shapes: the correlated subquery decorrelates to a
+    part-sized pre-aggregate that must BROADCAST back to the fact —
+    re-shuffling lineitem against it would double the fact's network
+    cost at 100 TB."""
+    for name in ["tpch_q17_shape", "tpch_q2_shape"]:
+        df = QUERIES[name].fn(spark, sf_dir)
+        assert has_broadcast_hash_join(df), name
+        assert count_exchanges(df) <= 2, name
+
+
+def test_conditional_and_ordered_aggregates_are_single_shuffle(spark, sf_dir):
+    """FILTER-clause aggregates, bitwise/bool rollups, the weighted
+    median, and the streak pipeline all partial-aggregate map-side or
+    reuse one key partitioning end-to-end."""
+    for name in [
+        "agg_filtered_conditional",
+        "agg_bool_bitwise",
+        "agg_weighted_median",
+        "window_longest_streak",
+    ]:
+        df = QUERIES[name].fn(spark, sf_dir)
+        n = count_exchanges(df)
+        assert n == 1, f"{name}: {n} exchanges, expected 1"
