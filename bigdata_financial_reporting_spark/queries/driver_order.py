@@ -141,6 +141,10 @@ DEFER_NEW: frozenset[str] = frozenset(
         "agg_mode_per_group",
         "agg_weighted_median",
         "window_longest_streak",
+        "text_chunk_overlap",
+        "text_length_band_filter",
+        "text_quality_logreg",
+        "src_schema_evolution_merge",
     }
 )
 

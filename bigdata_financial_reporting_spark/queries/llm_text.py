@@ -1614,3 +1614,148 @@ def text_distinctive_ngrams(spark, sf_dir):
             "rank",
         )
     )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOK} AS tok FROM documents
+    ),
+    s AS (
+      SELECT doc_id, tok,
+             unnest(generate_series(0, greatest(len(tok) - 1, 0), 48)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_id,
+           len(list_slice(tok, start + 1, start + 64)) AS n_chunk_tokens,
+           array_to_string(list_slice(tok, start + 1, start + 64), ' ')
+             AS chunk_text
+    FROM s
+    """,
+    category="text",
+)
+def text_chunk_overlap(spark, sf_dir):
+    """Sliding-window document chunking (64-token chunks, 48-token
+    stride → 16-token overlap) — the context-window splitter every
+    RAG / pre-training pipeline runs before embedding or packing.
+    Chunk starts are a sequence() per document exploded in place:
+    pure codegen, no shuffle at all — the chunker is a map-only
+    operator that scales with input splits. The final (possibly
+    short) tail chunk is kept, matching the oracle's generate_series
+    bound."""
+    d = load_table(spark, sf_dir, "documents")
+    tokd = d.select("doc_id", tokenize(F.col("text")).alias("tok"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("tok") - 1, F.lit(0)), F.lit(48)
+    )
+    ex = tokd.select("doc_id", "tok", F.explode(starts).alias("start"))
+    chunk = F.slice("tok", F.col("start") + 1, F.lit(64))
+    return ex.select(
+        "doc_id",
+        (F.col("start") / 48).cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "text_length_band_filter",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, round(pr, 6) AS length_pctile
+    FROM r
+    WHERE pr >= 0.05 AND pr <= 0.95
+    """,
+    category="text",
+)
+def text_length_band_filter(spark, sf_dir):
+    """Percentile-band length filtering per source: drop the shortest
+    and longest 5% of documents WITHIN each source rather than against
+    a global threshold (sources have different length regimes — a
+    global cut would gut the short-form source). percent_rank is pure
+    integer-rank arithmetic, so the band membership is bit-identical
+    across engines — no interpolated-quantile boundary risk. One
+    window, one shuffle, keyed on source."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "doc_id", "source", "n_chars", F.percent_rank().over(w).alias("pr")
+    )
+    return r.filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95)).select(
+        "doc_id", "source", "n_chars", F.round("pr", 6).alias("length_pctile")
+    )
+
+
+@register(
+    "text_quality_logreg",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, n_chars, {_DUCK_TOK} AS tok FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             ln(1 + len(tok)) AS x_len,
+             len(list_filter(tok, x -> x IN ('the','a','of','and','is')))
+               / CAST(greatest(len(tok), 1) AS DOUBLE) AS x_stop,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS x_punct,
+             CAST(n_chars AS DOUBLE) / greatest(len(tok), 1) AS x_toklen
+      FROM t
+    )
+    SELECT doc_id,
+           round(1 / (1 + exp(-(-2.0 + 0.8 * x_len + 3.0 * x_stop
+                                - 6.0 * x_punct - 0.1 * x_toklen))), 6)
+             AS quality_score,
+           round(1 / (1 + exp(-(-2.0 + 0.8 * x_len + 3.0 * x_stop
+                                - 6.0 * x_punct - 0.1 * x_toklen))), 6) >= 0.5
+             AS keep
+    FROM f
+    """,
+    category="text",
+)
+def text_quality_logreg(spark, sf_dir):
+    """Model-based quality scoring as a pure codegen expression: a
+    logistic regression with FIXED public weights over four engineered
+    features (log length, stopword ratio, punctuation ratio, mean
+    token length) — the fasttext-classifier stand-in for pre-training
+    data curation. The trained model ships as constants in the plan,
+    so scoring 100 TB is a map-only pass with zero Python and zero
+    shuffle; the keep flag thresholds the ROUNDED score so the
+    boundary decision is identical on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tokd = d.select(
+        "doc_id", "text", "n_chars", tokenize(F.col("text")).alias("tok")
+    )
+    n_tok = F.greatest(F.size("tok"), F.lit(1))
+    stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "is"]])
+    x_len = F.log(F.lit(1) + F.size("tok"))
+    x_stop = (
+        F.size(F.filter(F.col("tok"), lambda t: F.array_contains(stop, t)))
+        / n_tok.cast("double")
+    )
+    x_punct = F.length(
+        F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    x_toklen = F.col("n_chars").cast("double") / n_tok
+    z = (
+        F.lit(-2.0)
+        + 0.8 * x_len
+        + 3.0 * x_stop
+        - 6.0 * x_punct
+        - 0.1 * x_toklen
+    )
+    score = F.round(F.lit(1) / (F.lit(1) + F.exp(-z)), 6)
+    return tokd.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )

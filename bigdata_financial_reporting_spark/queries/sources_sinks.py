@@ -188,3 +188,39 @@ def src_split_export_roundtrip(spark, sf_dir):
     return back.select(
         F.col("split").cast("string").alias("split"), "doc_id", "lang"
     )
+
+
+@register(
+    "src_schema_evolution_merge",
+    oracle="""
+    SELECT doc_id, text, NULL AS lang, NULL AS n_chars, 'v1' AS batch
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, NULL AS text, lang, n_chars, 'v2' AS batch
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    category="sources",
+)
+def src_schema_evolution_merge(spark, sf_dir):
+    """Schema evolution on a parquet directory: two writer generations
+    land batches with DIFFERENT column sets (v1: doc_id+text, v2:
+    doc_id+lang+n_chars) under one root, and ``mergeSchema=true``
+    reads the union schema with nulls where a batch lacks a column —
+    the append-only data-lake pattern where producers add columns over
+    time. Merge happens at footer level (per-file schemas union on the
+    driver); row groups are never rewritten, so evolution is free at
+    100 TB. The batch id doubles as the discriminator column."""
+    d = load_table(spark, sf_dir, "documents")
+    root = os.path.join(tempfile.gettempdir(), "bdfr_scratch", "schema_merge")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", F.lit("v1").alias("batch")
+    )
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", F.lit("v2").alias("batch")
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "gen_v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "gen_v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen_v1"), os.path.join(root, "gen_v2")
+    )
+    return merged.select("doc_id", "text", "lang", "n_chars", "batch")

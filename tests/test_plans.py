@@ -389,3 +389,13 @@ def test_conditional_and_ordered_aggregates_are_single_shuffle(spark, sf_dir):
         df = QUERIES[name].fn(spark, sf_dir)
         n = count_exchanges(df)
         assert n == 1, f"{name}: {n} exchanges, expected 1"
+
+
+def test_chunker_and_scorer_are_map_only(spark, sf_dir):
+    """The chunker (sequence+explode) and the logreg scorer are pure
+    per-row transforms: ZERO exchanges — at 100 TB they scale with
+    input splits, not with cluster shuffle capacity."""
+    for name in ["text_chunk_overlap", "text_quality_logreg"]:
+        df = QUERIES[name].fn(spark, sf_dir)
+        n = count_exchanges(df)
+        assert n == 0, f"{name}: {n} exchanges, expected map-only"
