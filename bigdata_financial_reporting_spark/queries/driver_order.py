@@ -145,6 +145,9 @@ DEFER_NEW: frozenset[str] = frozenset(
         "text_length_band_filter",
         "text_quality_logreg",
         "src_schema_evolution_merge",
+        "src_bucketed_colocated_join",
+        "emb_covariance_matrix",
+        "ops_zorder_layout",
     }
 )
 

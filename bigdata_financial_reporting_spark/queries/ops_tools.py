@@ -227,3 +227,72 @@ def ops_scd2_build(spark, sf_dir):
         ),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+def _duck_morton(x: str, y: str) -> str:
+    """DuckDB mirror of the Morton/Z-order bit interleave below."""
+    terms = []
+    for b in range(16):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "ops_zorder_layout",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_orderkey,
+             o_custkey & 65535 AS xd,
+             date_diff('day', DATE '1992-01-01', o_orderdate) & 65535 AS yd
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, xd, yd,
+             {_duck_morton('xd', 'yd')} AS zkey
+      FROM k
+    )
+    SELECT zkey >> 16 AS file_bucket,
+           count(*) AS n_rows,
+           min(xd) AS min_cust, max(xd) AS max_cust,
+           min(yd) AS min_day, max(yd) AS max_day
+    FROM z
+    GROUP BY zkey >> 16
+    """,
+    category="ops",
+)
+def ops_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering layout for two-dimensional data
+    skipping: interleave the bits of (custkey, order-day) into one
+    sort key, then report per-file-bucket min/max boxes for BOTH
+    dimensions. Sorting 100 TB by this key before writing gives every
+    file a tight bounding box in each dimension simultaneously, so
+    parquet min/max stats prune scans for predicates on EITHER column
+    — a linear sort can only serve one. The interleave is a pure
+    integer codegen expression (32 shift-and-mask terms, no UDF); the
+    bucket report is one hash agg. All-integer output = bit-exact
+    oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    xd = F.col("o_custkey").bitwiseAND(65535)
+    yd = F.datediff("o_orderdate", F.lit("1992-01-01")).bitwiseAND(65535)
+    k = o.select(
+        "o_orderkey", xd.alias("xd"), yd.cast("long").alias("yd")
+    )
+    z = F.lit(0).cast("long")
+    for b in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("xd"), b).bitwiseAND(1).cast("long"), 2 * b)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("yd"), b).bitwiseAND(1).cast("long"), 2 * b + 1)
+        )
+    zd = k.select("xd", "yd", z.alias("zkey"))
+    return (
+        zd.groupBy(F.shiftright("zkey", 16).alias("file_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xd").alias("min_cust"),
+            F.max("xd").alias("max_cust"),
+            F.min("yd").alias("min_day"),
+            F.max("yd").alias("max_day"),
+        )
+    )

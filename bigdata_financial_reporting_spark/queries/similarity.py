@@ -537,3 +537,78 @@ def sim_embedding_outliers(spark, sf_dir):
         F.round(z, 6).alias("z"),
         (z < -1.5).alias("is_outlier"),
     )
+
+
+@register(
+    "emb_covariance_matrix",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) AS i,
+             unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS xi
+      FROM embeddings
+    )
+    SELECT a.i - 1 AS pos_i, b.i - 1 AS pos_j,
+           round(covar_samp(a.xi, b.xi), 6) AS cov,
+           count(*) AS n
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    category="similarity",
+)
+def emb_covariance_matrix(spark, sf_dir):
+    """Distributed covariance matrix of the embedding columns (upper
+    triangle, 64x65/2 = 2080 entries) — the input to PCA whitening and
+    the classic distributed-linear-algebra pattern: each partition
+    computes its LOCAL Gram sums with one vectorized numpy X^T X
+    (mapInPandas, Arrow batches), emitting 2080 partial rows; a single
+    keyed aggregation merges partials into exact global sums. The
+    shuffle carries #partitions x 2080 rows — independent of corpus
+    size — so the operator scales to any row count; only the dimension
+    d^2 term matters. Covariance derives from merged raw moments
+    ((Sxy - SxSy/n)/(n-1)), identical to the oracle's covar_samp up to
+    double rounding at 6dp."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def partial_gram(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            n, dim = X.shape
+            g = X.T @ X
+            s = X.sum(axis=0)
+            iu, ju = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "sxy": g[iu, ju],
+                    "sx": s[iu],
+                    "sy": s[ju],
+                    "n": np.full(len(iu), n, dtype="int64"),
+                }
+            )
+
+    partials = d.mapInPandas(
+        partial_gram, schema="i int, j int, sxy double, sx double, sy double, n long"
+    )
+    merged = partials.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("n").alias("n"),
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return merged.select(
+        F.col("i").alias("pos_i"),
+        F.col("j").alias("pos_j"),
+        F.round(cov, 6).alias("cov"),
+        "n",
+    )

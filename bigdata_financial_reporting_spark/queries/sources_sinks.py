@@ -224,3 +224,47 @@ def src_schema_evolution_merge(spark, sf_dir):
         os.path.join(root, "gen_v1"), os.path.join(root, "gen_v2")
     )
     return merged.select("doc_id", "text", "lang", "n_chars", "batch")
+
+
+@register(
+    "src_bucketed_colocated_join",
+    oracle="""
+    SELECT c.c_nationkey,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    category="sources",
+)
+def src_bucketed_colocated_join(spark, sf_dir):
+    """Bucketed-table co-located join as a driver-checked roundtrip:
+    orders and customer are written bucketed on the join key (8
+    buckets each), then joined through the table catalog — the layout
+    under which the join needs ZERO shuffle (each task reads matching
+    bucket files from both sides; that plan property is pinned with
+    broadcast disabled in tests/test_bucketing.py). At 100 TB this
+    converts the recurring fact-fact join cost from a full shuffle per
+    query into a one-time layout cost at write. The oracle checks the
+    content survives the bucketed write+catalog read roundtrip."""
+    from bigdata_financial_reporting_spark.sources.writers import write_bucketed
+
+    root = os.path.join(tempfile.gettempdir(), "bdfr_scratch", "bucketed")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    write_bucketed(
+        o, "bdfr_q_orders", ["o_custkey"], 8, path=os.path.join(root, "o")
+    )
+    write_bucketed(
+        c, "bdfr_q_customer", ["c_custkey"], 8, path=os.path.join(root, "c")
+    )
+    joined = spark.table("bdfr_q_orders").join(
+        spark.table("bdfr_q_customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )

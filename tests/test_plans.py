@@ -399,3 +399,26 @@ def test_chunker_and_scorer_are_map_only(spark, sf_dir):
         df = QUERIES[name].fn(spark, sf_dir)
         n = count_exchanges(df)
         assert n == 0, f"{name}: {n} exchanges, expected map-only"
+
+
+def test_covariance_shuffle_carries_partials_not_rows(spark, sf_dir):
+    """emb_covariance_matrix must shuffle only the per-partition
+    partial Gram rows (#partitions x 2080), never the embedding rows:
+    exactly one exchange, placed after the mapInPandas stage."""
+    df = QUERIES["emb_covariance_matrix"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    n = count_exchanges(df)
+    assert n == 1, f"{n} exchanges, expected 1"
+    assert "MapInPandas" in plan
+    # the exchange must be above (planned after) the Python stage:
+    # in top-down explain text the Exchange line prints before it
+    assert plan.index("Exchange") < plan.index("MapInPandas")
+
+
+def test_zorder_key_is_pure_codegen(spark, sf_dir):
+    """The Morton interleave must stay a JVM-side integer expression —
+    no Python evaluation node anywhere in the plan."""
+    df = QUERIES["ops_zorder_layout"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert count_exchanges(df) == 1
