@@ -915,3 +915,37 @@ def agg_weighted_median(spark, sf_dir):
         ).alias("weighted_median_qty"),
         F.round(F.min("tot"), 4).alias("total_weight"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT user_id,
+           count(DISTINCT event_id) AS n_distinct_bitmap,
+           count(DISTINCT event_id) AS n_distinct_exact
+    FROM events
+    GROUP BY user_id
+    """,
+    category="aggregates",
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """Bitmap-based EXACT distinct counting (Spark 4 bitmap aggregate
+    family): keys bucket into 32k-bit bitmaps (bitmap_bucket_number /
+    bitmap_bit_position), each bucket ORs its bits map-side
+    (bitmap_construct_agg), and the distinct count is the sum of
+    bitmap popcounts. Unlike approx_count_distinct this is exact, and
+    unlike count(DISTINCT) the shuffle carries fixed-size bitmaps
+    instead of every distinct key — the standard high-cardinality
+    pattern. Both the bitmap path and the naive exact path are
+    emitted; the oracle pins them equal."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "user_id", F.bitmap_bucket_number("event_id").alias("bk")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("event_id")).alias("bm"),
+        F.count_distinct("event_id").alias("nd"),
+    )
+    return buckets.groupBy("user_id").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct_bitmap"),
+        F.sum("nd").alias("n_distinct_exact"),
+    )

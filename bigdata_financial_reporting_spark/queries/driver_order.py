@@ -148,6 +148,12 @@ DEFER_NEW: frozenset[str] = frozenset(
         "src_bucketed_colocated_join",
         "emb_covariance_matrix",
         "ops_zorder_layout",
+        "fn_variant_json",
+        "fn_collated_groupby",
+        "fn_listagg_within_group",
+        "agg_bitmap_distinct",
+        "join_lateral_topn",
+        "udf_arrow_optimized_scalar",
     }
 )
 

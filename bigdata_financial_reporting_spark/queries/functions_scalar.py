@@ -425,3 +425,107 @@ def fn_nondeterministic_ids(spark, sf_dir):
         ((F.min("r") >= 0.0) & (F.max("r") < 1.0)).alias("rand_in_unit"),
         F.count_distinct("xx64").alias("xx64_distinct"),
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k,
+           (json_extract(props, '$.missing') IS NULL) AS missing_is_null,
+           CAST(props->>'$.k' AS INT) % 10 AS k_mod
+    FROM events
+    """,
+    category="functions",
+)
+def fn_variant_json(spark, sf_dir):
+    """VARIANT semi-structured access (Spark 4): parse_json lifts the
+    raw JSON string into the binary VARIANT encoding once, then
+    variant_get extracts typed paths WITHOUT re-parsing per access —
+    at 100 TB this is the difference between one parse per row and one
+    parse per get_json_object call. try_variant_get on an absent path
+    yields NULL rather than an error, mirroring the oracle's
+    json_extract."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "int")
+    return v.select(
+        "event_id",
+        k.alias("k"),
+        F.try_variant_get("v", "$.missing", "string").isNull().alias(
+            "missing_is_null"
+        ),
+        (k % 10).alias("k_mod"),
+    )
+
+
+@register(
+    "fn_collated_groupby",
+    oracle="""
+    SELECT lower(source) AS src, count(*) AS n,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               AS source,
+             n_chars
+      FROM documents
+    )
+    GROUP BY lower(source)
+    """,
+    category="functions",
+)
+def fn_collated_groupby(spark, sf_dir):
+    """Collation-aware grouping (Spark 4): half the source labels are
+    uppercased, then the group-by runs under the UTF8_LCASE collation
+    — the engine-level answer to case-insensitive keys that previously
+    required wrapping every reference in lower(). The aggregation
+    itself is collation-native (hash agg on collation-aware keys); the
+    output key is normalised with lower() on both engines because the
+    representative casing within a collated group is not defined."""
+    d = load_table(spark, sf_dir, "documents")
+    mixed = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        "n_chars",
+    )
+    g = mixed.groupBy(
+        F.collate(F.col("source"), "UTF8_LCASE").alias("src_collated")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+    return g.select(
+        F.lower(F.col("src_collated").cast("string")).alias("src"),
+        "n",
+        "avg_chars",
+    )
+
+
+@register(
+    "fn_listagg_within_group",
+    oracle="""
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+    FROM documents
+    GROUP BY lang
+    """,
+    category="functions",
+)
+def fn_listagg_within_group(spark, sf_dir):
+    """ANSI LISTAGG ... WITHIN GROUP (Spark 4): ordered string
+    aggregation as a first-class aggregate — the standard-SQL spelling
+    of the collect_list+sort_array+concat_ws composition the registry
+    already pins in agg_collect_sorted. DISTINCT + explicit ORDER BY
+    makes the output deterministic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("bdfr_docs_listagg")
+    return spark.sql(
+        """
+        SELECT lang,
+               listagg(DISTINCT source, ',') WITHIN GROUP (ORDER BY source)
+                 AS sources
+        FROM bdfr_docs_listagg
+        GROUP BY lang
+        """
+    )

@@ -488,3 +488,47 @@ def join_interval_overlap(spark, sf_dir):
         F.count(F.lit(1)).alias("n_overlaps"),
         F.min("a_key").alias("first_a"),
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT c.c_custkey, r.o_orderkey,
+           round(r.o_totalprice, 4) AS o_totalprice
+    FROM customer c JOIN r ON r.o_custkey = c.c_custkey
+    WHERE r.rn <= 2
+    """,
+    category="joins",
+)
+def join_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery (Spark 4 SQL): top-2 orders per
+    customer expressed as a per-row dependent subquery — the ANSI
+    spelling of top-k-per-group. Catalyst decorrelates the LATERAL
+    into a ranked window + join (DomainJoin rewrite), so the executed
+    plan is the same single-shuffle window the registry pins for
+    topk_per_group — the lateral form adds parser/optimizer surface,
+    not a nested-loop execution."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("bdfr_lat_orders")
+    c.createOrReplaceTempView("bdfr_lat_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 4) AS o_totalprice
+        FROM bdfr_lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM bdfr_lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        """
+    )

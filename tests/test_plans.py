@@ -422,3 +422,14 @@ def test_zorder_key_is_pure_codegen(spark, sf_dir):
     plan = physical_plan(df)
     assert "Python" not in plan and "MapInPandas" not in plan
     assert count_exchanges(df) == 1
+
+
+def test_lateral_topn_decorrelates_to_window_not_nested_loop(spark, sf_dir):
+    """The LATERAL correlated subquery must decorrelate into a ranked
+    window + join — a nested-loop (per-customer re-scan of orders)
+    would be quadratic at 100 TB."""
+    df = QUERIES["join_lateral_topn"].fn(spark, sf_dir)
+    p = physical_plan(df)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "Window" in p
+    assert count_exchanges(df) <= 2
