@@ -154,6 +154,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "agg_bitmap_distinct",
         "join_lateral_topn",
         "udf_arrow_optimized_scalar",
+        "src_python_datasource",
     }
 )
 

@@ -268,3 +268,52 @@ def src_bucketed_colocated_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("revenue"),
     )
+
+
+@register(
+    "src_python_datasource",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(generate_series(0, 999)) AS tick_id
+    ),
+    px AS (
+      SELECT tick_id, tick_id % 8 AS series,
+             50.0 + 10.0 * ((tick_id * 37) % 100) / 100.0 AS px
+      FROM t
+    )
+    SELECT series, count(*) AS n,
+           round(avg(px), 6) AS avg_px,
+           round(min(px), 6) AS min_px,
+           round(max(px), 6) AS max_px
+    FROM px GROUP BY series
+    """,
+    category="sources",
+)
+def src_python_datasource(spark, sf_dir):
+    """Custom connector via the Spark 4 Python Data Source API: a
+    registered DataSource class supplies schema + input partitions on
+    the driver and a per-partition row generator on executors — the
+    same split contract a file source has, so a bespoke feed (REST
+    cursor, queue, proprietary format) parallelises like parquet. The
+    source's rows are pure integer arithmetic, so the oracle
+    regenerates them exactly from generate_series."""
+    from bigdata_financial_reporting_spark.sources.python_source import (
+        TickerDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TickerDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ticks = (
+        spark.read.format("bdfr_ticker")
+        .option("n", "1000")
+        .option("partitions", "4")
+        .load()
+    )
+    return ticks.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("px"), 6).alias("avg_px"),
+        F.round(F.min("px"), 6).alias("min_px"),
+        F.round(F.max("px"), 6).alias("max_px"),
+    )
