@@ -949,3 +949,58 @@ def agg_bitmap_distinct(spark, sf_dir):
         F.sum(F.bitmap_count("bm")).alias("n_distinct_bitmap"),
         F.sum("nd").alias("n_distinct_exact"),
     )
+
+
+@register(
+    "agg_hll_sketch_mergeable",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS within_5pct,
+           (SELECT count(DISTINCT user_id) FROM events) AS n_exact_all,
+           TRUE AS union_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    category="aggregates",
+)
+def agg_hll_sketch_mergeable(spark, sf_dir):
+    """Mergeable HLL sketches (Spark 4 Apache DataSketches family) —
+    THE 100-TB distinct-counting pattern: build one sketch per group
+    (hll_sketch_agg), estimate per group, then hll_union_agg MERGES the
+    per-group sketches into a global estimate without ever re-touching
+    the raw data. That re-aggregability (sketch once at ingest, union
+    at any rollup level later) is what approx_count_distinct cannot
+    do. Sketches are approximate, so the driver-facing output is a
+    tolerance WITNESS (same convention as agg_approx_count_distinct):
+    the exact value plus in-band booleans the oracle pins TRUE."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    glob = g.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_all"),
+        F.sum(F.lit(0)).alias("__z"),
+    ).crossJoin(
+        ev.agg(F.count_distinct("user_id").alias("n_exact_all"))
+    )
+    per = g.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
+    )
+    return per.crossJoin(
+        F.broadcast(
+            glob.select(
+                "n_exact_all",
+                (
+                    F.abs(F.col("est_all") - F.col("n_exact_all"))
+                    <= 0.05 * F.col("n_exact_all")
+                ).alias("union_within_5pct"),
+            )
+        )
+    )

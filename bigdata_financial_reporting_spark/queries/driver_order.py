@@ -155,6 +155,8 @@ DEFER_NEW: frozenset[str] = frozenset(
         "join_lateral_topn",
         "udf_arrow_optimized_scalar",
         "src_python_datasource",
+        "agg_hll_sketch_mergeable",
+        "fn_try_arithmetic",
     }
 )
 

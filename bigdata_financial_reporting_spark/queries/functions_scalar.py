@@ -529,3 +529,45 @@ def fn_listagg_within_group(spark, sf_dir):
         GROUP BY lang
         """
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / nullif(l_discount, 0), 6) AS safe_div,
+           CAST(NULL AS BIGINT) AS overflow_add,
+           round(CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END, 6)
+             AS safe_sqrt,
+           CAST(trunc(l_extendedprice) AS BIGINT) AS to_long
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+    category="functions",
+)
+def fn_try_arithmetic(spark, sf_dir):
+    """ANSI-safe arithmetic (try_* family): in ANSI mode (Spark 4's
+    default) division by zero and numeric overflow RAISE — correct for
+    a warehouse, fatal for a 100-TB batch job that dies at hour 9 on
+    one bad row. try_divide/try_add return NULL on those rows instead,
+    making error handling a data-quality column rather than a crashed
+    stage. The overflow probe adds BIGINT-max to itself — NULL on
+    every row, pinned by the oracle's typed NULL. Cross-engine gotcha
+    pinned here: Spark's double→long cast TRUNCATES toward zero while
+    DuckDB's rounds, so the oracle casts trunc()."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 1000
+    )
+    big = F.lit(9223372036854775807).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 6).alias(
+            "safe_div"
+        ),
+        F.try_add(big, big).alias("overflow_add"),
+        F.round(
+            F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity")), 6
+        ).alias("safe_sqrt"),
+        F.col("l_extendedprice").cast("long").alias("to_long"),
+    )
