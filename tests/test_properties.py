@@ -492,3 +492,104 @@ def test_banded_interval_join_matches_naive(spark, lhs, rhs, band):
         .collect()
     )
     assert banded == naive
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_windowed_ema_matches_naive_python_fold(spark, rows):
+    """fin_ema_window's windowed dot product must equal the naive
+    renormalised 20-tap EMA computed row-by-row in Python (same alpha,
+    same truncation, same normalisation)."""
+    if not rows:
+        return
+    df = _df(spark, rows)
+    w20 = (
+        Window.partitionBy("k").orderBy("idx").rowsBetween(-19, Window.currentRow)
+    )
+    arr = F.reverse(F.collect_list(F.col("v").cast("double")).over(w20))
+    num = F.aggregate(
+        arr,
+        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("kk")),
+        lambda acc, x: F.struct(
+            (acc["s"] + x * F.pow(F.lit(0.8), acc["kk"])).alias("s"),
+            (acc["kk"] + F.lit(1.0)).alias("kk"),
+        ),
+        lambda acc: acc["s"],
+    )
+    n = F.size(arr)
+    ema = F.lit(0.2) * num / (F.lit(1.0) - F.pow(F.lit(0.8), n.cast("double")))
+    got = {
+        (r.k, r.idx): r.ema
+        for r in df.select("k", "idx", ema.alias("ema")).collect()
+    }
+    per_key: dict[int, list[tuple[int, int]]] = {}
+    for i, (k, v) in enumerate(rows):
+        per_key.setdefault(k, []).append((i, v))
+    for k, items in per_key.items():
+        vals = [float(v) for _, v in items]
+        for pos, (i, _) in enumerate(items):
+            window = vals[max(0, pos - 19) : pos + 1][::-1]  # newest first
+            num_py = sum(x * 0.8**j for j, x in enumerate(window))
+            exp = 0.2 * num_py / (1 - 0.8 ** len(window))
+            assert abs(got[(k, i)] - exp) < 1e-9, (k, i, got[(k, i)], exp)
+
+
+@SETTINGS
+@given(
+    xs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_morton_interleave_is_bijective_and_order_preserving(spark, xs):
+    """The Z-order key must be a bijection of (x, y) — distinct pairs
+    get distinct keys, and the key decodes back to its inputs."""
+    df = spark.createDataFrame(
+        [Row(x=x, y=y) for x, y in xs], "x long, y long"
+    )
+    z = F.lit(0).cast("long")
+    for b in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("x"), b).bitwiseAND(1).cast("long"), 2 * b)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("y"), b).bitwiseAND(1).cast("long"), 2 * b + 1)
+        )
+    out = df.select("x", "y", z.alias("z")).collect()
+    for r in out:
+        xd = sum(((r.z >> (2 * b)) & 1) << b for b in range(16))
+        yd = sum(((r.z >> (2 * b + 1)) & 1) << b for b in range(16))
+        assert (xd, yd) == (r.x, r.y)
+    distinct_pairs = {(x, y) for x, y in xs}
+    assert len({r.z for r in out}) == len(distinct_pairs)
+
+
+@SETTINGS
+@given(
+    n_tokens=st.integers(min_value=0, max_value=200),
+    size=st.integers(min_value=2, max_value=64),
+)
+def test_chunker_covers_every_token_exactly_where_expected(spark, n_tokens, size):
+    """Sliding-window chunking with stride s < size must cover every
+    token at least once, chunk 0 must start at token 0, and every
+    chunk except the last must have exactly `size` tokens when the doc
+    is long enough."""
+    stride = max(1, (size * 3) // 4)
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([Row(doc_id=0, tok=toks)], "doc_id long, tok array<string>")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("tok") - 1, F.lit(0)), F.lit(stride)
+    )
+    ex = df.select("doc_id", "tok", F.explode(starts).alias("start"))
+    chunk = F.slice("tok", F.col("start") + 1, F.lit(size))
+    rows = ex.select("start", chunk.alias("chunk")).collect()
+    covered = set()
+    for r in rows:
+        for j, t in enumerate(r.chunk):
+            assert t == f"t{r.start + j}"
+            covered.add(r.start + j)
+    assert covered == set(range(n_tokens))
+    assert min(r.start for r in rows) == 0
