@@ -157,6 +157,9 @@ DEFER_NEW: frozenset[str] = frozenset(
         "src_python_datasource",
         "agg_hll_sketch_mergeable",
         "fn_try_arithmetic",
+        "sql_pipe_syntax",
+        "sql_session_variables",
+        "udf_sql_function",
     }
 )
 

@@ -436,3 +436,63 @@ def intersect_except(spark, sf_dir):
         F.lit("cust_only").alias("which"), "nk"
     )
     return both.unionByName(only)
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    WHERE n_chars > 200 AND source <> 'src0'
+    GROUP BY lang
+    """,
+    category="relational",
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4): the query written as a linear
+    dataflow (FROM |> WHERE |> AGGREGATE) instead of inside-out ANSI
+    nesting. Parses to the identical logical plan as the classic form
+    — the oracle IS that classic form — so this pins that the new
+    surface syntax changes nothing about planning or results."""
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("bdfr_docs_pipe")
+    return spark.sql(
+        """
+        FROM bdfr_docs_pipe
+        |> WHERE n_chars > 200 AND source <> 'src0'
+        |> AGGREGATE count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+           GROUP BY lang
+        """
+    )
+
+
+@register(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 200000
+    GROUP BY o_orderpriority
+    """,
+    category="relational",
+)
+def sql_session_variables(spark, sf_dir):
+    """SQL session variables (Spark 4 DECLARE/SET VAR): parameterised
+    queries without string interpolation — the variables resolve at
+    plan time to foldable constants, so the filter still pushes into
+    the scan exactly as a literal would. The oracle inlines the same
+    constants."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("bdfr_orders_vars")
+    spark.sql("DECLARE OR REPLACE VARIABLE bdfr_lo DOUBLE DEFAULT 50000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE bdfr_hi DOUBLE DEFAULT 200000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM bdfr_orders_vars
+        WHERE o_totalprice BETWEEN bdfr_lo AND bdfr_hi
+        GROUP BY o_orderpriority
+        """
+    )

@@ -238,3 +238,39 @@ def udf_arrow_optimized_scalar(spark, sf_dir):
         n_words("text").alias("n_words"),
         first_upper("text").alias("first_upper"),
     )
+
+
+@register(
+    "udf_sql_function",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(n_chars AS DOUBLE)
+                 / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+             AS density
+    FROM documents
+    """,
+    category="udfs",
+)
+def udf_sql_function(spark, sf_dir):
+    """SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr): a reusable
+    scalar function defined IN SQL — unlike Python UDFs it inlines
+    into the plan as a plain expression (whole-stage codegen, no
+    serialization boundary), so it is the right tool for shared
+    business formulas at 100 TB. The oracle repeats the expression
+    body verbatim."""
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("bdfr_docs_sqludf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION bdfr_density(chars INT, t STRING)
+        RETURNS DOUBLE
+        RETURN CAST(chars AS DOUBLE)
+               / greatest(size(split(trim(t), '\\\\s+')), 1)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, round(bdfr_density(n_chars, text), 6) AS density
+        FROM bdfr_docs_sqludf
+        """
+    )
