@@ -160,6 +160,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "sql_pipe_syntax",
         "sql_session_variables",
         "udf_sql_function",
+        "ops_incremental_rollup_refresh",
     }
 )
 

@@ -296,3 +296,61 @@ def ops_zorder_layout(spark, sf_dir):
             F.max("yd").alias("max_day"),
         )
     )
+
+
+@register(
+    "ops_incremental_rollup_refresh",
+    oracle="""
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    """,
+    category="ops",
+)
+def ops_incremental_rollup_refresh(spark, sf_dir):
+    """Incremental materialized-rollup maintenance with DYNAMIC
+    partition overwrite: the daily rollup is first materialized
+    STALE (late data withheld), then the refresh recomputes ONLY the
+    affected day partitions and overwrites exactly those directories
+    (partitionOverwriteMode=dynamic leaves every other partition's
+    files untouched). At 100 TB this is the difference between
+    rewriting a year of rollups and rewriting the two days a late
+    batch touched. The oracle is the from-scratch rollup — the
+    incrementally-refreshed table must be indistinguishable from a
+    full recompute."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = lambda df: (  # noqa: E731
+        df.groupBy(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    path = _scratch_path("rollup_refresh", "events_daily")
+    cutoff = "2024-01-28"
+    # 1. stale materialization: late rows (>= cutoff) not yet arrived
+    daily(ev.filter(F.col("ts") < cutoff)).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(path)
+    # 2. late batch lands; recompute ONLY the affected days and
+    #    dynamically overwrite just those partition dirs
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        affected_days = daily(ev.filter(F.col("ts") >= cutoff))
+        # a day partition can straddle the cutoff: recompute the full
+        # day from source, not just the late slice
+        days = [r.day for r in affected_days.select("day").distinct().collect()]
+        daily(
+            ev.filter(F.date_format("ts", "yyyy-MM-dd").isin(days))
+        ).write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return back.select(
+        "user_id", F.col("day").cast("string").alias("day"),
+        "n_events", "sum_value",
+    )

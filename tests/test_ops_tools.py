@@ -174,3 +174,64 @@ def test_swap_directory_handles_file_uri(spark, tmp_path):
     assert spark.read.parquet(target).count() == 7
     assert not os.path.exists(staged)
     assert not os.path.exists(target + ".swap_old")
+
+
+def test_incremental_refresh_leaves_untouched_partitions_alone(
+    spark, sf_dir, tmp_path
+):
+    """Dynamic partition overwrite must rewrite ONLY the affected day
+    partitions: after the late-batch refresh, an early-January
+    partition's files carry the same names, sizes, AND mtimes as
+    before the refresh — proof the refresh never touched them."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def daily(df):
+        return df.groupBy(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    path = str(tmp_path / "events_daily")
+    cutoff = "2024-01-28"
+    daily(ev.filter(F.col("ts") < cutoff)).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(path)
+
+    early = sorted(glob.glob(os.path.join(path, "day=2024-01-05", "*.parquet")))
+    assert early, "expected an early-January partition"
+    sig_before = [(f, os.path.getmtime(f), os.path.getsize(f)) for f in early]
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        days = [
+            r.day
+            for r in daily(ev.filter(F.col("ts") >= cutoff))
+            .select("day")
+            .distinct()
+            .collect()
+        ]
+        daily(
+            ev.filter(F.date_format("ts", "yyyy-MM-dd").isin(days))
+        ).write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    sig_after = [
+        (f, os.path.getmtime(f), os.path.getsize(f))
+        for f in sorted(
+            glob.glob(os.path.join(path, "day=2024-01-05", "*.parquet"))
+        )
+    ]
+    assert sig_before == sig_after, "refresh rewrote an untouched partition"
+    # and the affected partitions DID change (late days exist on disk)
+    assert glob.glob(os.path.join(path, "day=2024-01-3*", "*.parquet"))
