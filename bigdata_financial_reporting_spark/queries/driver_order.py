@@ -161,6 +161,10 @@ DEFER_NEW: frozenset[str] = frozenset(
         "sql_session_variables",
         "udf_sql_function",
         "ops_incremental_rollup_refresh",
+        "fin_rsi_window",
+        "fin_bollinger_bands",
+        "fin_sharpe_by_instrument",
+        "fin_return_corr_pairs",
     }
 )
 

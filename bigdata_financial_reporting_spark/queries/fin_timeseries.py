@@ -348,3 +348,193 @@ def fin_beta_market(spark, sf_dir):
             ok & (F.var_samp("r") > 0), F.round(F.corr("r", "m"), 6)
         ).alias("corr_mkt"),
     )
+
+
+@register(
+    "fin_rsi_window",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             value - lag(value) OVER w AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts, event_id,
+             avg(CASE WHEN chg > 0 THEN chg ELSE 0 END) OVER w14 AS avg_gain,
+             avg(CASE WHEN chg < 0 THEN -chg ELSE 0 END) OVER w14 AS avg_loss,
+             count(chg) OVER w14 AS n_chg
+      FROM d
+      WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN n_chg >= 14 THEN
+             round(CASE WHEN avg_loss = 0 THEN 100.0
+                        ELSE 100.0 - 100.0 / (1 + avg_gain / avg_loss) END, 6)
+           END AS rsi
+    FROM g
+    """,
+    category="finance",
+)
+def fin_rsi_window(spark, sf_dir):
+    """Relative Strength Index over a simple 14-tick window (Cutler's
+    RSI — the simple-moving-average variant; Wilder's original smooths
+    recursively and cannot parallelise, which is exactly why the SMA
+    variant is the standard distributed form). Two stacked windows on
+    one instrument-keyed shuffle; RSI is emitted only once 14 changes
+    exist, and the all-gains edge case pins to 100 on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w14 = w.rowsBetween(-13, Window.currentRow)
+    chg = F.col("value") - F.lag("value").over(w)
+    d = ev.select("user_id", "ts", "event_id", chg.alias("chg"))
+    avg_gain = F.avg(F.when(F.col("chg") > 0, F.col("chg")).otherwise(0.0)).over(w14)
+    avg_loss = F.avg(F.when(F.col("chg") < 0, -F.col("chg")).otherwise(0.0)).over(w14)
+    n_chg = F.count("chg").over(w14)
+    rsi = F.when(
+        F.col("avg_loss") == 0, F.lit(100.0)
+    ).otherwise(F.lit(100.0) - F.lit(100.0) / (1 + F.col("avg_gain") / F.col("avg_loss")))
+    g = d.select(
+        "user_id", "event_id",
+        avg_gain.alias("avg_gain"), avg_loss.alias("avg_loss"),
+        n_chg.alias("n_chg"),
+    )
+    return g.select(
+        "user_id", "event_id",
+        F.when(F.col("n_chg") >= 14, F.round(rsi, 6)).alias("rsi"),
+    )
+
+
+@register(
+    "fin_bollinger_bands",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER w20, 6) AS mid,
+           CASE WHEN count(*) OVER w20 > 1 THEN
+             round(avg(value) OVER w20 + 2 * stddev_samp(value) OVER w20, 6)
+           END AS upper_band,
+           CASE WHEN count(*) OVER w20 > 1 THEN
+             round(avg(value) OVER w20 - 2 * stddev_samp(value) OVER w20, 6)
+           END AS lower_band
+    FROM events
+    WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    category="finance",
+)
+def fin_bollinger_bands(spark, sf_dir):
+    """Bollinger bands: 20-tick moving mean ± 2 sample standard
+    deviations, one sliding frame per instrument — mean, stddev, and
+    count all share the single w20 frame, so Spark computes them in
+    one window pass over one shuffle. Bands are NULL until a second
+    observation exists (sample stddev undefined), identically gated
+    in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    w20 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    mid = F.avg("value").over(w20)
+    sd = F.stddev_samp("value").over(w20)
+    has_sd = F.count(F.lit(1)).over(w20) > 1
+    return ev.select(
+        "user_id", "event_id",
+        F.round(mid, 6).alias("mid"),
+        F.when(has_sd, F.round(mid + 2 * sd, 6)).alias("upper_band"),
+        F.when(has_sd, F.round(mid - 2 * sd, 6)).alias("lower_band"),
+    )
+
+
+@register(
+    "fin_sharpe_by_instrument",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, ts::DATE AS day, avg(value) AS px
+      FROM events GROUP BY user_id, ts::DATE
+    ),
+    rets AS (
+      SELECT user_id,
+             px / lag(px) OVER (PARTITION BY user_id ORDER BY day) - 1 AS r
+      FROM daily
+    )
+    SELECT user_id,
+           count(r) AS n_returns,
+           round(avg(r), 6) AS mean_ret,
+           CASE WHEN count(r) > 1 AND stddev_samp(r) > 0
+                THEN round(avg(r) / stddev_samp(r) * sqrt(252), 6) END
+             AS sharpe_ann
+    FROM rets
+    GROUP BY user_id
+    """,
+    category="finance",
+)
+def fin_sharpe_by_instrument(spark, sf_dir):
+    """Annualised Sharpe ratio per instrument over daily simple
+    returns (zero risk-free rate, sqrt-252 annualisation): daily
+    close proxy → lag return → mean/stddev — the window and both
+    aggregations share one user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("px")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    rets = daily.select(
+        "user_id", (F.col("px") / F.lag("px").over(w) - 1).alias("r")
+    )
+    n = F.count("r")
+    sd = F.stddev_samp("r")
+    return rets.groupBy("user_id").agg(
+        n.alias("n_returns"),
+        F.round(F.avg("r"), 6).alias("mean_ret"),
+        F.when(
+            (n > 1) & (sd > 0),
+            F.round(F.avg("r") / sd * F.lit(252.0) ** 0.5, 6),
+        ).alias("sharpe_ann"),
+    )
+
+
+@register(
+    "fin_return_corr_pairs",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, ts::DATE AS day, avg(value) AS r
+      FROM events WHERE user_id < 20 GROUP BY user_id, ts::DATE
+    )
+    SELECT a.user_id AS id_a, b.user_id AS id_b,
+           count(*) AS n_days,
+           CASE WHEN count(*) > 1 AND var_samp(a.r) > 0 AND var_samp(b.r) > 0
+                THEN round(corr(a.r, b.r), 6) END AS corr_ab
+    FROM daily a JOIN daily b
+      ON a.day = b.day AND a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id
+    """,
+    category="finance",
+)
+def fin_return_corr_pairs(spark, sf_dir):
+    """Pairwise daily-value correlation matrix for a basket of 20
+    instruments (190 pairs) — the portfolio-risk input. The self-join
+    keys on the day so a pair only aligns on shared days; the basket
+    bound caps the pair space at #basket^2 REGARDLESS of corpus size
+    (at 100 TB you choose the basket, never all-pairs — the same
+    blocking discipline as the dedup family). One shuffle builds the
+    daily panel, the day-keyed join aligns it, the pair aggregation
+    reuses the join's output."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("r")
+    )
+    a = daily.select(
+        F.col("user_id").alias("id_a"), "day", F.col("r").alias("ra")
+    )
+    b = daily.select(
+        F.col("user_id").alias("id_b"), "day", F.col("r").alias("rb")
+    )
+    j = a.join(b, "day").filter(F.col("id_a") < F.col("id_b"))
+    n = F.count(F.lit(1))
+    ok = (n > 1) & (F.var_samp("ra") > 0) & (F.var_samp("rb") > 0)
+    return j.groupBy("id_a", "id_b").agg(
+        n.alias("n_days"),
+        F.when(ok, F.round(F.corr("ra", "rb"), 6)).alias("corr_ab"),
+    )

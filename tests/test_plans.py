@@ -433,3 +433,21 @@ def test_lateral_topn_decorrelates_to_window_not_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     assert "Window" in p
     assert count_exchanges(df) <= 2
+
+
+def test_second_finance_batch_stays_instrument_keyed(spark, sf_dir):
+    """RSI and Bollinger are single-shuffle stacked windows; Sharpe
+    adds only the daily pre-aggregation; the basket correlation is
+    bounded by the day-keyed self-join — none may collapse to a
+    single partition."""
+    budgets = {
+        "fin_rsi_window": 1,
+        "fin_bollinger_bands": 1,
+        "fin_sharpe_by_instrument": 2,
+        "fin_return_corr_pairs": 3,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name].fn(spark, sf_dir)
+        n = count_exchanges(df)
+        assert n <= budget, f"{name}: {n} exchanges > {budget}"
+        assert "SinglePartition" not in physical_plan(df), name
