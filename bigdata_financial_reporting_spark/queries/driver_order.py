@@ -165,6 +165,8 @@ DEFER_NEW: frozenset[str] = frozenset(
         "fin_bollinger_bands",
         "fin_sharpe_by_instrument",
         "fin_return_corr_pairs",
+        "text_keywords_tfidf_topk",
+        "text_collocations_pmi",
     }
 )
 

@@ -1759,3 +1759,135 @@ def text_quality_logreg(spark, sf_dir):
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+@register(
+    "text_keywords_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_DUCK_TOK}) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+         df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.tok,
+                  tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS s
+           FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+         ),
+         ranked AS (
+           SELECT doc_id, tok, s,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY s DESC, tok) AS rnk
+           FROM scored
+         )
+    SELECT doc_id, rnk, tok AS keyword, round(s, 6) AS score
+    FROM ranked WHERE rnk <= 3
+    """,
+    category="text",
+)
+def text_keywords_tfidf_topk(spark, sf_dir):
+    """Per-document keyword extraction: top-3 tokens by TF-IDF with a
+    deterministic (score desc, token) tie-break — the cheap extractive
+    summarizer / index-term generator. The document-frequency model is
+    vocabulary-sized and broadcasts; the ranking window partitions on
+    doc_id over the already-aggregated tf frame, so nothing bigger
+    than (doc, distinct-token) rows ever shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    from pyspark.sql import Window
+
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("s"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id", "rnk", F.col("tok").alias("keyword"),
+            F.round("s", 6).alias("score"),
+        )
+    )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOK} AS tok FROM documents
+    ),
+    pairs AS (
+      SELECT tok[i] AS w1, tok[i + 1] AS w2
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(tok) - 1)) AS i
+      )
+    ),
+    uni AS (
+      SELECT w1 AS w, count(*) AS c FROM pairs GROUP BY w1
+    ),
+    tot AS (
+      SELECT count(*) AS n FROM pairs
+    ),
+    big AS (
+      SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+    ),
+    pmi AS (
+      SELECT b.w1, b.w2, b.c12,
+             ln((CAST(b.c12 AS DOUBLE) * t.n) / (u1.c * u2.c)) AS pmi
+      FROM big b
+      JOIN uni u1 ON b.w1 = u1.w
+      JOIN uni u2 ON b.w2 = u2.w
+      CROSS JOIN tot t
+      WHERE b.c12 >= 5
+    )
+    SELECT w1, w2, c12, round(pmi, 6) AS pmi
+    FROM pmi
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+    category="text",
+)
+def text_collocations_pmi(spark, sf_dir):
+    """Collocation mining via pointwise mutual information over
+    adjacent token pairs (min count 5, top 20): the phrase detector
+    that feeds tokenizer merges and stop-phrase lists. Unigram counts
+    here are counts of pair LEFT slots, so marginals and joints come
+    from the same pair population (clean probability space). The
+    unigram model is vocabulary-sized and broadcasts twice; the bigram
+    frame is the only shuffled aggregate; top-20 is a TakeOrdered, not
+    a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokenize(F.col("text")).alias("tok"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("tok") - 1, F.lit(0)))
+    pairs = (
+        toks.filter(F.size("tok") >= 2)
+        .select(F.explode(idx).alias("i"), "tok")
+        .select(
+            F.element_at("tok", F.col("i")).alias("w1"),
+            F.element_at("tok", F.col("i") + 1).alias("w2"),
+        )
+    )
+    uni = pairs.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("c"))
+    tot = pairs.count()
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pmi = (
+        big.filter(F.col("c12") >= 5)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                          .withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("c", "c2")), "w2")
+        .select(
+            "w1", "w2", "c12",
+            F.log(
+                F.col("c12").cast("double") * F.lit(float(tot))
+                / (F.col("c1") * F.col("c2"))
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi"), "w1", "w2").limit(20).select(
+        "w1", "w2", "c12", F.round("pmi", 6).alias("pmi")
+    )
