@@ -981,7 +981,6 @@ def agg_hll_sketch_mergeable(spark, sf_dir):
     )
     glob = g.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_all"),
-        F.sum(F.lit(0)).alias("__z"),
     ).crossJoin(
         ev.agg(F.count_distinct("user_id").alias("n_exact_all"))
     )
