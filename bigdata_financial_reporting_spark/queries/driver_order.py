@@ -167,6 +167,8 @@ DEFER_NEW: frozenset[str] = frozenset(
         "fin_return_corr_pairs",
         "text_keywords_tfidf_topk",
         "text_collocations_pmi",
+        "sim_maxdot_topk",
+        "sim_euclidean_topk",
     }
 )
 

@@ -612,3 +612,119 @@ def emb_covariance_matrix(spark, sf_dir):
         F.round(cov, 6).alias("cov"),
         "n",
     )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """Double-accumulated dot product (mirror of functions.vector.dot)."""
+    return (
+        f"list_aggregate(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+@register(
+    "sim_maxdot_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+                  {_duck_dot('q.qv', 'c.embedding')} AS dot_raw
+           FROM embeddings c CROSS JOIN q
+         )
+    SELECT query_id, neighbor_id, round(dot_raw, 6) AS dot,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_raw DESC, neighbor_id) AS INT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    category="similarity",
+)
+def sim_maxdot_topk(spark, sf_dir):
+    """Maximum-inner-product search (MIPS) top-10 — the retrieval
+    metric for recommender and dual-encoder models where magnitude
+    carries signal (cosine discards it). Same broadcast-queries /
+    corpus-never-shuffles plan as cosine: one dot per (query, corpus)
+    pair locally, WindowGroupLimit keeps k per query."""
+    from bigdata_financial_reporting_spark.functions.vector import dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    from pyspark.sql import Window
+
+    scored = c.join(F.broadcast(q)).select(
+        "query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("d")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("d"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", F.round("d", 6).alias("dot"), "rank")
+    )
+
+
+@register(
+    "sim_euclidean_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+                  sqrt(list_aggregate(list_transform(
+                    generate_series(1, len(q.qv)),
+                    i -> (CAST(q.qv[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+                         * (CAST(q.qv[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+                  ), 'sum')) AS dist_raw
+           FROM embeddings c CROSS JOIN q
+         )
+    SELECT query_id, neighbor_id, round(dist_raw, 6) AS l2_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist_raw, neighbor_id) AS INT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    category="similarity",
+)
+def sim_euclidean_topk(spark, sf_dir):
+    """Euclidean (L2) nearest-neighbor top-10 — the metric for
+    distance-calibrated embeddings (k-means assignment, radius
+    filters). The squared-difference fold runs as one zip_with +
+    aggregate expression per pair; ordering ascends on distance with
+    the id tie-break, same plan family as the other exact searches."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            "qv", "cv",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    scored = c.join(F.broadcast(q)).select(
+        "query_id", "neighbor_id", F.sqrt(diff2).alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("dist", 6).alias("l2_dist"), "rank",
+        )
+    )
