@@ -169,6 +169,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "text_collocations_pmi",
         "sim_maxdot_topk",
         "sim_euclidean_topk",
+        "ts_calendar_features",
     }
 )
 

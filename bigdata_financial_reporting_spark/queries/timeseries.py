@@ -274,3 +274,41 @@ def ts_event_rate_anomaly(spark, sf_dir):
         F.when(ok, F.round((F.col("n_events") - mu) / sd, 6)).alias("z"),
         (ok & (F.col("n_events") > mu + 2 * sd)).alias("is_spike"),
     )
+
+
+@register(
+    "ts_calendar_features",
+    oracle="""
+    SELECT DISTINCT
+           strftime(ts, '%Y-%m-%d') AS day,
+           isodow(ts) AS dow_iso,
+           (isodow(ts) >= 6) AS is_weekend,
+           weekofyear(ts) AS week_iso,
+           quarter(ts) AS qtr,
+           (ts::DATE = last_day(ts::DATE)) AS is_month_end,
+           CAST(date_diff('day', DATE '2024-01-01', ts::DATE) AS INT)
+             AS day_index
+    FROM events
+    """,
+    category="timeseries",
+)
+def ts_calendar_features(spark, sf_dir):
+    """Calendar feature extraction for forecasting models — and a
+    deliberate cross-engine numbering pin: Spark's dayofweek() is
+    1=Sunday while DuckDB's is 0=Sunday (and Spark 3+ dropped the 'u'
+    format pattern), so BOTH sides emit the unambiguous ISO numbering
+    (Monday=1) — Spark via ((dayofweek+5) % 7)+1 arithmetic, DuckDB
+    via isodow(). Weekend flags, ISO weeks, quarters, month-end
+    flags, and an epoch-anchored day index are all pure expressions —
+    map-only, distinct-collapsed to one row per day."""
+    ev = load_table(spark, sf_dir, "events")
+    dow_iso = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    return ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        dow_iso.alias("dow_iso"),
+        (dow_iso >= 6).alias("is_weekend"),
+        F.weekofyear("ts").cast("long").alias("week_iso"),
+        F.quarter("ts").cast("long").alias("qtr"),
+        (F.to_date("ts") == F.last_day("ts")).alias("is_month_end"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_index"),
+    ).distinct()
