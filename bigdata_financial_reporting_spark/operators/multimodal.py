@@ -362,3 +362,49 @@ def frame_extract(
     return df.mapInPandas(
         process, schema="doc_id long, frame_idx int, frame_sha256 string"
     )
+
+
+def ahash_ppm(df: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over REAL decoded
+    PPM payloads: per pixel, integer luminance ``(r+g+b) // 3``; the
+    hash sets bit i (row-major) where luminance exceeds the image's
+    mean luminance. Identical images hash identically; small payload
+    edits flip few bits — the classic cheap near-dup screen for image
+    corpora. Decode + hash run in one ``mapInPandas`` pass (Arrow
+    batches, no shuffle); the hash is a plain BIGINT so downstream
+    grouping is a vanilla hash agg.
+
+    Input: ``doc_id, payload``; output: ``doc_id, w, h, ahash``.
+    Invalid payloads are dropped.
+    """
+    import pandas as pd
+
+    def hash_batches(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = _parse_p6(bytes(payload))
+                if parsed is None:
+                    continue
+                w, h, maxval, off = parsed
+                pix = bytes(payload)[off : off + w * h * 3]
+                if len(pix) < w * h * 3:
+                    continue
+                n = w * h
+                lums = [
+                    (pix[3 * i] + pix[3 * i + 1] + pix[3 * i + 2]) // 3
+                    for i in range(n)
+                ]
+                mean = sum(lums) / n
+                ahash = 0
+                for i, l in enumerate(lums):
+                    if l > mean:
+                        ahash |= 1 << i
+                out.append((doc_id, w, h, ahash))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "w", "h", "ahash"]
+            ).astype({"doc_id": "int64", "w": "int32", "h": "int32", "ahash": "int64"})
+
+    return df.mapInPandas(
+        hash_batches, schema="doc_id long, w int, h int, ahash long"
+    )

@@ -170,6 +170,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "sim_maxdot_topk",
         "sim_euclidean_topk",
         "ts_calendar_features",
+        "mm_ahash_dedup_groups",
     }
 )
 

@@ -229,3 +229,53 @@ def mm_frame_extract(spark, sf_dir):
     (Fixture text is ASCII, so byte slicing equals character slicing.)"""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return frame_extract(with_payload(d, "text", "doc_id"), frame_size=16, every_k=4)
+
+
+@register(
+    "mm_ahash_dedup_groups",
+    oracle=_PPM_PIX_CTE
+    + """
+    , lum AS (
+      SELECT doc_id, w, h,
+             list_transform(generate_series(0, w*h - 1),
+               i -> (ord(substr(p, 3*i + 1, 1))
+                     + ord(substr(p, 3*i + 2, 1))
+                     + ord(substr(p, 3*i + 3, 1))) // 3) AS lums
+      FROM pix
+    ), hashed AS (
+      SELECT doc_id, w, h,
+             CAST(list_sum(list_transform(generate_series(1, w*h),
+               i -> CASE WHEN lums[i] > list_sum(lums) / CAST(w*h AS DOUBLE)
+                    THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS ahash
+      FROM lum
+    )
+    SELECT doc_id, w, h, ahash,
+           count(*) OVER (PARTITION BY w, h, ahash) AS n_same_hash
+    FROM hashed
+    """,
+    category="multimodal",
+)
+def mm_ahash_dedup_groups(spark, sf_dir):
+    """Perceptual-hash (aHash) near-dup screen over REAL decoded
+    images: decode the PPM, compute per-pixel integer luminance, set a
+    bit per pixel above the image's mean luminance, then group by
+    (dims, hash) — the cheap first-pass image dedup before any
+    embedding model runs. Decode+hash is one mapInPandas pass with no
+    shuffle; the only exchange is the (w, h, ahash) group count. The
+    oracle rebuilds every luminance and every hash bit arithmetically
+    from the deterministic payload synthesis, so a single wrong bit
+    anywhere in the decode or threshold fails the match."""
+    from pyspark.sql import Window
+
+    from bigdata_financial_reporting_spark.operators.multimodal import (
+        ahash_ppm,
+        ppm_payload,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    hashed = ahash_ppm(ppm_payload(d, "text", "doc_id"))
+    w = Window.partitionBy("w", "h", "ahash")
+    return hashed.select(
+        "doc_id", "w", "h", "ahash",
+        F.count(F.lit(1)).over(w).alias("n_same_hash"),
+    )
