@@ -93,7 +93,10 @@ def text_tfidf(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # tf already holds one row per (doc, token): the document frequency
+    # is a plain count over it — no second tokenize+explode pass and no
+    # distinct (cf. the PMI marginal derivation, 10x finding).
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()  # scalar; cheap count-star over parquet metadata
     out = tf.join(F.broadcast(df), "token").select(
         "doc_id",
@@ -1794,7 +1797,9 @@ def text_keywords_tfidf_topk(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    # df derived from tf (one row per (doc, token) already) — single
+    # tokenize+explode pass, no distinct
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()
     from pyspark.sql import Window
 
