@@ -167,3 +167,61 @@ def test_dedup_within_watermark_drops_late_duplicate(spark, tmp_path):
         ).collect()
     )
     assert rows == [(100, 1.0), (200, 3.0)]
+
+
+def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Crash-recovery contract: stop an availableNow file-stream →
+    parquet-sink pipeline, land a new source file, restart with the
+    SAME checkpoint and sink. Batches committed before the stop must
+    NOT be reprocessed — the sink ends with every source row exactly
+    once. This is the property that makes a 100-TB ingest restartable
+    at hour 9 without deduplicating downstream."""
+    tmpdir = str(tmp_path)
+
+    def rows(base, n):
+        return [
+            Row(
+                event_id=base + i,
+                ts=dt.datetime(2024, 1, 1, 10, 0, i, tzinfo=UTC),
+                value=float(i),
+            )
+            for i in range(n)
+        ]
+
+    src = _write_batches(spark, tmpdir, [rows(0, 5), rows(100, 7)])
+    sink = os.path.join(tmpdir, "sink")
+    ckpt = os.path.join(tmpdir, "ckpt_restart")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(sink).count()
+    assert first == 12
+
+    # a third batch lands while the pipeline is down
+    f = os.path.join(tmpdir, "b_late")
+    spark.createDataFrame(rows(200, 3), SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f)
+    part = [p for p in os.listdir(f) if p.startswith("part-")][0]
+    os.rename(os.path.join(f, part), os.path.join(src, "batch_2.parquet"))
+
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 15, "restart reprocessed or dropped a batch"
+    ids = sorted(r.event_id for r in got.select("event_id").collect())
+    assert ids == sorted(
+        list(range(0, 5)) + list(range(100, 107)) + list(range(200, 203))
+    )
