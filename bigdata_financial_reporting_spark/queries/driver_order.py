@@ -171,6 +171,8 @@ DEFER_NEW: frozenset[str] = frozenset(
         "sim_euclidean_topk",
         "ts_calendar_features",
         "mm_ahash_dedup_groups",
+        "fn_url_parse",
+        "fn_xml_xpath",
     }
 )
 

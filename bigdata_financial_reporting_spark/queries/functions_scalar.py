@@ -571,3 +571,87 @@ def fn_try_arithmetic(spark, sf_dir):
         ).alias("safe_sqrt"),
         F.col("l_extendedprice").cast("long").alias("to_long"),
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc-'
+               || doc_id || '?id=' || doc_id || '&lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           'https' AS proto,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+    category="functions",
+)
+def fn_url_parse(spark, sf_dir):
+    """URL component extraction (parse_url): protocol, host, path, and
+    a named query parameter — the canonicalization primitives a
+    web-corpus dedup runs before hashing. Spark's parse_url is a
+    proper parser; the oracle re-derives the same components with
+    regexes over the deterministically synthesized URLs. Map-only,
+    zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+        F.lit("?id="), F.col("doc_id").cast("string"),
+        F.lit("&lang="), F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "fn_xml_xpath",
+    oracle="""
+    WITH x AS (
+      SELECT doc_id,
+             '<doc id="' || doc_id || '"><lang>' || lang || '</lang><chars>'
+               || n_chars || '</chars><src>' || source || '</src></doc>' AS xml
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(xml, '<lang>([^<]*)</lang>', 1) AS lang_x,
+           CAST(regexp_extract(xml, '<chars>([0-9]+)</chars>', 1) AS BIGINT)
+             AS chars_x,
+           regexp_extract(xml, 'id="([^"]*)"', 1) AS id_attr,
+           regexp_extract(xml, '<src>([^<]*)</src>', 1) AS src_x
+    FROM x
+    """,
+    category="functions",
+)
+def fn_xml_xpath(spark, sf_dir):
+    """XPath extraction over XML payloads (xpath_string / xpath_long /
+    attribute axis) — the legacy-feed ingestion surface: element text,
+    numeric casts, and attribute access from a real XPath engine. The
+    oracle re-derives each field with regexes over the same
+    deterministic synthesis. Map-only, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit('<doc id="'), F.col("doc_id").cast("string"), F.lit('"><lang>'),
+        F.col("lang"), F.lit("</lang><chars>"),
+        F.col("n_chars").cast("string"), F.lit("</chars><src>"),
+        F.col("source"), F.lit("</src></doc>"),
+    )
+    x = d.select("doc_id", xml.alias("xml"))
+    return x.select(
+        "doc_id",
+        F.xpath_string("xml", F.lit("/doc/lang")).alias("lang_x"),
+        F.xpath_long("xml", F.lit("/doc/chars")).alias("chars_x"),
+        F.xpath_string("xml", F.lit("/doc/@id")).alias("id_attr"),
+        F.xpath_string("xml", F.lit("/doc/src")).alias("src_x"),
+    )
