@@ -173,6 +173,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "mm_ahash_dedup_groups",
         "fn_url_parse",
         "fn_xml_xpath",
+        "fn_higher_order_maps",
     }
 )
 

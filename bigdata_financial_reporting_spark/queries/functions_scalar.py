@@ -655,3 +655,66 @@ def fn_xml_xpath(spark, sf_dir):
         F.xpath_string("xml", F.lit("/doc/@id")).alias("id_attr"),
         F.xpath_string("xml", F.lit("/doc/src")).alias("src_x"),
     )
+
+
+@register(
+    "fn_higher_order_maps",
+    oracle="""
+    SELECT event_id,
+           'A=' || round(value, 6) || ',B=' || round(value * 2, 6)
+             AS upper_entries,
+           'a=' || round(value * 10, 6) || ',b=' || round(value * 20, 6)
+             AS scaled_entries,
+           CASE WHEN value * 2 > 100 THEN
+             CASE WHEN value > 100 THEN 'a,b' ELSE 'b' END
+           ELSE CASE WHEN value > 100 THEN 'a' ELSE '' END
+           END AS big_keys,
+           round(value * 6, 6) AS zipped_sum
+    FROM events
+    WHERE event_id < 2000
+    """,
+    category="functions",
+)
+def fn_higher_order_maps(spark, sf_dir):
+    """Higher-order MAP functions (transform_keys / transform_values /
+    map_filter / map_zip_with) — the lambda surface over map columns
+    that §2B.7's array row covers for lists. Outputs are serialized to
+    sorted 'k=v' entry strings (maps are unordered and the driver
+    canonicalizer rejects complex types); the oracle recomputes each
+    transformed entry directly from the source column, so every lambda
+    result is value-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.create_map(
+        F.lit("a"), F.col("value"), F.lit("b"), F.col("value") * 2
+    )
+
+    def entries(mp, key_fmt=lambda k: k):
+        # sorted k=v serialization: keys here are constants 'a','b'
+        ks = F.array_sort(F.map_keys(mp))
+        return F.concat_ws(
+            ",",
+            F.transform(
+                ks,
+                lambda k: F.concat(
+                    key_fmt(k), F.lit("="),
+                    F.round(F.element_at(mp, k), 6).cast("string"),
+                ),
+            ),
+        )
+
+    upper_m = F.transform_keys(m, lambda k, v: F.upper(k))
+    scaled_m = F.transform_values(m, lambda k, v: v * 10)
+    big_m = F.map_filter(m, lambda k, v: v > 100)
+    zipped = F.map_zip_with(m, m, lambda k, v1, v2: v1 + v2)
+    return ev.select(
+        "event_id",
+        entries(upper_m).alias("upper_entries"),
+        entries(scaled_m).alias("scaled_entries"),
+        F.concat_ws(",", F.array_sort(F.map_keys(big_m))).alias("big_keys"),
+        F.round(
+            F.aggregate(
+                F.map_values(zipped), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("zipped_sum"),
+    )
