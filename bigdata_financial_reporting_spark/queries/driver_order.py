@@ -174,6 +174,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "fn_url_parse",
         "fn_xml_xpath",
         "fn_higher_order_maps",
+        "window_distinct_count_frame",
     }
 )
 

@@ -329,12 +329,19 @@ def fin_beta_market(spark, sf_dir):
     return: cov(instrument, market) / var(market) over that
     instrument's active days. The market series is one row per day —
     broadcast to the daily frame (pinned tiny side), so the only
-    shuffle is the per-(instrument, day) aggregation. Beta/corr are
-    emitted only where the sample variance exists and is positive,
-    identically gated on both engines."""
+    shuffle is the per-(instrument, day) aggregation. The daily panel
+    feeds BOTH the market aggregate and the join probe, so it is
+    persisted (tracked) — otherwise each consumer re-scans and
+    re-aggregates the full tick stream. Beta/corr are emitted only
+    where the sample variance exists and is positive, identically
+    gated on both engines."""
+    from bigdata_financial_reporting_spark.operators.cache import track
+
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.avg("value").alias("r")
+    daily = track(
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("r"))
+        .persist()
     )
     market = daily.groupBy("day").agg(F.avg("r").alias("m"))
     j = daily.join(F.broadcast(market), "day")

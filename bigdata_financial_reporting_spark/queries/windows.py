@@ -343,3 +343,38 @@ def window_longest_streak(spark, sf_dir):
         F.max("run_len").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_runs"),
     )
+
+
+@register(
+    "window_distinct_count_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           count(DISTINCT event_type) OVER w10 AS n_types_10,
+           count(*) OVER w10 AS n_rows_10
+    FROM events
+    WINDOW w10 AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+    category="windows",
+)
+def window_distinct_count_frame(spark, sf_dir):
+    """Distinct count over a sliding frame — the behavioral-diversity
+    signal (how many distinct actions in the last 10 events). Spark
+    does not allow DISTINCT aggregates in windows, so the engine
+    composes it: collect_list over the frame → array_distinct → size,
+    all codegen, same single instrument-keyed shuffle as any frame
+    aggregate. The oracle uses DuckDB's native count(DISTINCT) OVER."""
+    ev = load_table(spark, sf_dir, "events")
+    w10 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(
+            F.array_distinct(F.collect_list("event_type").over(w10))
+        ).cast("long").alias("n_types_10"),
+        F.count(F.lit(1)).over(w10).alias("n_rows_10"),
+    )
