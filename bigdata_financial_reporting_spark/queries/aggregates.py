@@ -1003,3 +1003,46 @@ def agg_hll_sketch_mergeable(spark, sf_dir):
             )
         )
     )
+
+
+@register(
+    "agg_regression_family",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y,
+           round(regr_sxx(l_extendedprice, l_quantity), 2) AS sxx,
+           round(regr_sxy(l_extendedprice, l_quantity), 2) AS sxy
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregates",
+)
+def agg_regression_family(spark, sf_dir):
+    """ANSI linear-regression aggregate family (regr_slope/intercept/
+    r2/count/avgx/avgy/sxx/sxy) — closed-form OLS of extendedprice on
+    quantity per returnflag, entirely as JVM-side declarative
+    aggregates with map-side partial merge (each is a sum/count
+    composition, so executors combine locally and only constant-size
+    state crosses the shuffle — the textbook scalable way to fit a
+    simple model on 100 TB). Spark >= 3.4 and DuckDB implement the
+    identical ANSI definitions. Sxx/Sxy are sums of squares over 60k
+    rows (~1e9 magnitude), so they round to 2 decimals; the
+    scale-free slope/r2/means round to 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice").cast("double")
+    x = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+        F.round(F.regr_sxx(y, x), 2).alias("sxx"),
+        F.round(F.regr_sxy(y, x), 2).alias("sxy"),
+    )

@@ -175,6 +175,10 @@ DEFER_NEW: frozenset[str] = frozenset(
         "fn_xml_xpath",
         "fn_higher_order_maps",
         "window_distinct_count_frame",
+        "ts_autocorrelation",
+        "ts_minmax_downsample",
+        "agg_regression_family",
+        "split_kfold",
     }
 )
 

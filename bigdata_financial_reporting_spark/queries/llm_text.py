@@ -1903,3 +1903,48 @@ def text_collocations_pmi(spark, sf_dir):
     return pmi.orderBy(F.desc("pmi"), "w1", "w2").limit(20).select(
         "w1", "w2", "c12", F.round("pmi", 6).alias("pmi")
     )
+
+
+@register(
+    "split_kfold",
+    oracle="""
+    WITH folded AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 5 AS fold,
+             lang, n_chars
+      FROM documents
+    )
+    SELECT fold, count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           round(avg(n_chars), 6) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM folded
+    GROUP BY fold
+    """,
+    category="text",
+)
+def split_kfold(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment: the fold is
+    a pure function of doc_id (first 16 md5 bits mod 5), so folds are
+    reproducible across engines, runs, and repartitionings — the same
+    stability contract as split_train_test, generalized to k folds.
+    Emits per-fold balance diagnostics (count, language diversity,
+    length stats) that a pipeline checks before trusting the split.
+    Map-only assignment + one map-side-combined aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 5
+    )
+    return (
+        d.select(fold.alias("fold"), "lang", "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

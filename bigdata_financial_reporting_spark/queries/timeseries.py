@@ -312,3 +312,137 @@ def ts_calendar_features(spark, sf_dir):
         (F.to_date("ts") == F.last_day("ts")).alias("is_month_end"),
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_index"),
     ).distinct()
+
+
+@register(
+    "ts_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS cnt
+      FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    ),
+    lagged AS (
+      SELECT event_type, CAST(cnt AS DOUBLE) AS cnt,
+             lag(cnt, 1) OVER w AS l1,
+             lag(cnt, 2) OVER w AS l2,
+             lag(cnt, 3) OVER w AS l3
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           round(corr(cnt, l1), 6) AS acf_1,
+           round(corr(cnt, l2), 6) AS acf_2,
+           round(corr(cnt, l3), 6) AS acf_3,
+           count(*) AS n_days
+    FROM lagged GROUP BY event_type
+    """,
+    category="timeseries",
+)
+def ts_autocorrelation(spark, sf_dir):
+    """Autocorrelation of the daily event-count series per event type
+    at lags 1..3 — the standard seasonality probe a forecasting
+    pipeline runs before model selection. Two-step plan: a map-side-
+    combined daily rollup (only (type, day, cnt) rows cross the
+    exchange — bounded by types x days regardless of input size),
+    then lags + corr() over the tiny per-type series. The expensive
+    pass over raw events is the aggregation Spark already does
+    partially per partition; the window runs on the reduced panel."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("cnt").cast("double").alias("cnt"),
+        F.lag("cnt", 1).over(w).cast("double").alias("l1"),
+        F.lag("cnt", 2).over(w).cast("double").alias("l2"),
+        F.lag("cnt", 3).over(w).cast("double").alias("l3"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.round(F.corr("cnt", "l1"), 6).alias("acf_1"),
+        F.round(F.corr("cnt", "l2"), 6).alias("acf_2"),
+        F.round(F.corr("cnt", "l3"), 6).alias("acf_3"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@register(
+    "ts_minmax_downsample",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) - 1 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bucketed AS (
+      SELECT *, CAST(floor(rn * 16.0 / n) AS BIGINT) AS bucket FROM ranked
+    ),
+    extremes AS (
+      SELECT event_type, bucket, event_id, ts, value,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY value ASC, ts, event_id) AS r_min,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY value DESC, ts, event_id) AS r_max
+      FROM bucketed
+    )
+    SELECT event_type, bucket,
+           CASE WHEN r_min = 1 THEN 'min' ELSE 'max' END AS kind,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(value, 6) AS value
+    FROM extremes
+    WHERE r_min = 1 OR r_max = 1
+    """,
+    category="timeseries",
+)
+def ts_minmax_downsample(spark, sf_dir):
+    """Min-max downsampling for visualization (the scalable stand-in
+    for the reference's plotly rendering, controller/app.py:563-618 —
+    you cannot ship 100 TB of points to a browser): each per-type
+    series is cut into 16 equal-count buckets and only the bucket's
+    extreme points survive, preserving the visual envelope. Plan: one
+    row_number window to assign buckets, one window pair for the
+    extremes — all deterministic (value, ts, event_id tie-breaks).
+    A row that is BOTH the bucket min and max (constant bucket)
+    surfaces once as 'min', matching the oracle's CASE priority."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_cnt = Window.partitionBy("event_type")
+    bucketed = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.floor(
+            (F.row_number().over(w_ord) - 1) * 16 / F.count(F.lit(1)).over(w_cnt)
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    w_min = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("value").asc(), "ts", "event_id"
+    )
+    w_max = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("value").desc(), "ts", "event_id"
+    )
+    extremes = bucketed.select(
+        "event_type",
+        "bucket",
+        "ts",
+        "value",
+        F.row_number().over(w_min).alias("r_min"),
+        F.row_number().over(w_max).alias("r_max"),
+    )
+    return extremes.filter((F.col("r_min") == 1) | (F.col("r_max") == 1)).select(
+        "event_type",
+        "bucket",
+        F.when(F.col("r_min") == 1, "min").otherwise("max").alias("kind"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 6).alias("value"),
+    )
