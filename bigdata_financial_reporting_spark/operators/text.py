@@ -151,3 +151,21 @@ def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 5, w: int = 4):
             f"ELSE array_distinct(__kh) END"
         ).alias("fps"),
     )
+
+
+def poly_text_hash(col: str, base: int = 131) -> Column:
+    """Engine-neutral polynomial hash of an (already normalized)
+    string column: fold ``(acc * base + codepoint) mod 2^31-1`` over
+    the characters — plain BIGINT arithmetic any engine reproduces
+    bit-for-bit (same family as the winnowing k-gram hash above, over
+    the whole string). Use two coprime bases (131, 137) for the
+    independent hash pair double-hashing schemes (Bloom, count-min)
+    need. Empty strings hash to 0 on both engines (Spark's
+    ``sequence(1, 0)`` would descend, so the CASE guards it)."""
+    return F.expr(
+        f"CASE WHEN length({col}) >= 1 THEN "
+        f"aggregate(transform(sequence(1, length({col})), "
+        f"i -> cast(ascii(substring({col}, i, 1)) AS bigint)), "
+        f"cast(0 AS bigint), (acc, c) -> (acc * {base} + c) % 2147483647) "
+        f"ELSE cast(0 AS bigint) END"
+    )

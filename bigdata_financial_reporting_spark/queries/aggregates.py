@@ -1046,3 +1046,91 @@ def agg_regression_family(spark, sf_dir):
         F.round(F.regr_sxx(y, x), 2).alias("sxx"),
         F.round(F.regr_sxy(y, x), 2).alias("sxy"),
     )
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+      SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ),
+    hashed AS (
+      SELECT l_partkey, cnt,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(CAST(l_partkey AS VARCHAR))),
+                 i -> CAST(unicode(substr(CAST(l_partkey AS VARCHAR), i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 131 + c) % 2147483647) AS h1,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(CAST(l_partkey AS VARCHAR))),
+                 i -> CAST(unicode(substr(CAST(l_partkey AS VARCHAR), i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 137 + c) % 2147483647) AS h2
+      FROM counts
+    ),
+    sketch AS (
+      SELECT r, (h1 + r * h2) % 256 AS cell, CAST(sum(cnt) AS BIGINT) AS v
+      FROM hashed, (SELECT unnest(generate_series(0, 3)) AS r)
+      GROUP BY r, (h1 + r * h2) % 256
+    ),
+    top10 AS (
+      SELECT l_partkey, cnt, h1, h2 FROM hashed
+      ORDER BY cnt DESC, l_partkey LIMIT 10
+    )
+    SELECT t.l_partkey, t.cnt AS exact_cnt,
+           CAST(min(s.v) AS BIGINT) AS cms_est,
+           CAST(min(s.v) - t.cnt AS BIGINT) AS overestimate
+    FROM top10 t
+    JOIN sketch s ON s.cell = (t.h1 + s.r * t.h2) % 256
+    GROUP BY t.l_partkey, t.cnt
+    """,
+    category="aggregates",
+)
+def agg_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (Cormode/Muthukrishnan '05) heavy-hitter
+    estimation with an engine-neutral hash family: d=4 rows x w=256
+    counters, double hashing over the polynomial key hash, estimate =
+    min over rows — checked against the exact counts of the top-10
+    part keys (overestimate >= 0 is the CMS guarantee, pinned in
+    tests). The sketch is built from the map-side-combined (key, cnt)
+    frame — mathematically identical to streaming single increments
+    but one shuffle over |keys| rows instead of |rows|; the sketch
+    itself is a fixed 1024-cell relation however large the fact table,
+    which is the whole point: a 100-TB stream compresses to KBs of
+    mergeable state (same pattern as the HLL rollup,
+    agg_hll_sketch_mergeable)."""
+    from bigdata_financial_reporting_spark.operators.text import poly_text_hash
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("ks", F.col("l_partkey").cast("string"))
+    )
+    hashed = counts.select(
+        "l_partkey",
+        "cnt",
+        poly_text_hash("ks", 131).alias("h1"),
+        poly_text_hash("ks", 137).alias("h2"),
+    )
+    rows = F.explode(
+        F.expr("transform(sequence(0, 3), r -> struct(r AS r, pmod(h1 + r * h2, 256) AS cell))")
+    )
+    sketch = (
+        hashed.select("cnt", rows.alias("rc"))
+        .select("cnt", F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+        .groupBy("r", "cell")
+        .agg(F.sum("cnt").alias("v"))
+    )
+    top10 = hashed.orderBy(F.desc("cnt"), "l_partkey").limit(10)
+    est = top10.join(
+        F.broadcast(sketch).hint("broadcast"),
+        F.col("cell") == F.expr("pmod(h1 + r * h2, 256)"),
+    )
+    return est.groupBy("l_partkey", "cnt").agg(
+        F.min("v").cast("long").alias("cms_est"),
+        (F.min("v") - F.col("cnt")).cast("long").alias("overestimate"),
+    ).select(
+        "l_partkey",
+        F.col("cnt").alias("exact_cnt"),
+        "cms_est",
+        "overestimate",
+    )

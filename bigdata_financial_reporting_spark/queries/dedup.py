@@ -293,3 +293,213 @@ def dedup_incremental(spark, sf_dir):
             .alias("status"),
         )
     )
+
+
+# Engine-neutral polynomial text hash (base b, mod 2^31-1) in DuckDB —
+# identical BIGINT arithmetic to operators/text.poly_text_hash.
+def _duck_poly(col: str, base: int) -> str:
+    return (
+        f"CASE WHEN length({col}) >= 1 THEN "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, length({col})), "
+        f"i -> CAST(unicode(substr({col}, i, 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * {base} + c) % 2147483647) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS tc,
+             regexp_replace(lower(CASE WHEN doc_id % 2 = 1
+                    THEN text || ' zz' || CAST(doc_id AS VARCHAR)
+                    ELSE text END), '[^a-z0-9]', '', 'g') AS tp
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             {_duck_poly('tc', 131)} AS h1c, {_duck_poly('tc', 137)} AS h2c,
+             {_duck_poly('tp', 131)} AS h1p, {_duck_poly('tp', 137)} AS h2p
+      FROM base
+    ),
+    bitmap AS (
+      SELECT (g // 16) AS word,
+             bit_or(CAST(1 << CAST(g % 16 AS INT) AS INT)) AS bits
+      FROM (
+        SELECT unnest(list_transform(generate_series(0, 3),
+                      i -> (h1c + i * h2c) % 16384)) AS g
+        FROM hashed
+      )
+      GROUP BY (g // 16)
+    ),
+    probe_cells AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, 3),
+                    i -> (h1p + i * h2p) % 16384)) AS g
+      FROM hashed WHERE doc_id % 7 = 3
+    ),
+    verdict AS (
+      SELECT pc.doc_id,
+             bool_and(b.bits IS NOT NULL AND
+                      (b.bits & CAST(1 << CAST(pc.g % 16 AS INT) AS INT))
+                        = CAST(1 << CAST(pc.g % 16 AS INT) AS INT)) AS bloom_maybe
+      FROM probe_cells pc
+      LEFT JOIN bitmap b ON (pc.g // 16) = b.word
+      GROUP BY pc.doc_id
+    ),
+    actual AS (
+      SELECT p.doc_id, (c.h1 IS NOT NULL) AS actual_dup
+      FROM (SELECT doc_id, h1p AS h1, h2p AS h2 FROM hashed
+            WHERE doc_id % 7 = 3) p
+      LEFT JOIN (SELECT DISTINCT h1c AS h1, h2c AS h2 FROM hashed) c
+        USING (h1, h2)
+    )
+    SELECT v.doc_id, v.bloom_maybe, a.actual_dup,
+           (v.bloom_maybe AND NOT a.actual_dup) AS false_positive
+    FROM verdict v JOIN actual a USING (doc_id)
+    """,
+    category="dedup",
+)
+def dedup_bloom_prefilter(spark, sf_dir):
+    """Broadcast-Bloom pre-filter for incremental dedup: a 16-kbit
+    bitmap built over the corpus text hashes (engine-neutral double
+    hashing, k=4) prunes a probe batch BEFORE the exact-match shuffle.
+    The probe batch is docs with id % 7 = 3 — even ids unchanged (true
+    duplicates of corpus rows), odd ids perturbed (novel). Emits per
+    probe the Bloom verdict, the exact verdict, and the
+    false-positive flag; no-false-negative is structural (every
+    actual_dup row must be bloom_maybe — pinned in tests). At 100 TB
+    the bitmap is O(m) however large the corpus, broadcasts to every
+    executor, and only bloom-maybe rows pay the exact join — the
+    standard shuffle-avoidance pattern Spark itself uses for
+    runtime-filter joins. See operators/bloom.py."""
+    from bigdata_financial_reporting_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    from bigdata_financial_reporting_spark.operators.text import poly_text_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    probe_text = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.col("text"), F.lit(" zz"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("tc"),
+        F.regexp_replace(F.lower(probe_text), "[^a-z0-9]", "").alias("tp"),
+    )
+    hashed = base.select(
+        "doc_id",
+        poly_text_hash("tc", 131).alias("h1c"),
+        poly_text_hash("tc", 137).alias("h2c"),
+        poly_text_hash("tp", 131).alias("h1p"),
+        poly_text_hash("tp", 137).alias("h2p"),
+    )
+    corpus_h = hashed.select(F.col("h1c").alias("h1"), F.col("h2c").alias("h2"))
+    bitmap = bloom_build(corpus_h)
+    probe_h = hashed.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id", F.col("h1p").alias("h1"), F.col("h2p").alias("h2")
+    )
+    verdict = bloom_probe(probe_h, bitmap, "doc_id").withColumnRenamed(
+        "maybe", "bloom_maybe"
+    )
+    marked = corpus_h.distinct().withColumn("__hit", F.lit(1))
+    actual = probe_h.join(marked, ["h1", "h2"], "left").select(
+        "doc_id", F.col("__hit").isNotNull().alias("actual_dup")
+    )
+    return verdict.join(actual, "doc_id").select(
+        "doc_id",
+        "bloom_maybe",
+        "actual_dup",
+        (F.col("bloom_maybe") & ~F.col("actual_dup")).alias("false_positive"),
+    )
+
+
+@register(
+    "dedup_chunk_lines",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(text),
+               '[^a-z0-9 \\t\\n]', ' ', 'g'), '\\s+'), t -> t <> '') AS tok
+      FROM documents
+    ),
+    spread AS (
+      SELECT doc_id, tok,
+             unnest(generate_series(0,
+               CAST(ceil(len(tok) / 16.0) AS BIGINT) - 1)) AS pos
+      FROM toks WHERE len(tok) >= 1
+    ),
+    chunked AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(tok, pos * 16 + 1,
+               least(pos * 16 + 16, len(tok))), ' ') AS chunk
+      FROM spread
+    ),
+    ranked AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, pos) AS rn
+      FROM chunked
+    )
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                                   ' ' ORDER BY pos), '')) AS dedup_digest
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    category="dedup",
+)
+def dedup_chunk_lines(spark, sf_dir):
+    """Corpus-wide chunk-level (line-level) dedup, CCNet-style: split
+    every document into 16-token chunks, keep only the globally FIRST
+    occurrence of each distinct chunk (ordered by doc_id, position),
+    and report per document how much text survives plus a digest of
+    the reassembled deduplicated text. This removes boilerplate
+    repeated across documents — the step exact doc-level dedup cannot
+    do. Plan: one explode to chunk rows, one hash-partitioned window
+    keyed on the chunk text (high-cardinality key — no low-cardinality
+    funnel), one grouped reassembly; no all-pairs anywhere, shuffles
+    keyed exactly like exact dedup so it scales the same way."""
+    from pyspark.sql import Window
+
+    from bigdata_financial_reporting_spark.operators.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tok")).filter(
+        F.size("tok") >= 1
+    )
+    chunked = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(tok) / 16.0) AS int) - 1), "
+                "i -> array_join(slice(tok, i * 16 + 1, 16), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    )
+    ranked = chunked.withColumn("rn", rn)
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("chunk"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x.chunk,
+                ),
+                " ",
+            )
+        ).alias("dedup_digest"),
+    )

@@ -179,6 +179,11 @@ DEFER_NEW: frozenset[str] = frozenset(
         "ts_minmax_downsample",
         "agg_regression_family",
         "split_kfold",
+        "dedup_bloom_prefilter",
+        "dedup_chunk_lines",
+        "agg_countmin_heavy_hitters",
+        "sql_recursive_cte_spine",
+        "text_pagerank_keywords",
     }
 )
 

@@ -1948,3 +1948,107 @@ def split_kfold(spark, sf_dir):
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@register(
+    "text_pagerank_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(text),
+               '[^a-z0-9 \\t\\n]', ' ', 'g'), '\\s+'), t -> t <> '') AS tok
+      FROM documents
+    ),
+    big AS (
+      SELECT tok[i] AS a, tok[i + 1] AS b
+      FROM toks, LATERAL unnest(generate_series(1, len(tok) - 1)) t(i)
+      WHERE len(tok) >= 2 AND tok[i] <> tok[i + 1]
+    ),
+    edges AS (
+      SELECT DISTINCT a AS src, b AS dst FROM big
+      UNION
+      SELECT DISTINCT b AS src, a AS dst FROM big
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / n AS r FROM deg, nn),
+    r1 AS (
+      SELECT e.dst AS node, 0.15 / max(nn.n) + 0.85 * sum(r.r / dg.d) AS r
+      FROM edges e JOIN r0 r ON e.src = r.node
+                   JOIN deg dg ON e.src = dg.src, nn
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node, 0.15 / max(nn.n) + 0.85 * sum(r.r / dg.d) AS r
+      FROM edges e JOIN r1 r ON e.src = r.node
+                   JOIN deg dg ON e.src = dg.src, nn
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS node, 0.15 / max(nn.n) + 0.85 * sum(r.r / dg.d) AS r
+      FROM edges e JOIN r2 r ON e.src = r.node
+                   JOIN deg dg ON e.src = dg.src, nn
+      GROUP BY e.dst
+    )
+    SELECT r3.node AS token, round(r3.r, 6) AS rank,
+           CAST(deg.d AS BIGINT) AS degree
+    FROM r3 JOIN deg ON r3.node = deg.src
+    """,
+    category="text",
+)
+def text_pagerank_keywords(spark, sf_dir):
+    """TextRank keyword scoring (Mihalcea/Tarau '04): PageRank over
+    the word co-occurrence graph (undirected edges between adjacent
+    tokens), 3 fixed power iterations, damping 0.85. The iterative
+    step is the canonical distributed PageRank plan — edges join
+    ranks on src, contributions sum per dst with map-side combine —
+    so the same code runs a billion-edge web graph; no driver-side
+    state at all (even the node count N rides along as a broadcast
+    1-row aggregate instead of a collect). Fixed iteration count +
+    6-dp rounding keep it exactly reproducible, so the DuckDB oracle
+    is the same recursion unrolled into three CTEs."""
+    from bigdata_financial_reporting_spark.operators.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokenize(F.col("text")).alias("tok")).filter(
+        F.size("tok") >= 2
+    )
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, size(tok) - 1), "
+                "i -> struct(element_at(tok, i) AS a, element_at(tok, i + 1) AS b)), "
+                "p -> p.a <> p.b)"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    edges = (
+        big.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(big.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst"), (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                (0.15 / F.col("n") + 0.85 * F.col("s")).alias("r"),
+            )
+        )
+    return ranks.join(deg, ranks.node == deg.src).select(
+        F.col("node").alias("token"),
+        F.round("r", 6).alias("rank"),
+        F.col("d").cast("long").alias("degree"),
+    )

@@ -496,3 +496,57 @@ def sql_session_variables(spark, sf_dir):
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "sql_recursive_cte_spine",
+    oracle="""
+    WITH RECURSIVE spine(day) AS (
+      SELECT (SELECT min(ts)::DATE FROM events)
+      UNION ALL
+      SELECT day + INTERVAL 1 DAY FROM spine
+      WHERE day < (SELECT max(ts)::DATE FROM events)
+    ),
+    daily AS (
+      SELECT ts::DATE AS day, count(*) AS n, round(sum(value), 6) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY ts::DATE
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           coalesce(d.n, 0) AS n_purchases,
+           round(coalesce(d.v, 0.0), 6) AS total_value
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    category="relational",
+)
+def sql_recursive_cte_spine(spark, sf_dir):
+    """Recursive CTE (Spark 4.0, SPARK-24497) building a complete
+    calendar spine from the observed min to max event date, then
+    zero-filling the daily purchase rollup against it — the canonical
+    gaps-in-time-series fix, previously impossible in pure Spark SQL
+    without a driver-side date loop or sequence()+explode. The
+    recursion depth equals the day span (bounded, ~30 here); each
+    step is one row, the spine stays tiny, and the fact-table rollup
+    is the usual map-side-combined aggregate joined against the
+    broadcast spine. DuckDB runs the identical WITH RECURSIVE text."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("bdfr_events_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(day) AS (
+          SELECT (SELECT min(CAST(ts AS DATE)) FROM bdfr_events_rec)
+          UNION ALL
+          SELECT day + INTERVAL '1' DAY FROM spine
+          WHERE day < (SELECT max(CAST(ts AS DATE)) FROM bdfr_events_rec)
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+                 round(sum(value), 6) AS v
+          FROM bdfr_events_rec WHERE event_type = 'purchase'
+          GROUP BY CAST(ts AS DATE)
+        )
+        SELECT date_format(s.day, 'yyyy-MM-dd') AS day,
+               coalesce(d.n, 0) AS n_purchases,
+               round(coalesce(d.v, 0.0), 6) AS total_value
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+        """
+    )

@@ -18,6 +18,26 @@ from bigdata_financial_reporting_spark.plans.inspect import (
 from bigdata_financial_reporting_spark.queries import QUERIES
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _fresh_plans(spark):
+    """Plan pins measure the STANDALONE plan of each query. A test that
+    ran earlier in the session may have left operator persists alive
+    (e.g. fin_beta_market's daily panel), and Spark's cache manager
+    substitutes any semantically-matching sub-plan with the
+    InMemoryRelation — changing exchange counts and making the pins
+    order-dependent. Clearing is safe here: no returned plan from a
+    previous test is materialized after this point (the cache contract
+    in operators/cache.py), and each test builds its DataFrame fresh."""
+    from bigdata_financial_reporting_spark.operators.cache import (
+        release_operator_caches,
+    )
+
+    release_operator_caches()
+    spark.catalog.clearCache()
+
 
 def test_small_dims_are_broadcast(spark, sf_dir):
     """region/nation/customer joins must broadcast, never shuffle the

@@ -248,3 +248,58 @@ def test_event_rate_anomaly_spikes_are_above_threshold(spark, sf_dir):
             assert r.z is not None and r.z > 2.0 - 1e-6, r
         if r.z is None:
             assert not r.is_spike
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark, sf_dir):
+    """The Bloom guarantee: every actual duplicate must be flagged
+    maybe (a false negative would silently drop a dup past the
+    prefilter); the probe batch must exercise both outcomes or the
+    test is vacuous."""
+    rows = _rows(spark, sf_dir, "dedup_bloom_prefilter")
+    assert all(r["bloom_maybe"] for r in rows if r["actual_dup"])
+    assert any(r["actual_dup"] for r in rows)
+    assert any(not r["actual_dup"] for r in rows)
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """CMS estimates are one-sided: est >= exact for every key (the
+    min-of-rows can only add colliding keys' mass, never lose any)."""
+    rows = _rows(spark, sf_dir, "agg_countmin_heavy_hitters")
+    assert rows
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+
+
+def test_chunk_dedup_conserves_and_dedups(spark, sf_dir):
+    """Per-doc kept counts are bounded by chunk counts, the earliest
+    document keeps everything (nothing precedes it), and the corpus
+    total shrinks (duplicate chunks exist at this SF — verified in
+    the fixture)."""
+    rows = _rows(spark, sf_dir, "dedup_chunk_lines")
+    assert all(0 <= r["n_kept"] <= r["n_chunks"] for r in rows)
+    first = min(rows, key=lambda r: r["doc_id"])
+    assert first.n_kept == first.n_chunks
+    assert sum(r["n_kept"] for r in rows) < sum(r["n_chunks"] for r in rows)
+
+
+def test_pagerank_sums_to_one(spark, sf_dir):
+    """On an undirected graph (no dangling nodes) PageRank conserves
+    probability mass at every iteration — the ranks must form a
+    distribution and be strictly positive."""
+    rows = _rows(spark, sf_dir, "text_pagerank_keywords")
+    total = sum(r["rank"] for r in rows)
+    assert math.isclose(total, 1.0, abs_tol=1e-3), total
+    assert all(r["rank"] > 0 for r in rows)
+
+
+def test_recursive_spine_is_gapless(spark, sf_dir):
+    """The calendar spine covers every day between min and max with
+    no gaps and no duplicates — the property the recursion exists to
+    guarantee."""
+    import datetime as dt
+
+    rows = _rows(spark, sf_dir, "sql_recursive_cte_spine")
+    days = sorted(r["day"] for r in rows)
+    d0 = dt.date.fromisoformat(days[0])
+    d1 = dt.date.fromisoformat(days[-1])
+    assert len(set(days)) == (d1 - d0).days + 1 == len(days)
