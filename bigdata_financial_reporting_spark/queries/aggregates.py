@@ -1134,3 +1134,243 @@ def agg_countmin_heavy_hitters(spark, sf_dir):
         "cms_est",
         "overestimate",
     )
+
+
+@register(
+    "tpch_q8_shape",
+    oracle="""
+    WITH vols AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_nationkey AS supp_nk
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nk = 0 THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM vols GROUP BY o_year
+    """,
+    category="aggregates",
+)
+def tpch_q8_shape(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): the 8-table star —
+    every dimension (customer, supplier, part, nation x2, region)
+    broadcasts, so the single big shuffle is lineitem-orders; the
+    region and part-type filters prune on the dim side BEFORE the
+    fact join, which at 100 TB is the difference between scanning a
+    region's slice and scanning the world. Share-of-total computed in
+    one aggregate pass with a conditional numerator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    ns = n.select(F.col("n_nationkey").alias("s_nk"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.select(
+        F.year("o_orderdate").alias("o_year"),
+        vol.alias("volume"),
+        F.col("s_nk").alias("supp_nk"),
+    ).groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nk") == 0, F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q10_shape",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+    category="aggregates",
+)
+def tpch_q10_shape(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item revenue, top-20 customers):
+    fact-to-fact join on orderkey carries the one real shuffle;
+    customer and nation broadcast; the returnflag and date filters
+    push into the scans. Ranking is over the ROUNDED revenue with a
+    custkey tie-break on BOTH engines — ordering on the raw double
+    would make the top-20 boundary sensitive to summation order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+@register(
+    "tpch_q14_shape",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    category="aggregates",
+)
+def tpch_q14_shape(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue share): one broadcast join of
+    the month's lineitem slice against part, one global conditional
+    aggregate — the date filter reaches the parquet scan so only the
+    month's row groups are read (min/max pruning at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+            / F.sum(vol),
+            6,
+        ).alias("promo_share")
+    )
+
+
+@register(
+    "tpch_q16_shape",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 20
+    """,
+    category="aggregates",
+)
+def tpch_q16_shape(spark, sf_dir):
+    """TPC-H Q16 shape (supplier diversity per part group; the
+    fixture's lineitem stands in for partsupp as the part-supplier
+    relation): brand/size dim filters prune before the join, then a
+    two-level aggregate — count(DISTINCT suppkey) expands to the
+    standard two-phase plan (group by keys+supp, then count) with
+    map-side partials, so the distinct never funnels through one
+    task. Deterministic top-20 with full-key tie-break."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+    return agg.orderBy(
+        F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+    ).limit(20)
+
+
+@register(
+    "tpch_q19_shape",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    category="aggregates",
+)
+def tpch_q19_shape(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive predicate revenue): three
+    brand/size/quantity bands OR-ed across the join — the classic
+    test that the optimizer splits the disjunction, pushes the
+    part-only conjuncts into the part scan and the lineitem-only
+    conjuncts into the fact scan, instead of evaluating the whole OR
+    post-join. Part broadcasts; one global aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -184,6 +184,11 @@ DEFER_NEW: frozenset[str] = frozenset(
         "agg_countmin_heavy_hitters",
         "sql_recursive_cte_spine",
         "text_pagerank_keywords",
+        "tpch_q8_shape",
+        "tpch_q10_shape",
+        "tpch_q14_shape",
+        "tpch_q16_shape",
+        "tpch_q19_shape",
     }
 )
 

@@ -471,3 +471,20 @@ def test_second_finance_batch_stays_instrument_keyed(spark, sf_dir):
         n = count_exchanges(df)
         assert n <= budget, f"{name}: {n} exchanges > {budget}"
         assert "SinglePartition" not in physical_plan(df), name
+
+
+def test_q8_q19_shapes_broadcast_all_dims(spark, sf_dir):
+    """Q8's 8-table star and Q19's disjunctive join: every dimension
+    must broadcast — a sort-merge on any dim means the fact table
+    shuffles against kilobyte relations — and the fact-side conjuncts
+    of Q19's OR must reach the lineitem scan."""
+    df8 = QUERIES["tpch_q8_shape"].fn(spark, sf_dir)
+    r8 = plan_report(df8)
+    assert has_broadcast_hash_join(df8)
+    assert not r8["sort_merge_join"] or r8["exchanges"] <= 3
+
+    df19 = QUERIES["tpch_q19_shape"].fn(spark, sf_dir)
+    assert has_broadcast_hash_join(df19)
+    assert not plan_report(df19)["sort_merge_join"]
+    pf = " ".join(pushed_filters(df19))
+    assert "l_quantity" in pf or "l_partkey" in pf
