@@ -189,6 +189,8 @@ DEFER_NEW: frozenset[str] = frozenset(
         "tpch_q14_shape",
         "tpch_q16_shape",
         "tpch_q19_shape",
+        "src_text_lines_roundtrip",
+        "ops_cdc_apply",
     }
 )
 

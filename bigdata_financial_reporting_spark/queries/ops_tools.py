@@ -354,3 +354,82 @@ def ops_incremental_rollup_refresh(spark, sf_dir):
         "user_id", F.col("day").cast("string").alias("day"),
         "n_events", "sum_value",
     )
+
+
+@register(
+    "ops_cdc_apply",
+    oracle="""
+    WITH log_ AS (
+      SELECT c_custkey AS k, 1 AS version, 'I' AS op,
+             c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT c_custkey, 2, 'U', c_acctbal + 100.0
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 3, 'D', NULL
+      FROM customer WHERE c_custkey % 17 = 0
+      UNION ALL
+      SELECT c_custkey + 100000, 2, 'I', 999.0
+      FROM customer WHERE c_custkey % 23 = 0
+    ),
+    ranked AS (
+      SELECT k, version, op, acctbal,
+             row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+      FROM log_
+    )
+    SELECT k AS custkey, version, round(acctbal, 4) AS acctbal
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    category="ops",
+)
+def ops_cdc_apply(spark, sf_dir):
+    """CDC log application (last-write-wins materialization): a
+    versioned change stream of inserts/updates/deletes collapses to
+    the current snapshot by keeping each key's highest-version row
+    and dropping keys whose last op is a delete — the core of every
+    lakehouse MERGE/CDF consumer. One hash-partitioned window keyed
+    on the (high-cardinality) primary key; at 100 TB the log is
+    typically also bucketed by key so the window reuses the layout.
+    The change log is derived deterministically from the customer
+    fixture (10%% updated, ~6%% deleted, ~4%% fresh inserts) so both
+    engines build the identical stream."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(1).alias("version"),
+        F.lit("I").alias("op"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    upd = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        (F.col("c_acctbal") + 100.0).alias("acctbal"),
+    )
+    dels = c.filter(F.col("c_custkey") % 17 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(3).alias("version"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("acctbal"),
+    )
+    ins = c.filter(F.col("c_custkey") % 23 == 0).select(
+        (F.col("c_custkey") + 100000).alias("k"),
+        F.lit(2).alias("version"),
+        F.lit("I").alias("op"),
+        F.lit(999.0).alias("acctbal"),
+    )
+    log = base.unionByName(upd).unionByName(dels).unionByName(ins)
+    rn = F.row_number().over(
+        Window.partitionBy("k").orderBy(F.desc("version"))
+    )
+    return (
+        log.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("custkey"),
+            "version",
+            F.round("acctbal", 4).alias("acctbal"),
+        )
+    )

@@ -317,3 +317,53 @@ def src_python_datasource(spark, sf_dir):
         F.round(F.min("px"), 6).alias("min_px"),
         F.round(F.max("px"), 6).alias("max_px"),
     )
+
+
+@register(
+    "src_text_lines_roundtrip",
+    oracle="""
+    SELECT CAST(substr(line, 1, strpos(line, chr(9)) - 1) AS BIGINT) AS doc_id,
+           length(substr(line, strpos(line, chr(9)) + 1)) AS n_chars,
+           len(list_filter(string_split_regex(
+             substr(line, strpos(line, chr(9)) + 1), '\\s+'), t -> t <> ''))
+             AS n_tokens
+    FROM (
+      SELECT CAST(doc_id AS VARCHAR) || chr(9) || text AS line FROM documents
+    )
+    """,
+    category="sources",
+)
+def src_text_lines_roundtrip(spark, sf_dir):
+    """Plain-text source/sink roundtrip (``spark.read.text`` — the
+    format raw web-scrape corpora actually arrive in): write one
+    tab-prefixed line per document, read the directory back as a
+    line stream, and re-derive id/length/token stats from the raw
+    line. Text files have no schema and no row order guarantee across
+    part-files — the id travels IN the line, which is the pattern a
+    real pipeline uses (jsonl/tsv), so the roundtrip is
+    order-independent. Line splitting and parsing are codegen
+    expressions; the sink keeps the source's partitioning (no
+    coalesce(1) single-writer funnel)."""
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), "bdfr_scratch", "text_lines")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    lines = d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+            "value"
+        )
+    )
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    body = F.expr("substring(value, instr(value, '\t') + 1)")
+    return back.select(
+        F.expr("cast(substring(value, 1, instr(value, '\t') - 1) AS bigint)").alias(
+            "doc_id"
+        ),
+        F.length(body).cast("long").alias("n_chars"),
+        F.size(F.filter(F.split(body, r"\s+"), lambda t: t != "")).cast(
+            "long"
+        ).alias("n_tokens"),
+    )
