@@ -191,6 +191,8 @@ DEFER_NEW: frozenset[str] = frozenset(
         "tpch_q19_shape",
         "src_text_lines_roundtrip",
         "ops_cdc_apply",
+        "fn_regex_family",
+        "pipeline_pretrain_end2end",
     }
 )
 

@@ -718,3 +718,50 @@ def fn_higher_order_maps(spark, sf_dir):
             6,
         ).alias("zipped_sum"),
     )
+
+
+@register(
+    "fn_regex_family",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS n_a_words,
+           CAST(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END
+                AS BOOLEAN) AS has_spark,
+           coalesce(regexp_extract(text, '([a-z]{6,})', 1), '') AS first_long,
+           array_to_string(list_sort(list_distinct(
+             regexp_extract_all(text, '[a-z]+a[a-z]*'))), ',') AS a_words,
+           regexp_replace(text, '\\s+[a-z]\\s+', ' _ ', 'g') AS squashed
+    FROM documents WHERE doc_id < 50
+    """,
+    category="functions",
+)
+def fn_regex_family(spark, sf_dir):
+    """The modern regexp function family (Spark 3.4+): regexp_count,
+    regexp_like, regexp_substr, regexp_extract_all, plus a global
+    regexp_replace — all JVM-side codegen expressions (one compiled
+    pattern per task, no Python). The extract_all result is sorted,
+    deduped, and serialized to a scalar per the registry's
+    no-complex-output rule. DuckDB's regexp dialect is POSIX-ish like
+    Java's for this subset; the patterns avoid constructs the two
+    engines disagree on (lazy quantifiers, lookaround)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+a[a-z]*")).cast("long").alias(
+            "n_a_words"
+        ),
+        F.regexp_like(F.col("text"), F.lit("spark")).alias("has_spark"),
+        F.coalesce(
+            F.regexp_substr(F.col("text"), F.lit(r"[a-z]{6,}")),
+            F.lit(""),
+        ).alias("first_long"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.regexp_extract_all(F.col("text"), F.lit(r"([a-z]+a[a-z]*)"))
+                )
+            ),
+            ",",
+        ).alias("a_words"),
+        F.regexp_replace(F.col("text"), r"\s+[a-z]\s+", " _ ").alias("squashed"),
+    )

@@ -2069,3 +2069,119 @@ def text_pagerank_keywords(spark, sf_dir):
         F.round("r", 6).alias("rank"),
         F.col("d").cast("long").alias("degree"),
     )
+
+
+@register(
+    "pipeline_pretrain_end2end",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+             len({_DUCK_TOK}) AS n_tokens,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents
+    ),
+    q AS (
+      SELECT * FROM base WHERE n_tokens >= 20 AND n_chars >= 100
+    ),
+    dd AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ),
+    sp AS (
+      SELECT *,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                            1, 4)) AS BIGINT) % 10 < 8 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                            1, 4)) AS BIGINT) % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM dd
+    ),
+    packed AS (
+      SELECT split, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+      FROM sp
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(floor((cum_end - 1) / 512.0)) + 1 AS BIGINT) AS n_packs,
+           (SELECT count(*) FROM base) - (SELECT count(*) FROM q)
+             AS n_dropped_quality,
+           (SELECT count(*) FROM q) - (SELECT count(*) FROM dd)
+             AS n_dropped_dup
+    FROM packed
+    GROUP BY split
+    """,
+    category="text",
+)
+def pipeline_pretrain_end2end(spark, sf_dir):
+    """The full pretraining-data pipeline as ONE composed dataflow:
+    quality filter (length floors) -> exact dedup on the normalized
+    fingerprint (keep lowest doc_id) -> deterministic hash split ->
+    512-token sequence packing via per-split cumulative sums ->
+    per-split accounting (docs, tokens, packs, and how many documents
+    each upstream stage dropped). Every stage is the registry's
+    already-verified primitive (quality_filter_reasons,
+    dedup_exact_groups, split_train_test, text_pack_sequences) chained
+    without materialization barriers — Catalyst fuses the filters and
+    fingerprinting into the scan projection, and the only shuffles are
+    the dedup window (keyed on the high-cardinality fingerprint) and
+    the per-split packing window. The drop counters ride along as
+    broadcast 1-row aggregates, not driver collects."""
+    from pyspark.sql import Window
+
+    from bigdata_financial_reporting_spark.operators.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(tokenize(F.col("text"))).alias("n_tokens"),
+        F.md5(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+        ).alias("fp"),
+    )
+    q = base.filter((F.col("n_tokens") >= 20) & (F.col("n_chars") >= 100))
+    dd = (
+        q.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sp = dd.withColumn("split", _split_col())
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sp.select("split", "n_tokens", cum.alias("cum_end"))
+    n_base = base.agg(F.count(F.lit(1)).alias("nb"))
+    n_q = q.agg(F.count(F.lit(1)).alias("nq"))
+    n_dd = dd.agg(F.count(F.lit(1)).alias("ndd"))
+    return (
+        packed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.max(F.floor((F.col("cum_end") - 1) / 512.0)) + 1)
+            .cast("long")
+            .alias("n_packs"),
+        )
+        .crossJoin(F.broadcast(n_base))
+        .crossJoin(F.broadcast(n_q))
+        .crossJoin(F.broadcast(n_dd))
+        .select(
+            "split",
+            "n_docs",
+            "total_tokens",
+            "n_packs",
+            (F.col("nb") - F.col("nq")).alias("n_dropped_quality"),
+            (F.col("nq") - F.col("ndd")).alias("n_dropped_dup"),
+        )
+    )
