@@ -1374,3 +1374,60 @@ def tpch_q19_shape(spark, sf_dir):
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "agg_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice
+               / pow(10, floor(log10(o_totalprice)))) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM d)
+    SELECT digit, count(*) AS n,
+           round(count(*) / max(n.total), 6) AS observed,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford,
+           round(abs(count(*) / max(n.total)
+                     - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+    FROM d, n GROUP BY digit
+    """,
+    category="aggregates",
+)
+def agg_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the
+    classic financial-forensics screen (the reference is, after all, a
+    financial reporting system): observed leading-digit frequencies
+    against log10(1 + 1/d), with per-digit absolute deviation. The
+    leading digit is pure arithmetic (no string casts) so it pushes
+    into codegen; one map-side-combined 9-group aggregate plus a
+    broadcast 1-row total. Synthetic uniform prices deviate from
+    Benford — which is exactly what the screen is for."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("observed"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford"),
+            F.round(
+                F.abs(
+                    F.col("n") / F.col("total")
+                    - F.log10(1.0 + 1.0 / F.col("digit"))
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )

@@ -193,6 +193,10 @@ DEFER_NEW: frozenset[str] = frozenset(
         "ops_cdc_apply",
         "fn_regex_family",
         "pipeline_pretrain_end2end",
+        "ts_mann_kendall_trend",
+        "ts_changepoint_cusum",
+        "agg_benford_digits",
+        "text_zipf_fit",
     }
 )
 

@@ -2185,3 +2185,57 @@ def pipeline_pretrain_end2end(spark, sf_dir):
             (F.col("nq") - F.col("ndd")).alias("n_dropped_dup"),
         )
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOK}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq
+    )
+    SELECT round(regr_slope(log(CAST(f AS DOUBLE)),
+                            log(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+           round(regr_r2(log(CAST(f AS DOUBLE)),
+                         log(CAST(r AS DOUBLE))), 6) AS fit_r2,
+           count(*) AS vocab,
+           CAST(sum(f) AS BIGINT) AS total_tokens
+    FROM ranked
+    """,
+    category="text",
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the corpus frequency spectrum: OLS slope of
+    log(frequency) on log(rank) plus R² — the one-row corpus
+    diagnostic that distinguishes natural-language from synthetic or
+    degenerate corpora (natural text slopes ~-1 at high R²; this
+    fixture's uniform generator fits badly, which is the finding).
+    The rank window runs over the VOCABULARY-sized frequency table,
+    not the token stream; corpus order never matters because ranking
+    ties break on the token string."""
+    from pyspark.sql import Window
+
+    from bigdata_financial_reporting_spark.operators.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.select(
+        F.col("f").cast("double").alias("f"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), "tok"))
+        .cast("double")
+        .alias("r"),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("fit_r2"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("f").cast("long").alias("total_tokens"),
+    )

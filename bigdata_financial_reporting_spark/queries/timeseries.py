@@ -446,3 +446,125 @@ def ts_minmax_downsample(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.round("value", 6).alias("value"),
     )
+
+
+@register(
+    "ts_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                         WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT)
+             AS s_stat,
+           count(*) AS n_pairs,
+           CASE WHEN sum(CASE WHEN b.cnt > a.cnt THEN 1
+                              WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) > 0
+                THEN 'increasing'
+                WHEN sum(CASE WHEN b.cnt > a.cnt THEN 1
+                              WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) < 0
+                THEN 'decreasing' ELSE 'none' END AS direction
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day < b.day
+    GROUP BY a.event_type
+    """,
+    category="timeseries",
+)
+def ts_mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall trend statistic per event type: S = sum of
+    sign(x_j - x_i) over all ordered day pairs — the standard
+    nonparametric monotone-trend test a monitoring pipeline runs on
+    its daily panels. The pair join is over the AGGREGATED daily
+    panel (days² per key, ~435 pairs here), not raw events — the
+    classic bounded-pair-space discipline: the corpus-sized table is
+    reduced by a map-side-combined rollup first, so the quadratic
+    step is over a panel whose size is set by the calendar, not the
+    data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = daily.select(
+        F.col("event_type"), F.col("day").alias("day_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = daily.select(
+        F.col("event_type"), F.col("day").alias("day_b"), F.col("cnt").alias("cnt_b")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("day_a") < F.col("day_b"))
+    sgn = F.when(F.col("cnt_b") > F.col("cnt_a"), 1).when(
+        F.col("cnt_b") < F.col("cnt_a"), -1
+    ).otherwise(0)
+    agg = pairs.groupBy("event_type").agg(
+        F.sum(sgn).cast("long").alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return agg.select(
+        "event_type",
+        "s_stat",
+        "n_pairs",
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("none")
+        .alias("direction"),
+    )
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT event_type, avg(cnt) AS mu FROM daily GROUP BY 1),
+    c AS (
+      SELECT d.event_type, d.day,
+             round(abs(sum(d.cnt - m.mu) OVER (
+               PARTITION BY d.event_type ORDER BY d.day)), 6) AS a
+      FROM daily d JOIN m USING (event_type)
+    ),
+    r AS (
+      SELECT event_type, day, a,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY a DESC, day) AS rn
+      FROM c
+    )
+    SELECT event_type, day AS cp_day, a AS cusum_max
+    FROM r WHERE rn = 1
+    """,
+    category="timeseries",
+)
+def ts_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection per event type: cumulative sum of
+    deviations from the series mean; the day where |CUSUM| peaks is
+    the most likely single changepoint (Page '54 / Pettitt-style
+    screen). Deterministic argmax — rank by the ROUNDED |CUSUM| with
+    a day tie-break on both engines (a bare arg_max over doubles
+    would tie-break by engine whim). All windows run on the
+    calendar-bounded daily panel; the mean rides along as a broadcast
+    per-key join, so the raw table is touched exactly once by the
+    rollup."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    m = daily.groupBy("event_type").agg(F.avg("cnt").alias("mu"))
+    cum = F.sum(F.col("cnt") - F.col("mu")).over(
+        Window.partitionBy("event_type").orderBy("day")
+    )
+    c = daily.join(F.broadcast(m), "event_type").select(
+        "event_type", "day", F.round(F.abs(cum), 6).alias("a")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("a"), "day")
+    )
+    return (
+        c.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("day").alias("cp_day"), F.col("a").alias("cusum_max"))
+    )
