@@ -1431,3 +1431,54 @@ def agg_benford_digits(spark, sf_dir):
             ).alias("abs_dev"),
         )
     )
+
+
+@register(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS x,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS i,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n,
+             sum(o_totalprice) OVER (PARTITION BY o_orderpriority) AS s
+      FROM orders
+    )
+    SELECT grp, round(2.0 * sum(i * x) / (max(n) * max(s))
+                      - (max(n) + 1.0) / max(n), 6) AS gini,
+           max(n) AS n
+    FROM r GROUP BY grp
+    """,
+    category="aggregates",
+)
+def agg_gini_coefficient(spark, sf_dir):
+    """Gini coefficient of order value per priority class — the
+    standard inequality/concentration measure, computed by the exact
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over the
+    within-group value ranking (deterministic orderkey tie-break).
+    One hash-partitioned window per group plus a grouped aggregate —
+    no sorting beyond the per-key window, no driver math. The rank
+    formula needs a total order WITHIN each group only, so group
+    cardinality bounds the sort, not corpus size."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("x"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("o_totalprice").over(wp).alias("s"),
+    )
+    return r.groupBy("grp").agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("s"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.max("n").alias("n"),
+    )

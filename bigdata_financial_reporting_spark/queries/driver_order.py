@@ -197,6 +197,9 @@ DEFER_NEW: frozenset[str] = frozenset(
         "ts_changepoint_cusum",
         "agg_benford_digits",
         "text_zipf_fit",
+        "agg_gini_coefficient",
+        "fin_hhi_concentration",
+        "ts_theil_sen_slope",
     }
 )
 

@@ -545,3 +545,42 @@ def fin_return_corr_pairs(spark, sf_dir):
         n.alias("n_days"),
         F.when(ok, F.round(F.corr("ra", "rb"), 6)).alias("corr_ab"),
     )
+
+
+@register(
+    "fin_hhi_concentration",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr, l_suppkey,
+             sum(l_extendedprice) AS v
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT yr, sum(v) AS tv FROM vol GROUP BY yr)
+    SELECT vol.yr, round(sum(pow(v / tv, 2)), 6) AS hhi,
+           count(*) AS n_suppliers
+    FROM vol JOIN tot USING (yr)
+    GROUP BY vol.yr
+    """,
+    category="finance",
+)
+def fin_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman index of supplier revenue concentration
+    per year — the antitrust/market-structure metric (1/n when
+    perfectly competitive, 1.0 for a monopoly). Two map-side-combined
+    rollups: fact table → (year, supplier) volumes (the only pass
+    over the big table), then year totals broadcast back to square
+    the shares. The share space is |years| × |suppliers| however
+    large the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = li.groupBy(
+        F.year("l_shipdate").alias("yr"), "l_suppkey"
+    ).agg(F.sum("l_extendedprice").alias("v"))
+    tot = vol.groupBy("yr").agg(F.sum("v").alias("tv"))
+    return (
+        vol.join(F.broadcast(tot), "yr")
+        .groupBy("yr")
+        .agg(
+            F.round(F.sum(F.pow(F.col("v") / F.col("tv"), 2)), 6).alias("hhi"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )

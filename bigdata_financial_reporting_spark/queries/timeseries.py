@@ -568,3 +568,51 @@ def ts_changepoint_cusum(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("day").alias("cp_day"), F.col("a").alias("cusum_max"))
     )
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', ts::DATE) AS DOUBLE) AS d,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           round(quantile_cont((b.cnt - a.cnt) / (b.d - a.d), 0.5), 6)
+             AS ts_slope,
+           count(*) AS n_pairs
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d < b.d
+    GROUP BY a.event_type
+    """,
+    category="timeseries",
+)
+def ts_theil_sen_slope(spark, sf_dir):
+    """Theil-Sen robust trend slope per event type: the median of all
+    pairwise day-slopes of the daily panel — outlier-resistant where
+    OLS (agg_regression_family) is not, and the natural companion to
+    the Mann-Kendall S test. Same bounded-pair-space plan: the raw
+    table reduces to the calendar-bounded panel first, the quadratic
+    pair join runs on days² rows per key, and the median uses the
+    same exact interpolating percentile both engines share."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("double")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("cnt").alias("ca")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("db"), F.col("cnt").alias("cb")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("da") < F.col("db"))
+    slope = (F.col("cb") - F.col("ca")) / (F.col("db") - F.col("da"))
+    return pairs.groupBy("event_type").agg(
+        F.round(F.percentile(slope, F.lit(0.5)), 6).alias("ts_slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
