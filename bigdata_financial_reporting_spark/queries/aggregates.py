@@ -1482,3 +1482,124 @@ def agg_gini_coefficient(spark, sf_dir):
         ).alias("gini"),
         F.max("n").alias("n"),
     )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS m, var_samp(value) AS v,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1
+    ),
+    w AS (
+      SELECT max(CASE WHEN event_type = 'purchase' THEN m END) AS m1,
+             max(CASE WHEN event_type = 'purchase' THEN v END) AS v1,
+             max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+             max(CASE WHEN event_type = 'click' THEN m END) AS m2,
+             max(CASE WHEN event_type = 'click' THEN v END) AS v2,
+             max(CASE WHEN event_type = 'click' THEN n END) AS n2
+      FROM s
+    )
+    SELECT round((m1 - m2) / sqrt(v1/n1 + v2/n2), 6) AS t_stat,
+           round(pow(v1/n1 + v2/n2, 2)
+                 / (pow(v1/n1, 2)/(n1-1) + pow(v2/n2, 2)/(n2-1)), 6)
+             AS df_welch,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM w
+    """,
+    category="aggregates",
+)
+def agg_welch_ttest(spark, sf_dir):
+    """Welch's two-sample t statistic (unequal variances) comparing
+    purchase vs click values, with the Welch-Satterthwaite degrees of
+    freedom — the A/B-test primitive. The entire test reduces to six
+    map-side-combined moments (mean/var/count per arm) pivoted into
+    one row; the statistic is closed-form arithmetic on that 1-row
+    frame, so a 100-TB A/B test costs exactly one aggregation pass."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    pick = lambda arm, c: F.max(F.when(F.col("event_type") == arm, F.col(c)))
+    w = s.agg(
+        pick("purchase", "m").alias("m1"),
+        pick("purchase", "v").alias("v1"),
+        pick("purchase", "n").alias("n1"),
+        pick("click", "m").alias("m2"),
+        pick("click", "v").alias("v2"),
+        pick("click", "n").alias("n2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return w.select(
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+    )
+
+
+@register(
+    "agg_chi2_independence",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, isodow(ts) AS dw, CAST(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c.*, sum(o) OVER (PARTITION BY event_type) AS rt,
+             sum(o) OVER (PARTITION BY dw) AS ct, sum(o) OVER () AS t
+      FROM c
+    )
+    SELECT round(sum(pow(o - rt*ct/t, 2) / (rt*ct/t)), 6) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dw) - 1) AS BIGINT) AS dof,
+           CAST(max(t) AS BIGINT) AS n_total
+    FROM m
+    """,
+    category="aggregates",
+)
+def agg_chi2_independence(spark, sf_dir):
+    """Pearson chi-square test of independence between event type and
+    ISO day-of-week: observed vs expected (row-total x col-total / n)
+    over the contingency table. The raw table collapses to the
+    |types| x 7 contingency cells in one map-side-combined pass; the
+    marginals are windows over that tiny frame (the global-sum window
+    runs on ~35 rows — bounded by the category product, never by the
+    corpus). ISO numbering pinned as in ts_calendar_features."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dow_iso = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    c = ev.groupBy(
+        "event_type", dow_iso.alias("dw")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    m = c.select(
+        "event_type",
+        "dw",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("dw")).alias("ct"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("t"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("t")
+    return m.agg(
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dw") - 1)
+        ).cast("long").alias("dof"),
+        F.max("t").cast("long").alias("n_total"),
+    )

@@ -200,6 +200,9 @@ DEFER_NEW: frozenset[str] = frozenset(
         "agg_gini_coefficient",
         "fin_hhi_concentration",
         "ts_theil_sen_slope",
+        "agg_welch_ttest",
+        "agg_chi2_independence",
+        "fin_var_expected_shortfall",
     }
 )
 

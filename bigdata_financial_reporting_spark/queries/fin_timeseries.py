@@ -584,3 +584,41 @@ def fin_hhi_concentration(spark, sf_dir):
             F.count(F.lit(1)).alias("n_suppliers"),
         )
     )
+
+
+@register(
+    "fin_var_expected_shortfall",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, round(quantile_cont(value, 0.01), 6) AS var99
+      FROM events GROUP BY 1
+    )
+    SELECT v.event_type, max(q.var99) AS var99,
+           round(avg(CASE WHEN v.value <= q.var99 THEN v.value END), 6)
+             AS es99,
+           CAST(sum(CASE WHEN v.value <= q.var99 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tail
+    FROM events v JOIN q USING (event_type)
+    GROUP BY v.event_type
+    """,
+    category="finance",
+)
+def fin_var_expected_shortfall(spark, sf_dir):
+    """Historical 99% value-at-risk and expected shortfall per
+    instrument: the 1st percentile of the P&L proxy and the mean of
+    the tail at or below it. The exact interpolating percentile runs
+    in one pass; the tiny per-key VaR frame broadcasts back for the
+    tail average. The tail membership test uses the ROUNDED VaR on
+    both engines — filtering on the raw interpolated double would
+    make boundary rows engine-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.01)), 6).alias("var99")
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    in_tail = F.col("value") <= F.col("var99")
+    return j.groupBy("event_type").agg(
+        F.max("var99").alias("var99"),
+        F.round(F.avg(F.when(in_tail, F.col("value"))), 6).alias("es99"),
+        F.sum(F.when(in_tail, 1).otherwise(0)).cast("long").alias("n_tail"),
+    )
