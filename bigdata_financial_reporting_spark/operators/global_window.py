@@ -157,3 +157,60 @@ def global_pct_change(
     return lagged.withColumn(
         out_col, (F.col(value_col) / F.col("__prev") - 1) * 100
     ).drop("__prev")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sums of ``value_cols`` over the TOTAL order defined by
+    ``order_cols`` (must be a total order), without the
+    single-partition collapse: range-partition on the order key, local
+    running sums per partition, then add per-partition prefix offsets
+    — the offset table is one row per PARTITION, so the only
+    unpartitioned window runs over ~#partitions rows, never the data.
+    Output columns are ``run_<value_col>``. Same persist-for-
+    correctness contract as global_lag: repartitionByRange samples
+    boundaries, so the partition assignment is pinned by the tracked
+    persist (callers own the cache lifetime)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
+    order = [F.col(c) for c in order_cols]
+    parts = track(
+        df.repartitionByRange(
+            *([num_partitions] if num_partitions else []), *order
+        )
+        .withColumn("__b", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.select(
+        "*", *[F.sum(v).over(w_in).alias(f"__local_{v}") for v in value_cols]
+    )
+    totals = parts.groupBy("__b").agg(
+        *[F.sum(v).alias(f"__tot_{v}") for v in value_cols]
+    )
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b",
+        *[
+            F.coalesce(F.sum(f"__tot_{v}").over(wo), F.lit(0)).alias(
+                f"__off_{v}"
+            )
+            for v in value_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "__b")
+    for v in value_cols:
+        out = out.withColumn(
+            f"run_{v}", F.col(f"__local_{v}") + F.col(f"__off_{v}")
+        ).drop(f"__local_{v}", f"__off_{v}", f"__tot_{v}")
+    return out.drop("__b")

@@ -1603,3 +1603,76 @@ def agg_chi2_independence(spark, sf_dir):
         ).cast("long").alias("dof"),
         F.max("t").cast("long").alias("n_total"),
     )
+
+
+@register(
+    "agg_ks_twosample",
+    oracle="""
+    WITH cells AS (
+      SELECT value,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS c1,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS c2
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY value
+    ),
+    n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM cells),
+    e AS (
+      SELECT sum(c1) OVER (ORDER BY value) AS r1,
+             sum(c2) OVER (ORDER BY value) AS r2
+      FROM cells
+    )
+    SELECT round(max(abs(e.r1 / n.n1 - e.r2 / n.n2)), 6) AS ks_d,
+           CAST(max(n.n1) AS BIGINT) AS n1,
+           CAST(max(n.n2) AS BIGINT) AS n2
+    FROM e, n
+    """,
+    category="aggregates",
+)
+def agg_ks_twosample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic (purchase vs click
+    value distributions): D = max |ECDF₁ − ECDF₂| evaluated at every
+    observed value. The classic distribution-drift detector for data
+    pipelines. Scalable shape: counts per DISTINCT value first
+    (map-side combined), then the running ECDFs via
+    ``global_running_sum`` — a range-partitioned two-phase cumulative
+    sum whose only unpartitioned window runs over the per-partition
+    offset table, never the data (operators/global_window.py). The
+    oracle's single-partition `ORDER BY` window computes the same
+    prefix sums."""
+    from bigdata_financial_reporting_spark.operators.global_window import (
+        global_running_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cells = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("c2"),
+    )
+    runs = global_running_sum(cells, ["value"], ["c1", "c2"])
+    n = cells.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    return (
+        runs.crossJoin(F.broadcast(n))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("run_c1") / F.col("n1")
+                        - F.col("run_c2") / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks_d"),
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+        )
+    )

@@ -203,6 +203,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "agg_welch_ttest",
         "agg_chi2_independence",
         "fin_var_expected_shortfall",
+        "agg_ks_twosample",
     }
 )
 

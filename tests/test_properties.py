@@ -593,3 +593,41 @@ def test_chunker_covers_every_token_exactly_where_expected(spark, n_tokens, size
             covered.add(r.start + j)
     assert covered == set(range(n_tokens))
     assert min(r.start for r in rows) == 0
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    """The range-partitioned two-phase running sum must equal the
+    naive single-partition prefix sum on an adversarial layout
+    (shuffled input order, duplicate order keys resolved to the same
+    TOTAL via grouping first, multiple value columns), and the final
+    running value must equal the grand total."""
+    import random
+
+    from pyspark.sql import Row, Window
+
+    from bigdata_financial_reporting_spark.operators.cache import (
+        release_operator_caches,
+    )
+    from bigdata_financial_reporting_spark.operators.global_window import (
+        global_running_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [Row(k=i, a=float(rng.randint(-5, 9)), b=float(i % 3)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, a double, b double").repartition(8)
+    got = {
+        r["k"]: (r["run_a"], r["run_b"])
+        for r in global_running_sum(df, ["k"], ["a", "b"], num_partitions=7).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["k"]: (r["ra"], r["rb"])
+        for r in df.select(
+            "k", F.sum("a").over(w).alias("ra"), F.sum("b").over(w).alias("rb")
+        ).collect()
+    }
+    assert got == want
+    total_a = sum(r.a for r in rows)
+    assert abs(got[499][0] - total_a) < 1e-9
+    release_operator_caches()
