@@ -1676,3 +1676,67 @@ def agg_ks_twosample(spark, sf_dir):
             F.max("n2").cast("long").alias("n2"),
         )
     )
+
+
+@register(
+    "agg_subsample_ci",
+    oracle="""
+    WITH b AS (SELECT unnest(generate_series(0, 31)) AS b),
+    picks AS (
+      SELECT b.b, e.value
+      FROM events e, b
+      WHERE CAST(concat('0x', substr(md5(CAST(e.event_id AS VARCHAR)
+                 || '-' || CAST(b.b AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+    ),
+    means AS (SELECT b, avg(value) AS m, count(*) AS n FROM picks GROUP BY b)
+    SELECT round(avg(m), 6) AS mean_of_means,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi,
+           CAST(min(n) AS BIGINT) AS min_resample_n,
+           count(*) AS n_resamples
+    FROM means
+    """,
+    category="aggregates",
+)
+def agg_subsample_ci(spark, sf_dir):
+    """Distributed subsampling confidence interval for the mean (the
+    half-sample bootstrap a cluster can actually run): 32 pseudo-
+    resamples where membership of row r in resample b is the pure
+    hash function md5(id,b) % 2 — no RNG state, no resampling shuffle,
+    exactly reproducible on any engine or partitioning. One explode
+    by the 32-row resample index (map-side combined immediately: only
+    32 (mean,count) rows survive per partition), then percentile over
+    the 32 resample means. The same pattern scales to Poisson
+    bootstrap weights; the hash-Bernoulli trick is the one
+    sample_seeded already uses for engine-neutral sampling."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    picks = ev.select("event_id", "value").select("*", b).filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    means = picks.groupBy("b").agg(
+        F.avg("value").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return means.agg(
+        F.round(F.avg("m"), 6).alias("mean_of_means"),
+        F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+        F.min("n").cast("long").alias("min_resample_n"),
+        F.count(F.lit(1)).alias("n_resamples"),
+    )

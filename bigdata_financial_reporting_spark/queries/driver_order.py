@@ -204,6 +204,8 @@ DEFER_NEW: frozenset[str] = frozenset(
         "agg_chi2_independence",
         "fin_var_expected_shortfall",
         "agg_ks_twosample",
+        "agg_subsample_ci",
+        "src_csv_corrupt_handling",
     }
 )
 

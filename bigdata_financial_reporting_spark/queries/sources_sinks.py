@@ -367,3 +367,65 @@ def src_text_lines_roundtrip(spark, sf_dir):
             "long"
         ).alias("n_tokens"),
     )
+
+
+@register(
+    "src_csv_corrupt_handling",
+    oracle="""
+    SELECT
+      CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_good,
+      CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_corrupt,
+      CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END)
+        AS BIGINT) AS good_key_sum
+    FROM nation
+    """,
+    category="sources",
+)
+def src_csv_corrupt_handling(spark, sf_dir):
+    """Malformed-record handling on CSV ingest: a staged file where
+    every 5th nation row carries a non-numeric key is read back under
+    PERMISSIVE mode with an explicit ``_corrupt_record`` column — bad
+    rows surface as data (for quarantine/audit) instead of failing
+    the job or vanishing (DROPMALFORMED), which is the only sane
+    default for a 100-TB ingest where some corruption is certain. The
+    oracle derives the same good/corrupt split from the construction
+    rule. The one-file write is nation-sized; the read path is the
+    scalable splittable CSV scan."""
+    import os
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(), "bdfr_scratch", "csv_corrupt")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    staged = n.select(
+        F.concat_ws(
+            ",",
+            F.when(
+                F.col("n_nationkey") % 5 == 0,
+                F.concat(F.lit("xx"), F.col("n_nationkey").cast("string")),
+            ).otherwise(F.col("n_nationkey").cast("string")),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        ).alias("value")
+    )
+    staged.coalesce(1).write.mode("overwrite").text(path)
+    back = spark.read.csv(
+        path,
+        schema="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, "
+        "_corrupt_record STRING",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    return back.agg(
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_good"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))
+        ).cast("long").alias("good_key_sum"),
+    )
