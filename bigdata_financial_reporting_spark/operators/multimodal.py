@@ -408,3 +408,46 @@ def ahash_ppm(df: DataFrame) -> DataFrame:
     return df.mapInPandas(
         hash_batches, schema="doc_id long, w int, h int, ahash long"
     )
+
+
+RMS_WINDOW_SCHEMA = (
+    "doc_id long, win_idx int, n_in_win int, rms double, peak int"
+)
+
+
+def rms_windows_wav(df: DataFrame, win: int = 32) -> DataFrame:
+    """Windowed loudness over decoded 8-bit PCM: split each payload's
+    sample block into ``win``-sample windows and emit per-window RMS
+    (of the 128-centered amplitude) and peak |amplitude| — the
+    feature extraction an audio-curation pipeline runs to drop
+    silence/clipping before training. Same Arrow-batched
+    ``mapInPandas`` shape as decode_wav: one pass, no shuffle, rows
+    fan out ~n_samples/win per clip. Malformed payloads are skipped
+    (the decode queries already surface them)."""
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = _parse_riff_wave(bytes(payload))
+                if parsed is None:
+                    continue
+                (_af, _ch, _rate, _bits), data = parsed
+                a = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+                for w in range(0, len(a), win):
+                    seg = a[w : w + win]
+                    out.append(
+                        (
+                            doc_id,
+                            w // win,
+                            len(seg),
+                            float(np.sqrt(np.mean(seg * seg))),
+                            int(np.max(np.abs(seg))),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "win_idx", "n_in_win", "rms", "peak"]
+            )
+
+    return df.mapInPandas(process, schema=RMS_WINDOW_SCHEMA)

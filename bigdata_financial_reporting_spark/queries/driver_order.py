@@ -206,6 +206,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "agg_ks_twosample",
         "agg_subsample_ci",
         "src_csv_corrupt_handling",
+        "mm_audio_rms_windows",
     }
 )
 

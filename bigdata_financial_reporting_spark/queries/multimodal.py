@@ -279,3 +279,62 @@ def mm_ahash_dedup_groups(spark, sf_dir):
         "doc_id", "w", "h", "ahash",
         F.count(F.lit(1)).over(w).alias("n_same_hash"),
     )
+
+
+@register(
+    "mm_audio_rms_windows",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text,
+             64 + (doc_id % 97) * 3 AS ns
+      FROM documents WHERE doc_id < 100 AND length(text) > 0
+    ), smp AS (
+      SELECT doc_id, ns,
+             substr(repeat(text,
+               CAST(ceil(CAST(ns AS DOUBLE) / length(text)) AS INT)),
+               1, ns) AS s
+      FROM dims
+    ), wins AS (
+      SELECT doc_id, ns, s,
+             unnest(generate_series(0, (ns - 1) // 32)) AS w
+      FROM smp
+    )
+    SELECT doc_id, CAST(w AS INT) AS win_idx,
+           CAST(least(32, ns - w * 32) AS INT) AS n_in_win,
+           round(sqrt(list_avg(list_transform(
+             generate_series(CAST(w * 32 + 1 AS BIGINT),
+                             CAST(least(ns, w * 32 + 32) AS BIGINT)),
+             i -> pow(ord(substr(s, CAST(i AS INT), 1)) - 128.0, 2)))), 6)
+             AS rms,
+           CAST(list_max(list_transform(
+             generate_series(CAST(w * 32 + 1 AS BIGINT),
+                             CAST(least(ns, w * 32 + 32) AS BIGINT)),
+             i -> abs(ord(substr(s, CAST(i AS INT), 1)) - 128))) AS INT)
+             AS peak
+    FROM wins
+    """,
+    category="multimodal",
+)
+def mm_audio_rms_windows(spark, sf_dir):
+    """Windowed audio loudness (32-sample RMS + peak of the centered
+    8-bit PCM amplitude) over REAL WAV decodes — the silence/clipping
+    screen an audio-curation pipeline runs before training. The
+    payloads are the same deterministic RIFF/WAV containers
+    mm_decode_wav verifies byte-exactly, so the oracle rebuilds every
+    window's arithmetic from the generation rule (sample i = codepoint
+    of the repeated text). One Arrow-batched mapInPandas pass, no
+    shuffle; rows fan out ~n_samples/32 per clip."""
+    from bigdata_financial_reporting_spark.operators.multimodal import (
+        rms_windows_wav,
+        wav_payload,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
+    )
+    payload = wav_payload(d, "text", "doc_id")
+    out = rms_windows_wav(payload, win=32)
+    return out.select(
+        "doc_id", "win_idx", "n_in_win", F.round("rms", 6).alias("rms"), "peak"
+    )
