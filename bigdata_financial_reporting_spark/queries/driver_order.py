@@ -207,6 +207,8 @@ DEFER_NEW: frozenset[str] = frozenset(
         "agg_subsample_ci",
         "src_csv_corrupt_handling",
         "mm_audio_rms_windows",
+        "join_point_in_time_scd2",
+        "window_hampel_outliers",
     }
 )
 

@@ -532,3 +532,82 @@ def join_lateral_topn(spark, sf_dir):
         ) t
         """
     )
+
+
+@register(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM changes
+    )
+    SELECT f.user_id, d.state,
+           strftime(d.valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           count(*) AS n_events,
+           round(sum(f.value), 4) AS value_sum
+    FROM events f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.user_id < 100
+    GROUP BY f.user_id, d.state, d.valid_from
+    """,
+    category="joins",
+)
+def join_point_in_time_scd2(spark, sf_dir):
+    """Point-in-time (temporal validity) join: every fact row matches
+    the SCD2 dimension version whose [valid_from, valid_to) interval
+    contains its timestamp — the lookup every ML feature store and
+    restated-financials query needs (no future leakage, no stale
+    state). The dimension is the ops_scd2_build version table; the
+    join carries the user_id equi-key so Spark hash-partitions on it
+    and the interval predicate only filters WITHIN each key's few
+    versions — never a banded all-pairs. Each fact matches exactly
+    one version by construction (intervals partition the timeline),
+    pinned by the grouped counts reconciling below."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    dim = changes.select(
+        F.col("user_id").alias("d_uid"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wv).alias("valid_to"),
+    )
+    j = ev.join(
+        dim,
+        (F.col("user_id") == F.col("d_uid"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return j.groupBy("user_id", "state", "valid_from").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    ).select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        "n_events",
+        "value_sum",
+    )

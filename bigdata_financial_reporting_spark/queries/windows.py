@@ -378,3 +378,88 @@ def window_distinct_count_frame(spark, sf_dir):
         ).cast("long").alias("n_types_10"),
         F.count(F.lit(1)).over(w10).alias("n_rows_10"),
     )
+
+
+@register(
+    "window_hampel_outliers",
+    oracle="""
+    WITH w7 AS (
+      SELECT event_type, event_id, value,
+             list_sort(list(value) OVER w) AS a
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    med AS (
+      SELECT *,
+             CASE WHEN len(a) % 2 = 1 THEN a[(len(a) + 1) // 2]
+                  ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2.0
+             END AS m
+      FROM w7
+    ),
+    mad_ AS (
+      SELECT event_type, event_id, value, m,
+             list_sort(list_transform(a, v -> abs(v - m))) AS d
+      FROM med
+    )
+    SELECT event_type, event_id, round(m, 6) AS med,
+           round(CASE WHEN len(d) % 2 = 1 THEN d[(len(d) + 1) // 2]
+                      ELSE (d[len(d) // 2] + d[len(d) // 2 + 1]) / 2.0
+                 END, 6) AS mad,
+           (abs(value - m) > 3 * 1.4826 *
+             CASE WHEN len(d) % 2 = 1 THEN d[(len(d) + 1) // 2]
+                  ELSE (d[len(d) // 2] + d[len(d) // 2 + 1]) / 2.0
+             END) AS is_outlier
+    FROM mad_
+    """,
+    category="windows",
+)
+def window_hampel_outliers(spark, sf_dir):
+    """Hampel filter: a point is an outlier when it deviates from the
+    rolling 7-point median by more than 3 scaled rolling MADs — the
+    robust despiking standard for sensor/tick streams (a moving
+    z-score melts when the spike itself inflates the stddev; medians
+    do not). One per-key window collects the 7-row frame; median and
+    MAD are explicit sorted-array arithmetic IN the projection —
+    deliberately not each engine's median() (DuckDB's list median is
+    discrete, Spark's percentile interpolates; the explicit form is
+    bit-identical on both). Frame shrinks at series edges, handled by
+    the same even/odd arithmetic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.array_sort(F.collect_list("value").over(w)).alias("a"),
+    )
+
+    def arr_median(col):
+        n = F.size(col)
+        odd = F.element_at(col, ((n + 1) / 2).cast("int"))
+        even = (
+            F.element_at(col, (n / 2).cast("int"))
+            + F.element_at(col, (n / 2 + 1).cast("int"))
+        ) / 2.0
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    med = base.withColumn("m", arr_median(F.col("a")))
+    mad_arr = F.array_sort(
+        F.transform(F.col("a"), lambda v: F.abs(v - F.col("m")))
+    )
+    out = med.withColumn("mad_v", arr_median(mad_arr))
+    return out.select(
+        "event_type",
+        "event_id",
+        F.round("m", 6).alias("med"),
+        F.round("mad_v", 6).alias("mad"),
+        (F.abs(F.col("value") - F.col("m")) > 3 * 1.4826 * F.col("mad_v")).alias(
+            "is_outlier"
+        ),
+    )
