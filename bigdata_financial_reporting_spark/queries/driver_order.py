@@ -209,6 +209,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "mm_audio_rms_windows",
         "join_point_in_time_scd2",
         "window_hampel_outliers",
+        "stream_content_dedup",
     }
 )
 

@@ -357,3 +357,49 @@ def stream_static_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum")
     )
     return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "stream_content_dedup",
+    oracle="""
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           count(*) AS n_copies,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    category="streaming",
+)
+def stream_content_dedup(spark, sf_dir):
+    """Streaming ingest dedup for a training-data pipeline: documents
+    arrive as a file stream, each micro-batch folds into a stateful
+    aggregation KEYED ON THE CONTENT HASH — surviving doc (min id),
+    copy count, max length. Aggregation (not dropDuplicates) on
+    purpose: min/count/max are order-insensitive, so the final state
+    is deterministic whatever the micro-batch carve-up, and equals
+    the batch GROUP BY — dropDuplicates' survivor would depend on
+    arrival order. In production the same frame runs unchanged with a
+    real trigger and a checkpoint; state is bounded by distinct
+    content, the thing dedup exists to bound."""
+    from bigdata_financial_reporting_spark.streaming.runner import (
+        documents_stream,
+    )
+
+    s = documents_stream(spark, sf_dir)
+    agg = (
+        s.select(
+            "doc_id",
+            "n_chars",
+            F.md5(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+            ).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+    return run_available_now(agg, output_mode="complete")

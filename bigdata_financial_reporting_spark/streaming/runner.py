@@ -89,3 +89,22 @@ def run_available_now(
     q = writer.start()
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+_DOC_STREAM_DIRS: dict[str, str] = {}
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``documents`` fixture as a file stream — the continuous-
+    ingest shape of a web-scrape pipeline. Same staging/validation
+    contract as events_stream."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    on_disk = spark.read.parquet(path).schema
+    validate_schema(on_disk, "documents", path)
+    if sf_dir not in _DOC_STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="bdfr_stream_docs_")
+        os.symlink(os.path.abspath(path), os.path.join(d, "documents.parquet"))
+        _DOC_STREAM_DIRS[sf_dir] = d
+    return spark.readStream.schema(TABLE_SCHEMAS["documents"]).parquet(
+        _DOC_STREAM_DIRS[sf_dir]
+    )
