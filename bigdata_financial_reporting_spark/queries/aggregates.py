@@ -1740,3 +1740,38 @@ def agg_subsample_ci(spark, sf_dir):
         F.min("n").cast("long").alias("min_resample_n"),
         F.count(F.lit(1)).alias("n_resamples"),
     )
+
+
+@register(
+    "agg_crosstab_stat",
+    oracle="""
+    SELECT event_type AS event_type_dow,
+           CAST(sum(CASE WHEN isodow(ts) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS "1",
+           CAST(sum(CASE WHEN isodow(ts) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS "2",
+           CAST(sum(CASE WHEN isodow(ts) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS "3",
+           CAST(sum(CASE WHEN isodow(ts) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS "4",
+           CAST(sum(CASE WHEN isodow(ts) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS "5",
+           CAST(sum(CASE WHEN isodow(ts) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS "6",
+           CAST(sum(CASE WHEN isodow(ts) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS "7"
+    FROM events
+    GROUP BY event_type
+    """,
+    category="aggregates",
+)
+def agg_crosstab_stat(spark, sf_dir):
+    """``DataFrameStatFunctions.crosstab``: the contingency-table
+    convenience (pair frequencies pivoted into columns) — here event
+    type x ISO day-of-week, the same table agg_chi2_independence
+    tests. Crosstab plans as groupBy+pivot: one map-side-combined
+    aggregation over |types| x 7 cells. Column names are the distinct
+    column-2 values by contract; ISO numbering keeps them identical
+    across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    dow_iso = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    ct = ev.select(
+        "event_type", dow_iso.cast("string").alias("dow")
+    ).stat.crosstab("event_type", "dow")
+    return ct.select(
+        "event_type_dow",
+        *[F.col(str(d)).cast("long").alias(str(d)) for d in range(1, 8)],
+    )

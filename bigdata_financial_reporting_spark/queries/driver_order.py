@@ -210,6 +210,10 @@ DEFER_NEW: frozenset[str] = frozenset(
         "join_point_in_time_scd2",
         "window_hampel_outliers",
         "stream_content_dedup",
+        "udf_map_in_arrow",
+        "agg_crosstab_stat",
+        "union_by_name_missing",
+        "fn_exists_forall_filterpos",
     }
 )
 

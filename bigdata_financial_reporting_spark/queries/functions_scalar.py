@@ -765,3 +765,50 @@ def fn_regex_family(spark, sf_dir):
         ).alias("a_words"),
         F.regexp_replace(F.col("text"), r"\s+[a-z]\s+", " _ ").alias("squashed"),
     )
+
+
+@register(
+    "fn_exists_forall_filterpos",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(text),
+               '[^a-z0-9 \\t\\n]', ' ', 'g'), '\\s+'), t -> t <> '') AS tok
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           len(list_filter(tok, t -> length(t) >= 6)) > 0 AS has_long,
+           len(list_filter(tok, t -> length(t) < 3)) = 0 AS all_len3plus,
+           len(list_filter(list_transform(generate_series(1, len(tok)),
+                 i -> CASE WHEN i % 2 = 1 THEN tok[i] END),
+               x -> x IS NOT NULL)) AS n_odd_positions,
+           CAST(list_sum(list_transform(tok, t -> length(t))) AS BIGINT)
+             AS total_chars
+    FROM toks
+    """,
+    category="functions",
+)
+def fn_exists_forall_filterpos(spark, sf_dir):
+    """The predicate higher-order functions: ``exists`` (any element
+    matches), ``forall`` (all match), positional ``filter`` (the
+    (element, index) lambda arity), and an ``aggregate`` fold — the
+    quantifier surface on top of the transform/filter family already
+    covered by fn_array. All codegen-adjacent interpreted lambdas
+    over per-row arrays; no shuffle."""
+    from bigdata_financial_reporting_spark.operators.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tok"))
+    return toks.select(
+        "doc_id",
+        F.exists("tok", lambda t: F.length(t) >= 6).alias("has_long"),
+        F.forall("tok", lambda t: F.length(t) >= 3).alias("all_len3plus"),
+        F.size(
+            F.filter("tok", lambda t, i: i % 2 == 0)
+        ).cast("long").alias("n_odd_positions"),
+        F.aggregate(
+            "tok",
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t).cast("long"),
+        ).alias("total_chars"),
+    )

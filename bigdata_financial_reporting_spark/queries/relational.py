@@ -556,3 +556,39 @@ def sql_recursive_cte_spine(spark, sf_dir):
         FROM spine s LEFT JOIN daily d ON s.day = d.day
         """
     )
+
+
+@register(
+    "union_by_name_missing",
+    oracle="""
+    SELECT c_custkey AS id, c_acctbal AS bal, c_mktsegment AS segment,
+           CAST(NULL AS DOUBLE) AS price
+    FROM customer WHERE c_custkey < 200
+    UNION ALL
+    SELECT o_orderkey AS id, CAST(NULL AS DOUBLE) AS bal,
+           CAST(NULL AS VARCHAR) AS segment, o_totalprice AS price
+    FROM orders WHERE o_orderkey < 200
+    """,
+    category="relational",
+)
+def union_by_name_missing(spark, sf_dir):
+    """``unionByName(allowMissingColumns=True)``: schema-tolerant
+    concatenation — each side's missing columns null-fill, matched BY
+    NAME (positional union silently mismatches when sources drift;
+    by-name is the only safe form for evolving pipelines, cf. the
+    schema-evolution parquet read). The oracle is the explicit
+    NULL-padded UNION ALL the convenience expands to."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 200
+    ).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 200
+    ).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return c.unionByName(o, allowMissingColumns=True)

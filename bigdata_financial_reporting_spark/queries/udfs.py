@@ -274,3 +274,46 @@ def udf_sql_function(spark, sf_dir):
         FROM bdfr_docs_sqludf
         """
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+    category="udfs",
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """``mapInArrow``: the zero-copy sibling of mapInPandas — the UDF
+    receives raw ``pyarrow.RecordBatch``es (no pandas conversion at
+    all), the right surface when the payload is already columnar
+    (embeddings) and the work is numpy-vectorizable. Computes the L2
+    norm per embedding with one float64 accumulation, matching the
+    oracle's double-accumulated fold. Map-only, no shuffle; Arrow
+    batches stream through with constant memory."""
+    import numpy as np
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            vecs = batch.column("embedding").to_pylist()
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            arr = np.asarray(vecs, dtype=np.float64)
+            l2 = np.sqrt((arr * arr).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(np.round(l2, 6), pa.float64()),
+                    pa.array([arr.shape[1]] * len(ids), pa.int64()),
+                ],
+                names=["vec_id", "l2_norm", "dim"],
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding").mapInArrow(
+        norms, schema="vec_id long, l2_norm double, dim long"
+    )

@@ -101,3 +101,28 @@ def test_events_nanos_timestamp_readable(spark, sf_dir):
     r = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
     assert r.lo is not None and r.hi is not None
     assert r.lo.year >= 2020 and r.hi.year <= 2030
+
+
+def test_observe_collects_metrics_without_second_pass(spark, sf_dir):
+    """``DataFrame.observe``: QC metrics (row count, null count, sum)
+    ride along with the SAME action that materializes the result — no
+    second scan. The contract a production ingest uses to validate
+    while writing."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    obs = Observation("ingest_qc")
+    o = load_table(spark, sf_dir, "orders")
+    df = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice")).alias("price_sum"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_keys"),
+    ).filter(F.col("o_totalprice") > 0)
+    n_out = df.count()
+    got = obs.get
+    assert got["n_rows"] >= n_out > 0
+    assert got["null_keys"] == 0
+    assert got["price_sum"] > 0
