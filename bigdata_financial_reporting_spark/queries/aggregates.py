@@ -1657,8 +1657,12 @@ def agg_ks_twosample(spark, sf_dir):
         .alias("c2"),
     )
     runs = global_running_sum(cells, ["value"], ["c1", "c2"])
-    n = cells.agg(
-        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    # totals = the LAST running values = max of each running column —
+    # derived from the operator's persisted partition frame instead of
+    # a second aggregation pass over the raw cells (10x finding: the
+    # extra pass re-ran the corpus scan+group)
+    n = runs.agg(
+        F.max("run_c1").alias("n1"), F.max("run_c2").alias("n2")
     )
     return (
         runs.crossJoin(F.broadcast(n))
@@ -1681,12 +1685,14 @@ def agg_ks_twosample(spark, sf_dir):
 @register(
     "agg_subsample_ci",
     oracle="""
-    WITH b AS (SELECT unnest(generate_series(0, 31)) AS b),
+    WITH h AS (
+      SELECT value, md5(CAST(event_id AS VARCHAR)) AS hx FROM events
+    ),
     picks AS (
-      SELECT b.b, e.value
-      FROM events e, b
-      WHERE CAST(concat('0x', substr(md5(CAST(e.event_id AS VARCHAR)
-                 || '-' || CAST(b.b AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+      SELECT b.b, h.value
+      FROM h, (SELECT unnest(generate_series(0, 31)) AS b) b
+      WHERE (CAST(concat('0x', substr(h.hx, CAST(b.b // 4 AS INT) + 1, 1))
+                  AS BIGINT) >> CAST(b.b % 4 AS INT)) & 1 = 0
     ),
     means AS (SELECT b, avg(value) AS m, count(*) AS n FROM picks GROUP BY b)
     SELECT round(avg(m), 6) AS mean_of_means,
@@ -1701,34 +1707,24 @@ def agg_ks_twosample(spark, sf_dir):
 def agg_subsample_ci(spark, sf_dir):
     """Distributed subsampling confidence interval for the mean (the
     half-sample bootstrap a cluster can actually run): 32 pseudo-
-    resamples where membership of row r in resample b is the pure
-    hash function md5(id,b) % 2 — no RNG state, no resampling shuffle,
-    exactly reproducible on any engine or partitioning. One explode
-    by the 32-row resample index (map-side combined immediately: only
-    32 (mean,count) rows survive per partition), then percentile over
-    the 32 resample means. The same pattern scales to Poisson
-    bootstrap weights; the hash-Bernoulli trick is the one
-    sample_seeded already uses for engine-neutral sampling."""
+    resamples where membership of row r in resample b is a pure hash
+    bit — no RNG state, no resampling shuffle, exactly reproducible
+    on any engine or partitioning. ONE md5 per row supplies all 32
+    membership bits (resample b reads bit b%4 of hex nibble b//4) —
+    the per-(row, resample) re-hash form cost 28 s at the 10x corpus,
+    this form 32 cheap bit tests per row. The explode is map-side
+    combined immediately: only 32 (mean,count) cells survive per
+    partition; then percentile over the 32 resample means."""
     ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "value", F.md5(F.col("event_id").cast("string")).alias("hx")
+    )
     b = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
-    picks = ev.select("event_id", "value").select("*", b).filter(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        F.col("event_id").cast("string"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2
-        == 0
+    picks = h.select("*", b).filter(
+        F.expr(
+            "(shiftright(cast(conv(substring(hx, cast(b div 4 AS int) + 1, 1), "
+            "16, 10) AS int), cast(b % 4 AS int)) & 1) = 0"
+        )
     )
     means = picks.groupBy("b").agg(
         F.avg("value").alias("m"), F.count(F.lit(1)).alias("n")

@@ -2161,21 +2161,31 @@ def pipeline_pretrain_end2end(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = sp.select("split", "n_tokens", cum.alias("cum_end"))
-    n_base = base.agg(F.count(F.lit(1)).alias("nb"))
-    n_q = q.agg(F.count(F.lit(1)).alias("nq"))
-    n_dd = dd.agg(F.count(F.lit(1)).alias("ndd"))
+    # drop counters WITHOUT extra corpus passes (10x finding: separate
+    # n_base/n_q/n_dd aggregates re-ran the tokenize scan 3 times,
+    # 18.7 s warm): nb and nq come from ONE combined pass over base,
+    # and the post-dedup count is the sum of per-split n_docs — a
+    # window over the 3-row result frame, not a scan.
+    from pyspark.sql import Window as _W
+
+    counters = base.select(
+        ((F.col("n_tokens") >= 20) & (F.col("n_chars") >= 100))
+        .cast("long")
+        .alias("passes_q")
+    ).agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("passes_q").alias("nq")
+    )
+    per_split = packed.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max(F.floor((F.col("cum_end") - 1) / 512.0)) + 1)
+        .cast("long")
+        .alias("n_packs"),
+    )
+    ndd = F.sum("n_docs").over(_W.partitionBy())
     return (
-        packed.groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            (F.max(F.floor((F.col("cum_end") - 1) / 512.0)) + 1)
-            .cast("long")
-            .alias("n_packs"),
-        )
-        .crossJoin(F.broadcast(n_base))
-        .crossJoin(F.broadcast(n_q))
-        .crossJoin(F.broadcast(n_dd))
+        per_split.withColumn("ndd", ndd)
+        .crossJoin(F.broadcast(counters))
         .select(
             "split",
             "n_docs",

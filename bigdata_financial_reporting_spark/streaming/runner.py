@@ -29,14 +29,34 @@ from bigdata_financial_reporting_spark.sources.catalog import (
 _STREAM_DIRS: dict[str, str] = {}
 
 
+def _stage_stream_dir(src: str, prefix: str) -> str:
+    """Stage a fixture as a file-stream directory of per-FILE symlinks.
+
+    The fixture may be a single parquet file or a directory of part
+    files (the multi-file 10x layout): Spark's stream file listing
+    does not descend through a symlinked DIRECTORY, so a dir fixture
+    staged as one symlink yields an empty stream — caught at the 10x
+    corpus (stream_content_dedup read 0 rows). Per-file links also
+    mean a multi-file fixture replays as genuinely multiple
+    micro-batches under maxFilesPerTrigger."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.abspath(src)
+    if os.path.isdir(src):
+        for i, name in enumerate(sorted(os.listdir(src))):
+            if name.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, name), os.path.join(d, f"part-{i:05d}.parquet")
+                )
+    else:
+        os.symlink(src, os.path.join(d, os.path.basename(src)))
+    return d
+
+
 def _events_dir(sf_dir: str) -> str:
     if sf_dir not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="bdfr_stream_events_")
-        os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-            os.path.join(d, "events.parquet"),
+        _STREAM_DIRS[sf_dir] = _stage_stream_dir(
+            os.path.join(sf_dir, "events.parquet"), "bdfr_stream_events_"
         )
-        _STREAM_DIRS[sf_dir] = d
     return _STREAM_DIRS[sf_dir]
 
 
@@ -102,9 +122,7 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_disk = spark.read.parquet(path).schema
     validate_schema(on_disk, "documents", path)
     if sf_dir not in _DOC_STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="bdfr_stream_docs_")
-        os.symlink(os.path.abspath(path), os.path.join(d, "documents.parquet"))
-        _DOC_STREAM_DIRS[sf_dir] = d
+        _DOC_STREAM_DIRS[sf_dir] = _stage_stream_dir(path, "bdfr_stream_docs_")
     return spark.readStream.schema(TABLE_SCHEMAS["documents"]).parquet(
         _DOC_STREAM_DIRS[sf_dir]
     )
