@@ -214,6 +214,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "agg_crosstab_stat",
         "union_by_name_missing",
         "fn_exists_forall_filterpos",
+        "src_file_metadata_column",
     }
 )
 

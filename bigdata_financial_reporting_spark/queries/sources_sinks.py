@@ -429,3 +429,45 @@ def src_csv_corrupt_handling(spark, sf_dir):
             F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))
         ).cast("long").alias("good_key_sum"),
     )
+
+
+@register(
+    "src_file_metadata_column",
+    oracle="""
+    SELECT c_mktsegment AS segment, count(*) AS n_rows,
+           1 AS n_files, true AS one_file_per_partition
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    category="sources",
+)
+def src_file_metadata_column(spark, sf_dir):
+    """The hidden ``_metadata`` file column (Spark 3.4+): per-row
+    provenance (file path/name/size/mtime) read straight from the
+    scan with zero extra IO — what an audit or incremental-repair job
+    uses to map bad rows back to bad files. Staged as a
+    partitionBy(segment) layout coalesced to one file per partition,
+    so the file-count-per-segment assertion is deterministic; the
+    oracle derives the same accounting from the data rule. Metadata
+    access composes with normal pruning (the scan still prunes
+    columns — _metadata is synthesized, not read from parquet data
+    pages)."""
+    import os
+    import tempfile
+
+    c = load_table(spark, sf_dir, "customer")
+    path = os.path.join(tempfile.gettempdir(), "bdfr_scratch", "meta_col")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    c.repartition("c_mktsegment").write.partitionBy("c_mktsegment").mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col("_metadata.file_path")).cast("int").alias(
+            "n_files"
+        ),
+        (F.countDistinct(F.col("_metadata.file_path")) == 1).alias(
+            "one_file_per_partition"
+        ),
+    )

@@ -270,3 +270,48 @@ def test_multi_table_lsh_recall_dominates_single_table(spark, sf_dir):
     )
 
     release_operator_caches()
+
+
+def test_minhash_pairs_agree_with_mllib_minhashlsh(spark, sf_dir):
+    """Ecosystem cross-check: Spark MLlib's MinHashLSH (different hash
+    family, same estimator) must find the SAME high-similarity pair
+    set as operators/dedup.minhash_lsh_pairs at a matched threshold.
+    This is independent-implementation evidence that the custom
+    banded pipeline computes real Jaccard near-dups, not artifacts of
+    its own hashing."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.sql import functions as F
+
+    from bigdata_financial_reporting_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from bigdata_financial_reporting_spark.operators.text import shingle_frame
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ours = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+        if r["jaccard"] >= 0.8
+    }
+
+    sh = shingle_frame(docs, "doc_id", "text", 3).groupBy("id").agg(
+        F.flatten(F.collect_list("sh")).alias("shingles")
+    )
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="features", binary=True
+    ).fit(sh)
+    feats = cv.transform(sh).filter(
+        F.expr("aggregate(shingles, 0, (a, x) -> a + 1) > 0")
+    )
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feats)
+    sim = mh.approxSimilarityJoin(feats, feats, 0.2, distCol="jd")
+    theirs = {
+        (int(r["datasetA"]["id"]), int(r["datasetB"]["id"]))
+        for r in sim.collect()
+        if int(r["datasetA"]["id"]) < int(r["datasetB"]["id"])
+        and 1.0 - r["jd"] >= 0.8
+    }
+    assert ours == theirs
