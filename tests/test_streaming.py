@@ -225,3 +225,63 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     assert ids == sorted(
         list(range(0, 5)) + list(range(100, 107)) + list(range(200, 203))
     )
+
+
+def test_content_dedup_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming content-dedup must give the identical final state
+    whether the corpus arrives as ONE micro-batch or as four (the
+    order-insensitive-aggregation claim in its docstring, actually
+    exercised): stage documents as 4 part files, replay with
+    maxFilesPerTrigger=1, and compare against the single-batch run on
+    the original fixture. Also regression-pins the per-file symlink
+    staging (a directory fixture used to replay as an EMPTY stream)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_financial_reporting_spark.sources.catalog import (
+        TABLE_SCHEMAS,
+        load_table,
+    )
+    from bigdata_financial_reporting_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = os.path.join(str(tmp_path), "docs4")
+    d.repartition(4).write.mode("overwrite").parquet(staged)
+    parts = [f for f in os.listdir(staged) if f.endswith(".parquet")]
+    assert len(parts) == 4
+
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    agg = (
+        stream.select(
+            "doc_id",
+            F.md5(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+            ).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n"))
+    )
+    streamed = {
+        (r["fp"], r["first_doc"], r["n"])
+        for r in run_available_now(agg, output_mode="complete").collect()
+    }
+    batch = {
+        (r["fp"], r["first_doc"], r["n"])
+        for r in d.select(
+            "doc_id",
+            F.md5(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+            ).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
