@@ -215,6 +215,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "union_by_name_missing",
         "fn_exists_forall_filterpos",
         "src_file_metadata_column",
+        "ref_report_bundle",
     }
 )
 

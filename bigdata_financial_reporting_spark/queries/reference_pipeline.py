@@ -140,3 +140,61 @@ def ref_per_user_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rets.groupBy("user_id").agg(
         F.round(F.avg("ret"), 6).alias("avg_ret"), F.count("ret").alias("n_ret")
     )
+
+
+@register(
+    "ref_report_bundle",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, ts, event_id, value,
+             (value / lag(value) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) - 1) * 100 AS ret
+      FROM events
+      WHERE ts >= TIMESTAMP '{LO}' AND ts < TIMESTAMP '{HI}'
+    )
+    SELECT user_id,
+           count(*) AS n_obs,
+           round(avg(ret), 6) AS avg_ret,
+           round(stddev_samp(ret), 6) AS vol,
+           round(min(value), 6) AS low,
+           round(max(value), 6) AS high,
+           round(arg_min(value, epoch_us(ts)::HUGEINT * 10000000 + event_id), 6) AS open,
+           round(arg_max(value, epoch_us(ts)::HUGEINT * 10000000 + event_id), 6) AS close,
+           round((arg_max(value, epoch_us(ts)::HUGEINT * 10000000 + event_id)
+                  / arg_min(value, epoch_us(ts)::HUGEINT * 10000000 + event_id) - 1) * 100, 6)
+             AS period_ret
+    FROM r GROUP BY user_id
+    """,
+    category="reference",
+)
+def ref_report_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's emailed REPORT as one dataflow (controller/
+    app.py:457-491 computes returns, then :563-618 renders and :661
+    mails a per-series summary): per series, the observation count,
+    mean and volatility of daily returns, the period's low/high, the
+    open/close (first/last by time — min_by/max_by on the (ts,
+    event_id) key, so no second window), and the period return. One
+    partitioned window + one map-side-combined aggregate — the whole
+    report at 100 TB costs the same single series-keyed shuffle as
+    ref_per_user_returns."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = _filtered_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        ((F.col("value") / F.lag("value").over(w) - 1) * 100).alias("ret"),
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    opn = F.min_by("value", key)
+    cls = F.max_by("value", key)
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.avg("ret"), 6).alias("avg_ret"),
+        F.round(F.stddev_samp("ret"), 6).alias("vol"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(opn, 6).alias("open"),
+        F.round(cls, 6).alias("close"),
+        F.round((cls / opn - 1) * 100, 6).alias("period_ret"),
+    )
