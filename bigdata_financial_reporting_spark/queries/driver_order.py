@@ -216,6 +216,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "fn_exists_forall_filterpos",
         "src_file_metadata_column",
         "ref_report_bundle",
+        "fn_bitwise_family",
     }
 )
 

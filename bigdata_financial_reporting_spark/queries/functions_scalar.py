@@ -812,3 +812,38 @@ def fn_exists_forall_filterpos(spark, sf_dir):
             lambda acc, t: acc + F.length(t).cast("long"),
         ).alias("total_chars"),
     )
+
+
+@register(
+    "fn_bitwise_family",
+    oracle="""
+    SELECT o_orderkey,
+           bit_count(o_orderkey) AS n_bits,
+           ((o_orderkey >> 3) & 1) AS bit3,
+           (o_orderkey << 2) AS shl2,
+           (o_orderkey >> 2) AS shr2,
+           xor(o_orderkey, 255) AS x255,
+           (o_orderkey & 4095) AS lo12,
+           (o_orderkey | 1) AS odd1
+    FROM orders WHERE o_orderkey < 500
+    """,
+    category="functions",
+)
+def fn_bitwise_family(spark, sf_dir):
+    """Scalar bitwise functions (bit_count, getbit, shifts, and the
+    &/|/^ operators) — the toolkit under the engine's Bloom filter,
+    bitmap-distinct, and Z-order operators, exposed as first-class
+    scalars. All pure codegen arithmetic; the oracle uses DuckDB's
+    operator spellings of the same two's-complement semantics."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.bit_count(k).cast("int").alias("n_bits"),
+        F.getbit(k, F.lit(3)).cast("long").alias("bit3"),
+        F.expr("shiftleft(o_orderkey, 2)").cast("long").alias("shl2"),
+        F.expr("shiftright(o_orderkey, 2)").cast("long").alias("shr2"),
+        k.bitwiseXOR(F.lit(255)).cast("long").alias("x255"),
+        k.bitwiseAND(F.lit(4095)).cast("long").alias("lo12"),
+        k.bitwiseOR(F.lit(1)).cast("long").alias("odd1"),
+    )
