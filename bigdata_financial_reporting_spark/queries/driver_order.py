@@ -217,6 +217,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "src_file_metadata_column",
         "ref_report_bundle",
         "fn_bitwise_family",
+        "ops_time_travel_versions",
     }
 )
 

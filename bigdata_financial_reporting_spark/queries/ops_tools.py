@@ -433,3 +433,63 @@ def ops_cdc_apply(spark, sf_dir):
             F.round("acctbal", 4).alias("acctbal"),
         )
     )
+
+
+@register(
+    "ops_time_travel_versions",
+    oracle="""
+    WITH v1 AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+    appended AS (SELECT * FROM customer WHERE c_custkey % 3 = 0),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM appended)
+    SELECT 1 AS version,
+           (SELECT count(*) FROM v1) AS n_rows,
+           (SELECT round(sum(c_acctbal), 4) FROM v1) AS acctbal_sum
+    UNION ALL
+    SELECT 2,
+           (SELECT count(*) FROM v2),
+           (SELECT round(sum(c_acctbal), 4) FROM v2)
+    """,
+    category="ops",
+)
+def ops_time_travel_versions(spark, sf_dir):
+    """Manifest-based time travel on plain parquet
+    (operators/manifest.py): v1 commits a subset of customer, v2
+    commits a logical append (new immutable files + a manifest
+    KEEPING v1's files — zero rewrite). Both versions are then read
+    back AS OF their manifests and summarized; v1's numbers must be
+    unaffected by the later commit — the snapshot-isolation property
+    that makes training runs reproducible ("the corpus as of v7")
+    while ingestion continues. The commit point is a single manifest
+    rename; data files are never mutated."""
+    import shutil
+    import tempfile
+    import os
+
+    from bigdata_financial_reporting_spark.operators.manifest import (
+        commit_version,
+        files_of,
+        read_version,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    table_dir = os.path.join(
+        tempfile.gettempdir(), "bdfr_scratch", "tt_customer"
+    )
+    # fresh table per invocation: versions must be exactly v1, v2
+    shutil.rmtree(table_dir, ignore_errors=True)
+    v1 = commit_version(c.filter(F.col("c_custkey") % 3 != 0), table_dir)
+    v2 = commit_version(
+        c.filter(F.col("c_custkey") % 3 == 0),
+        table_dir,
+        base_files=files_of(table_dir, v1),
+    )
+
+    def summary(version: int):
+        df = read_version(spark, table_dir, version)
+        return df.agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 4).alias("acctbal_sum"),
+        ).select("version", "n_rows", "acctbal_sum")
+
+    return summary(v1).unionByName(summary(v2))

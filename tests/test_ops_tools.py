@@ -235,3 +235,42 @@ def test_incremental_refresh_leaves_untouched_partitions_alone(
     assert sig_before == sig_after, "refresh rewrote an untouched partition"
     # and the affected partitions DID change (late days exist on disk)
     assert glob.glob(os.path.join(path, "day=2024-01-3*", "*.parquet"))
+
+
+def test_manifest_time_travel_snapshot_isolation(spark, sf_dir, tmp_path):
+    """A reader pinned to v1's manifest must see IDENTICAL content
+    before and after later commits (append AND rewrite), and commits
+    never mutate existing data files — the two invariants manifest
+    versioning exists to provide."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_financial_reporting_spark.operators.manifest import (
+        commit_version,
+        files_of,
+        latest_version,
+        read_version,
+    )
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    table = os.path.join(str(tmp_path), "versions")
+    n = load_table(spark, sf_dir, "nation")
+    v1 = commit_version(n.filter(F.col("n_nationkey") < 10), table)
+    before = sorted(tuple(r) for r in read_version(spark, table, v1).collect())
+    mtimes = {f: os.path.getmtime(f) for f in files_of(table, v1)}
+
+    v2 = commit_version(
+        n.filter(F.col("n_nationkey") >= 10), table,
+        base_files=files_of(table, v1),
+    )
+    v3 = commit_version(n.filter(F.col("n_nationkey") % 2 == 0), table)  # rewrite
+
+    after = sorted(tuple(r) for r in read_version(spark, table, v1).collect())
+    assert before == after and len(before) == 10
+    assert {f: os.path.getmtime(f) for f in files_of(table, v1)} == mtimes
+    assert read_version(spark, table, v2).count() == 25
+    assert read_version(spark, table, v3).count() == 13
+    assert latest_version(table) == v3 == 3
+    # v1's files are all still listed by v2 (logical append, no rewrite)
+    assert set(files_of(table, v1)) <= set(files_of(table, v2))
