@@ -56,17 +56,21 @@ def commit_version(
         for f in os.listdir(staging)
         if f.endswith(".parquet")
     )
+    files = sorted((base_files or []) + new_files)
+    # Exclusive-create is the commit point: os.rename CLOBBERS on
+    # POSIX, so two concurrent writers allocating the same version
+    # number would silently overwrite each other's manifest. mode='x'
+    # makes the loser see FileExistsError and retry with the next
+    # number — optimistic concurrency, every commit preserved.
     version = latest_version(table_dir) + 1
-    manifest = {
-        "version": version,
-        "files": sorted((base_files or []) + new_files),
-    }
-    # manifest write is the atomic commit point (single rename)
-    tmp = _manifest_path(table_dir, version) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, _manifest_path(table_dir, version))
-    return version
+    while True:
+        manifest = {"version": version, "files": files}
+        try:
+            with open(_manifest_path(table_dir, version), "x") as fh:
+                json.dump(manifest, fh)
+            return version
+        except FileExistsError:
+            version += 1
 
 
 def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame:

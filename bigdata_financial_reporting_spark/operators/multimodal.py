@@ -374,6 +374,14 @@ def ahash_ppm(df: DataFrame) -> DataFrame:
     batches, no shuffle); the hash is a plain BIGINT so downstream
     grouping is a vanilla hash agg.
 
+    Images with more than 64 pixels fold bit i onto bit i % 64 (XOR),
+    and the accumulated value wraps two's-complement into the signed
+    BIGINT — without the fold/wrap, any image of >= 64 pixels would
+    set bit 63+ and overflow the int64 column (fixture payloads are
+    <= 48 px, so their hashes are unchanged by either guard; real
+    corpora are not). Hashes remain comparable only between
+    same-dimension images, as with any aHash.
+
     Input: ``doc_id, payload``; output: ``doc_id, w, h, ahash``.
     Invalid payloads are dropped.
     """
@@ -399,7 +407,9 @@ def ahash_ppm(df: DataFrame) -> DataFrame:
                 ahash = 0
                 for i, l in enumerate(lums):
                     if l > mean:
-                        ahash |= 1 << i
+                        ahash ^= 1 << (i % 64)
+                if ahash >= 1 << 63:  # two's-complement wrap for int64
+                    ahash -= 1 << 64
                 out.append((doc_id, w, h, ahash))
             yield pd.DataFrame(
                 out, columns=["doc_id", "w", "h", "ahash"]

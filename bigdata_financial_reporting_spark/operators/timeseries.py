@@ -132,3 +132,28 @@ def cohort_retention(
         .groupBy("cohort", "age")
         .agg(F.countDistinct(key_col).alias("n_active"))
     )
+
+
+def scd2_versions(df, key: str, state: str, ts: str, tiebreak: str):
+    """SCD2 version table from a change stream: collapse consecutive
+    equal states per key (gaps-and-islands lag compare), close each
+    version with the next change's timestamp (open version: NULL).
+    Both windows order by (ts, tiebreak) — the tiebreak matters: two
+    change rows sharing a timestamp would otherwise get engine-
+    arbitrary lead() ordering and flip valid_to/is_current between
+    runs. One hash shuffle on the key, shared by both windows.
+    Returns (key, state, valid_from, valid_to) with original types.
+    Shared by ops_scd2_build and join_point_in_time_scd2."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changes = (
+        df.withColumn("__prev", F.lag(state).over(w))
+        .filter(F.col("__prev").isNull() | (F.col(state) != F.col("__prev")))
+        .select(key, state, ts, tiebreak)
+    )
+    w2 = Window.partitionBy(key).orderBy(ts, tiebreak)
+    return changes.select(
+        F.col(key),
+        F.col(state).alias("state"),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+    )

@@ -1122,7 +1122,7 @@ def agg_countmin_heavy_hitters(spark, sf_dir):
     )
     top10 = hashed.orderBy(F.desc("cnt"), "l_partkey").limit(10)
     est = top10.join(
-        F.broadcast(sketch).hint("broadcast"),
+        F.broadcast(sketch),
         F.col("cell") == F.expr("pmod(h1 + r * h2, 256)"),
     )
     return est.groupBy("l_partkey", "cnt").agg(
@@ -1578,8 +1578,6 @@ def agg_chi2_independence(spark, sf_dir):
     marginals are windows over that tiny frame (the global-sum window
     runs on ~35 rows — bounded by the category product, never by the
     corpus). ISO numbering pinned as in ts_calendar_features."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     dow_iso = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
     c = ev.groupBy(

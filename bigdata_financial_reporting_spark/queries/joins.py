@@ -13,6 +13,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bigdata_financial_reporting_spark.operators.asof import asof_join
+from bigdata_financial_reporting_spark.queries.ops_tools import (
+    DUCK_SCD2_DIM,
+)
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 
@@ -537,28 +540,15 @@ def join_lateral_topn(spark, sf_dir):
 @register(
     "join_point_in_time_scd2",
     oracle="""
-    WITH ordered AS (
-      SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER w AS prev_type
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    changes AS (
-      SELECT user_id, event_type, ts
-      FROM ordered
-      WHERE prev_type IS NULL OR event_type <> prev_type
-    ),
-    dim AS (
-      SELECT user_id, event_type AS state, ts AS valid_from,
-             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
-      FROM changes
-    )
+    WITH """
+    + DUCK_SCD2_DIM
+    + """
     SELECT f.user_id, d.state,
            strftime(d.valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
            count(*) AS n_events,
            round(sum(f.value), 4) AS value_sum
     FROM events f
-    JOIN dim d
+    JOIN scd2_dim d
       ON f.user_id = d.user_id
      AND f.ts >= d.valid_from
      AND (d.valid_to IS NULL OR f.ts < d.valid_to)
@@ -578,22 +568,13 @@ def join_point_in_time_scd2(spark, sf_dir):
     versions — never a banded all-pairs. Each fact matches exactly
     one version by construction (intervals partition the timeline),
     pinned by the grouped counts reconciling below."""
-    from pyspark.sql import Window
+    from bigdata_financial_reporting_spark.operators.timeseries import (
+        scd2_versions,
+    )
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = ev.withColumn(
-        "prev_type", F.lag("event_type").over(w)
-    ).filter(
-        F.col("prev_type").isNull()
-        | (F.col("event_type") != F.col("prev_type"))
-    )
-    wv = Window.partitionBy("user_id").orderBy("ts")
-    dim = changes.select(
-        F.col("user_id").alias("d_uid"),
-        F.col("event_type").alias("state"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(wv).alias("valid_to"),
+    dim = scd2_versions(ev, "user_id", "event_type", "ts", "event_id").select(
+        F.col("user_id").alias("d_uid"), "state", "valid_from", "valid_to"
     )
     j = ev.join(
         dim,

@@ -1467,7 +1467,6 @@ def batch_length_buckets(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    b = (F.col("n_tokens") / 32).cast("long")
     w = Window.partitionBy("bucket").orderBy("doc_id")
     return (
         sized.withColumn("bucket", F.floor(F.col("n_tokens") / 32))

@@ -168,31 +168,43 @@ def ops_upsert_roundtrip(spark, sf_dir):
     return spark.read.parquet(path).select("o_orderkey", "price")
 
 
-@register(
-    "ops_scd2_build",
-    oracle="""
-    WITH ordered AS (
+# SCD2 dimension CTEs in DuckDB — the exact mirror of
+# operators/timeseries.scd2_versions (both windows carry the event_id
+# tie-break so same-timestamp changes version deterministically).
+# Shared with join_point_in_time_scd2 (queries/joins.py).
+DUCK_SCD2_DIM = """
+    ordered AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER w AS prev_type
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     changes AS (
-      SELECT user_id, event_type, ts
+      SELECT user_id, event_type, ts, event_id
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     ),
-    versioned AS (
-      SELECT user_id, event_type, ts AS valid_from,
-             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    scd2_dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
       FROM changes
     )
-    SELECT user_id, event_type,
+"""
+
+
+@register(
+    "ops_scd2_build",
+    oracle="""
+    WITH """
+    + DUCK_SCD2_DIM
+    + """
+    SELECT user_id, state AS event_type,
            strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
            CASE WHEN valid_to IS NULL THEN NULL
                 ELSE strftime(valid_to, '%Y-%m-%d %H:%M:%S') END AS valid_to,
            (valid_to IS NULL) AS is_current
-    FROM versioned
+    FROM scd2_dim
     WHERE user_id < 100
     """,
     category="ops",
@@ -205,27 +217,18 @@ def ops_scd2_build(spark, sf_dir):
     shuffle shared by both windows; timestamps rendered as strings on
     both engines (registry precision convention). The dimension-build
     half of the CDC story whose merge half is ops_upsert_roundtrip."""
-    from pyspark.sql import Window
+    from bigdata_financial_reporting_spark.operators.timeseries import (
+        scd2_versions,
+    )
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(
-            F.col("prev_type").isNull()
-            | (F.col("event_type") != F.col("prev_type"))
-        )
-        .select("user_id", "event_type", "ts")
-    )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
-    return changes.select(
+    dim = scd2_versions(ev, "user_id", "event_type", "ts", "event_id")
+    return dim.select(
         "user_id",
-        "event_type",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
-        F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss").alias(
-            "valid_to"
-        ),
-        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.col("state").alias("event_type"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
     )
 
 
@@ -369,12 +372,13 @@ def ops_incremental_rollup_refresh(spark, sf_dir):
       SELECT c_custkey, 3, 'D', NULL
       FROM customer WHERE c_custkey % 17 = 0
       UNION ALL
-      SELECT c_custkey + 100000, 2, 'I', 999.0
+      SELECT -(c_custkey + 1), 2, 'I', 999.0
       FROM customer WHERE c_custkey % 23 = 0
     ),
     ranked AS (
       SELECT k, version, op, acctbal,
-             row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+             row_number() OVER (PARTITION BY k
+                                ORDER BY version DESC, op) AS rn
       FROM log_
     )
     SELECT k AS custkey, version, round(acctbal, 4) AS acctbal
@@ -414,15 +418,20 @@ def ops_cdc_apply(spark, sf_dir):
         F.lit("D").alias("op"),
         F.lit(None).cast("double").alias("acctbal"),
     )
+    # negative key range: can NEVER collide with a real custkey at any
+    # scale (the +100000 offset collided once customer exceeded 100k
+    # rows, making the same key carry two version-2 rows)
     ins = c.filter(F.col("c_custkey") % 23 == 0).select(
-        (F.col("c_custkey") + 100000).alias("k"),
+        (-(F.col("c_custkey") + 1)).alias("k"),
         F.lit(2).alias("version"),
         F.lit("I").alias("op"),
         F.lit(999.0).alias("acctbal"),
     )
     log = base.unionByName(upd).unionByName(dels).unionByName(ins)
+    # op tie-break pins the survivor if a key ever carries two rows of
+    # one version (deterministic across engines and runs)
     rn = F.row_number().over(
-        Window.partitionBy("k").orderBy(F.desc("version"))
+        Window.partitionBy("k").orderBy(F.desc("version"), "op")
     )
     return (
         log.withColumn("rn", rn)

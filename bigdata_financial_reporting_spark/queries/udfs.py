@@ -209,8 +209,10 @@ def udf_python_udtf(spark, sf_dir):
     "udf_arrow_optimized_scalar",
     oracle="""
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+')) AS n_words,
-           upper(substr(text, 1, 1)) AS first_upper
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END
+             AS n_words,
+           upper(substr(coalesce(text, ''), 1, 1)) AS first_upper
     FROM documents
     """,
     category="udfs",
@@ -225,13 +227,16 @@ def udf_arrow_optimized_scalar(spark, sf_dir):
     semantics."""
     d = load_table(spark, sf_dir, "documents")
 
+    # NULL/empty guards mirror the oracle's CASE: ''.split() is [] in
+    # Python but string_split_regex('') is [''] in SQL — the naive
+    # forms disagree on empty/whitespace-only text and crash on NULL
     @F.udf("int", useArrow=True)
     def n_words(s: str) -> int:
-        return len(s.split())
+        return len(s.split()) if s else 0
 
     @F.udf("string", useArrow=True)
     def first_upper(s: str) -> str:
-        return s[:1].upper()
+        return s[:1].upper() if s else ""
 
     return d.select(
         "doc_id",

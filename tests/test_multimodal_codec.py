@@ -184,3 +184,33 @@ def test_frame_extract_slices_and_strides(spark):
     for (_, fi), h in got.items():
         expected = hashlib.sha256(payload[fi * 16 : (fi + 1) * 16]).hexdigest()
         assert h == expected
+
+
+def test_ahash_survives_images_of_64_plus_pixels(spark):
+    """Regression (review finding): bit-per-pixel accumulation used to
+    set bit 63+ for any image of >= 64 pixels and overflow the int64
+    column. Large images must hash (bits fold onto i % 64, value
+    wraps two's-complement) and identical images must still collide."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.multimodal import (
+        ahash_ppm,
+    )
+
+    def ppm(w, h, seed):
+        px = bytes(((i * 37 + seed) % 251) for i in range(w * h * 3))
+        return b"P6\n%d %d\n255\n" % (w, h) + px
+
+    rows = [
+        Row(doc_id=1, payload=ppm(16, 16, 0)),   # 256 px — folds
+        Row(doc_id=2, payload=ppm(16, 16, 0)),   # identical twin
+        Row(doc_id=3, payload=ppm(16, 16, 99)),  # different content
+        Row(doc_id=4, payload=ppm(8, 8, 0)),     # exactly 64 px
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["ahash"] for r in ahash_ppm(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    for v in got.values():
+        assert -(1 << 63) <= v < (1 << 63)
