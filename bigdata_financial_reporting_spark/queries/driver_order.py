@@ -6,15 +6,26 @@ has been checked at least once we order the export so the
 highest-evidence-value keys come first:
 
 1. keys whose latest driver row FAILED and has since been fixed;
-2. keys never seen by the driver, in SURVEY §2B category priority;
-3. keys already driver-verified green (cheapest to lose to a cap).
+2. keys never seen by the driver, in *driver-environment-risk* order
+   (``RISK_ORDER``, round-4 verdict item 2): features most likely to
+   behave differently under the driver's runtime first (Arrow UDFs,
+   Python data source, recursive CTE / pipe syntax / session vars,
+   VARIANT, collation, sketches, streaming, corrupt-file handling,
+   lake time travel), then the float-heavy stats suite, then the
+   well-trodden TPC-H / window shapes whose local evidence generalizes
+   best;
+3. keys registered after the rotation was sized (``DEFER_NEW``) — they
+   queue behind the existing backlog;
+4. keys already driver-verified green (cheapest to lose to a cap).
 
 ``DRIVER_SEEN`` is derived at import time from the union of all
 committed ``CORRECTNESS_r*.json`` artifacts at the repo root, so the
 rotation can never go stale (the round-2 verdict's top finding was a
 hand-maintained set that missed a round). ``_STATIC_SEEN`` is the
 fallback when the artifacts are absent (e.g. a bare checkout of the
-package without driver outputs).
+package without driver outputs); it is regenerated each round from the
+artifacts (round-4 verdict item 7 flagged stale names) and pinned to
+the live registry by tests/test_driver_order.py.
 """
 
 from __future__ import annotations
@@ -24,44 +35,77 @@ from pathlib import Path
 
 from bigdata_financial_reporting_spark.queries.registry import QUERIES
 
-# Union of CORRECTNESS_r01+r02 keys — fallback only; the live set below
-# re-reads every CORRECTNESS_r*.json so later rounds are picked up
-# automatically.
+# Union of CORRECTNESS_r01..r04 keys (186) — fallback only; the live
+# set below re-reads every CORRECTNESS_r*.json so later rounds are
+# picked up automatically. Regenerated round 5 from the artifacts.
 _STATIC_SEEN: frozenset[str] = frozenset(
     {
         "agg_approx_count_distinct", "agg_approx_quantiles",
         "agg_collect_sorted", "agg_corr_covar", "agg_count_distinct",
         "agg_cube", "agg_global", "agg_grouping_sets", "agg_histogram",
         "agg_median_percentile", "agg_min_by_max_by", "agg_pivot",
-        "agg_rollup", "agg_stats", "agg_unpivot", "dedup_clusters",
+        "agg_rollup", "agg_stats", "agg_unpivot", "boolean_combinators",
+        "case_when_coalesce", "cast_types", "dedup_clusters",
         "dedup_embedding_cosine", "dedup_exact", "dedup_exact_groups",
-        "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash",
-        "fn_array", "fn_array_explode", "fn_date", "fn_decimal_money",
-        "fn_explode_outer", "fn_hash", "fn_json", "fn_map", "fn_math",
-        "fn_nondeterministic_ids", "fn_string", "fn_struct", "join_anti",
+        "dedup_incremental", "dedup_minhash_pairs", "dedup_ngram_jaccard",
+        "dedup_simhash", "dedup_survivor_quality", "dedup_winnow_pairs",
+        "derived_column", "distinct_pairs", "dropdup_keys_pinned",
+        "emb_covariance_matrix", "filter_in_like_null", "filter_range",
+        "fin_beta_market", "fin_bollinger_bands", "fin_drawdown",
+        "fin_ema_window", "fin_gapfill_interpolate", "fin_ohlc_bars",
+        "fin_rsi_window", "fin_vwap", "fn_array", "fn_array_explode",
+        "fn_date", "fn_decimal_money", "fn_explode_outer", "fn_hash",
+        "fn_json", "fn_map", "fn_math", "fn_nondeterministic_ids",
+        "fn_string", "fn_struct", "intersect_except", "join_anti",
         "join_asof", "join_broadcast_dims", "join_cross",
         "join_full_outer", "join_fuzzy_levenshtein", "join_inner",
-        "join_interval_containment", "join_left_outer", "join_null_safe",
-        "join_right_outer", "join_semi", "join_theta", "tpch_q1",
-        "tpch_q3_shape", "tpch_q5_shape",
-        # r02 additions
-        "select_prune", "derived_column", "rename_drop", "filter_range",
-        "filter_in_like_null", "boolean_combinators", "case_when_coalesce",
-        "null_fill_drop", "cast_types", "distinct_pairs",
-        "dropdup_keys_pinned", "sample_seeded", "sample_stratified",
-        "winsorize_by_group", "sort_multi_key_limit", "limit_offset",
-        "topk_per_group", "union_all_distinct", "intersect_except",
-        "window_lag_lead", "window_rank_family", "window_running_agg",
-        "window_sliding_frame", "window_range_frame", "window_first_last",
-        "window_global_small", "window_moving_avg", "src_parquet_scan",
-        "src_csv_roundtrip", "src_json_roundtrip", "src_csv_single_file",
-        "src_parquet_partitioned", "src_in_memory",
-        "src_split_export_roundtrip", "udf_scalar_python",
-        "udf_pandas_scalar", "udf_pandas_grouped_agg",
-        "udf_apply_in_pandas", "udf_map_in_pandas", "udf_sql_registered",
-        "udtf_split_events", "join_self", "text_tokenize",
-        "text_token_counts", "text_tfidf", "text_bigrams",
-        "text_quality_census",
+        "join_interval_containment", "join_interval_overlap",
+        "join_left_outer", "join_null_safe", "join_range_banded",
+        "join_right_outer", "join_self", "join_semi", "join_theta",
+        "limit_offset", "mix_apply_sample", "mix_temperature_sample",
+        "mm_ahash_dedup_groups", "mm_audio_rms_windows",
+        "mm_base64_roundtrip", "mm_binary_metadata", "mm_decode_features",
+        "mm_decode_wav", "mm_frame_extract", "mm_frame_sampling",
+        "mm_resize_ppm", "null_fill_drop", "ops_compact_roundtrip",
+        "ops_table_profile", "ops_upsert_roundtrip",
+        "ops_validate_quality", "quality_filter_reasons",
+        "ref_avg_daily_return", "ref_daily_returns",
+        "ref_daily_returns_scalable", "ref_per_user_returns",
+        "ref_report_bundle", "rename_drop", "rollup_timeseries",
+        "sample_seeded", "sample_stratified", "select_prune",
+        "sim_centroid_per_label", "sim_cosine_topk",
+        "sim_cosine_topk_vectorized", "sim_embedding_outliers",
+        "sim_euclidean_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
+        "sim_lsh_topk", "sim_maxdot_topk", "sim_pairwise_matrix",
+        "sim_quantize_int8", "sim_random_projection", "skew_salted_agg",
+        "skew_salted_join", "sort_multi_key_limit", "split_contamination",
+        "split_train_test", "src_csv_roundtrip", "src_in_memory",
+        "src_json_roundtrip", "src_orc_roundtrip",
+        "src_parquet_partitioned_roundtrip", "src_parquet_scan",
+        "src_single_csv_sink", "src_split_export_roundtrip",
+        "stream_dedup_watermark", "stream_foreach_batch_sink",
+        "stream_rate_source", "stream_session_window",
+        "stream_sliding_window", "stream_stateful_counters",
+        "stream_static_join", "stream_stream_join",
+        "stream_tumbling_window", "text_bigrams", "text_fingerprint",
+        "text_global_shuffle", "text_lang_slice", "text_langid",
+        "text_normalize_stem", "text_pack_sequences", "text_quality_score",
+        "text_redact", "text_repetition_score", "text_source_overlap",
+        "text_tfidf", "text_token_count_bpe", "text_token_counts",
+        "text_tokenize", "text_top_shingles", "text_unigram_logprob",
+        "text_vocab_coverage", "text_winnow_fingerprint", "topk_per_group",
+        "tpch_q1", "tpch_q3_shape", "tpch_q5_shape", "ts_autocorrelation",
+        "ts_calendar_features", "ts_changepoint_cusum",
+        "ts_cohort_retention", "ts_event_rate_anomaly", "ts_forward_fill",
+        "ts_funnel", "ts_inter_event_gaps", "ts_mann_kendall_trend",
+        "ts_minmax_downsample", "ts_sessionize", "ts_snapshot_diff",
+        "ts_theil_sen_slope", "udf_apply_in_pandas", "udf_map_in_pandas",
+        "udf_pandas_grouped_agg", "udf_pandas_scalar", "udf_python_udtf",
+        "udf_scalar_python", "udf_sql_registered", "union_all_distinct",
+        "window_first_last", "window_global_small", "window_lag_lead",
+        "window_moving_avg", "window_range_frame", "window_ranks",
+        "window_running_agg", "window_zscore_anomaly",
+        "winsorize_by_group",
     }
 )
 
@@ -84,159 +128,131 @@ def _seen_from_artifacts() -> frozenset[str]:
 
 DRIVER_SEEN: frozenset[str] = _seen_from_artifacts()
 
-# Keys whose latest driver row was an ERROR and have since been fixed
-# (round 4): the 2 array-column canon crashes (now serialized) and the
-# 9 structural `oracle=None` errs (all converted to exact oracles —
-# hash-Bernoulli sampling, neutral-hash simhash/LSH planes, unrolled
-# Lloyd CTEs for IVF, tolerance witnesses for the approx aggregates,
-# invariant outputs for the id functions). Clear once green in a
-# CORRECTNESS artifact.
-RECHECK_FIRST: tuple[str, ...] = (
-    "sim_quantize_int8",
-    "sim_centroid_per_label",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "sim_ivf_trained_topk",
-    "dedup_simhash",
-    "sample_seeded",
-    "sample_stratified",
-    "agg_approx_quantiles",
-    "agg_approx_count_distinct",
-    "fn_nondeterministic_ids",
+# Keys whose latest driver row FAILED and have since been fixed.
+# Round 5: the one round-4 red row — emb_covariance_matrix's
+# order-dependent double accumulation, rewritten to exact micro-
+# quantized integer moments with an identical-arithmetic oracle
+# (queries/similarity.py). Clear once green in a CORRECTNESS artifact.
+RECHECK_FIRST: tuple[str, ...] = ("emb_covariance_matrix",)
+
+# The 81 never-driver-checked keys (all round-4 additions), ranked by
+# driver-environment risk (round-4 verdict, "Next round" item 2). Two
+# ~50-key driver rounds remain before full coverage, so the features
+# most likely to behave differently under the driver's runtime go
+# first, the float-heavy stats second, and the well-trodden TPC-H /
+# window shapes last (their local oracle evidence generalizes best).
+RISK_ORDER: tuple[str, ...] = (
+    # -- A: driver-runtime-sensitive surface (Arrow, Python data
+    #    source, Spark-4 SQL features, sketches, streaming, file
+    #    handling, lake time travel)
+    "udf_arrow_optimized_scalar",
+    "udf_map_in_arrow",
+    "udf_sql_function",
+    "src_python_datasource",
+    "sql_recursive_cte_spine",
+    "sql_pipe_syntax",
+    "sql_session_variables",
+    "fn_variant_json",
+    "fn_collated_groupby",
+    "agg_hll_sketch_mergeable",
+    "agg_bitmap_distinct",
+    "stream_content_dedup",
+    "src_csv_corrupt_handling",
+    "src_file_metadata_column",
+    "ops_time_travel_versions",
+    # -- B: float-heavy stats / scoring (the class the round-4
+    #    covariance failure came from — most value from a real driver
+    #    row under a different partitioning)
+    "agg_benford_digits",
+    "agg_gini_coefficient",
+    "agg_welch_ttest",
+    "agg_chi2_independence",
+    "agg_ks_twosample",
+    "agg_subsample_ci",
+    "agg_crosstab_stat",
+    "agg_regression_family",
+    "agg_weighted_median",
+    "agg_equidepth_histogram",
+    "agg_countmin_heavy_hitters",
+    "fin_sharpe_by_instrument",
+    "fin_return_corr_pairs",
+    "fin_hhi_concentration",
+    "fin_var_expected_shortfall",
+    "text_zipf_fit",
+    "text_quality_logreg",
+    "text_bigram_logprob",
+    "text_collocations_pmi",
+    "text_keywords_tfidf_topk",
+    "text_pagerank_keywords",
+    "text_distinctive_ngrams",
+    "text_token_entropy",
+    "window_hampel_outliers",
+    "pipeline_pretrain_end2end",
+    # -- C: ops / sources / joins / sampling / remaining text
+    "ops_scd2_build",
+    "ops_zorder_layout",
+    "ops_incremental_rollup_refresh",
+    "ops_cdc_apply",
+    "join_lateral_topn",
+    "join_point_in_time_scd2",
+    "src_schema_evolution_merge",
+    "src_bucketed_colocated_join",
+    "src_text_lines_roundtrip",
+    "dedup_bloom_prefilter",
+    "dedup_chunk_lines",
+    "sample_weighted_topk",
+    "sample_per_stratum_topk",
+    "split_kfold",
+    "batch_length_buckets",
+    "text_chunk_overlap",
+    "text_length_band_filter",
+    "union_by_name_missing",
+    "fn_listagg_within_group",
+    "fn_try_arithmetic",
+    "fn_url_parse",
+    "fn_xml_xpath",
+    "fn_higher_order_maps",
+    "fn_regex_family",
+    "fn_exists_forall_filterpos",
+    "fn_bitwise_family",
+    # -- D: well-trodden relational shapes (lowest driver-env risk)
+    "tpch_q2_shape",
+    "tpch_q4_shape",
+    "tpch_q7_shape",
+    "tpch_q8_shape",
+    "tpch_q10_shape",
+    "tpch_q14_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    "tpch_q19_shape",
+    "agg_filtered_conditional",
+    "agg_bool_bitwise",
+    "agg_mode_per_group",
+    "window_ntile_quartiles",
+    "window_longest_streak",
+    "window_distinct_count_frame",
 )
 
-# Keys added AFTER the round's rotation was sized: rank new arrivals
-# behind the existing never-checked backlog so the driver's ~50-key
-# budget clears the backlog first (the new keys carry fresh
-# local-oracle evidence and get their driver row next round). The 16
-# round-3 additions left this set at the start of round 4 — they ARE
-# the backlog now; round-4 additions go here.
-DEFER_NEW: frozenset[str] = frozenset(
-    {
-        "sim_random_projection",
-        "sim_embedding_outliers",
-        "sample_weighted_topk",
-        "sample_per_stratum_topk",
-        "text_token_entropy",
-        "batch_length_buckets",
-        "text_bigram_logprob",
-        "text_distinctive_ngrams",
-        "ts_event_rate_anomaly",
-        "tpch_q4_shape",
-        "tpch_q7_shape",
-        "agg_equidepth_histogram",
-        "window_ntile_quartiles",
-        "ops_scd2_build",
-        # round-4 session additions
-        "fin_ohlc_bars",
-        "fin_vwap",
-        "fin_drawdown",
-        "fin_ema_window",
-        "fin_gapfill_interpolate",
-        "fin_beta_market",
-        "tpch_q17_shape",
-        "tpch_q2_shape",
-        "agg_filtered_conditional",
-        "agg_bool_bitwise",
-        "agg_mode_per_group",
-        "agg_weighted_median",
-        "window_longest_streak",
-        "text_chunk_overlap",
-        "text_length_band_filter",
-        "text_quality_logreg",
-        "src_schema_evolution_merge",
-        "src_bucketed_colocated_join",
-        "emb_covariance_matrix",
-        "ops_zorder_layout",
-        "fn_variant_json",
-        "fn_collated_groupby",
-        "fn_listagg_within_group",
-        "agg_bitmap_distinct",
-        "join_lateral_topn",
-        "udf_arrow_optimized_scalar",
-        "src_python_datasource",
-        "agg_hll_sketch_mergeable",
-        "fn_try_arithmetic",
-        "sql_pipe_syntax",
-        "sql_session_variables",
-        "udf_sql_function",
-        "ops_incremental_rollup_refresh",
-        "fin_rsi_window",
-        "fin_bollinger_bands",
-        "fin_sharpe_by_instrument",
-        "fin_return_corr_pairs",
-        "text_keywords_tfidf_topk",
-        "text_collocations_pmi",
-        "sim_maxdot_topk",
-        "sim_euclidean_topk",
-        "ts_calendar_features",
-        "mm_ahash_dedup_groups",
-        "fn_url_parse",
-        "fn_xml_xpath",
-        "fn_higher_order_maps",
-        "window_distinct_count_frame",
-        "ts_autocorrelation",
-        "ts_minmax_downsample",
-        "agg_regression_family",
-        "split_kfold",
-        "dedup_bloom_prefilter",
-        "dedup_chunk_lines",
-        "agg_countmin_heavy_hitters",
-        "sql_recursive_cte_spine",
-        "text_pagerank_keywords",
-        "tpch_q8_shape",
-        "tpch_q10_shape",
-        "tpch_q14_shape",
-        "tpch_q16_shape",
-        "tpch_q19_shape",
-        "src_text_lines_roundtrip",
-        "ops_cdc_apply",
-        "fn_regex_family",
-        "pipeline_pretrain_end2end",
-        "ts_mann_kendall_trend",
-        "ts_changepoint_cusum",
-        "agg_benford_digits",
-        "text_zipf_fit",
-        "agg_gini_coefficient",
-        "fin_hhi_concentration",
-        "ts_theil_sen_slope",
-        "agg_welch_ttest",
-        "agg_chi2_independence",
-        "fin_var_expected_shortfall",
-        "agg_ks_twosample",
-        "agg_subsample_ci",
-        "src_csv_corrupt_handling",
-        "mm_audio_rms_windows",
-        "join_point_in_time_scd2",
-        "window_hampel_outliers",
-        "stream_content_dedup",
-        "udf_map_in_arrow",
-        "agg_crosstab_stat",
-        "union_by_name_missing",
-        "fn_exists_forall_filterpos",
-        "src_file_metadata_column",
-        "ref_report_bundle",
-        "fn_bitwise_family",
-        "ops_time_travel_versions",
-    }
-)
+# Keys registered AFTER the round-5 rotation was sized: rank new
+# arrivals behind the existing never-checked backlog so the driver's
+# ~50-key budget clears the backlog first (new keys carry fresh
+# local-oracle evidence and get their driver row in a later round).
+# Round-5 session additions go here.
+DEFER_NEW: frozenset[str] = frozenset()
 
-# SURVEY §2B families the driver has never checked, most core first.
-# After round 2 the unseen remainder is: similarity (8), multimodal (5),
-# streaming (9), timeseries (5), reference (4), text (8 incl. split/
-# quality), rollup (1), skew (2), ops (2) = 45 keys — all fit in one
-# 50-key driver budget, so the intra-category order matters little.
+# SURVEY §2B families for never-checked keys not in RISK_ORDER (i.e.
+# anything added after the risk triage), most core first.
 CATEGORY_PRIORITY: tuple[str, ...] = (
-    "similarity",    # §2B.9 ANN/cosine — zero driver rows so far
-    "multimodal",    # §2B.9 binary columns — zero driver rows
-    "reference",     # §2A pipeline parity
+    "similarity",
+    "multimodal",
+    "reference",
     "timeseries",
-    "finance",       # market-data rollups (round-4 additions)
-    "text",          # remaining §2B.9 text ops
+    "finance",
+    "text",
     "rollup",
     "skew",
     "ops",
-    "streaming",     # rows-only checks (no oracle)
+    "streaming",
     "relational",
     "windows",
     "sources",
@@ -252,6 +268,7 @@ def ordered_names() -> list[str]:
     cat_rank = {c: i for i, c in enumerate(CATEGORY_PRIORITY)}
     # Stable registration order within a category (dict order of QUERIES).
     reg_rank = {name: i for i, name in enumerate(QUERIES)}
+    risk_rank = {name: i for i, name in enumerate(RISK_ORDER)}
 
     def key(name: str):
         spec = QUERIES[name]
@@ -259,12 +276,17 @@ def ordered_names() -> list[str]:
             # listed order IS the priority (the tuple is ranked by
             # expected evidence value)
             return (0, RECHECK_FIRST.index(name), 0)
-        if name in DEFER_NEW and name not in DRIVER_SEEN:
-            tier = 1.5
-        elif name not in DRIVER_SEEN:
-            tier = 1
-        else:
-            tier = 2
-        return (tier, cat_rank.get(spec.category, len(cat_rank)), reg_rank[name])
+        if name not in DRIVER_SEEN:
+            if name in risk_rank:
+                return (1, risk_rank[name], 0)
+            # unseen but untriaged (registered after the risk pass):
+            # behind the triaged backlog, deferred new keys last
+            tier = 1.5 if name in DEFER_NEW else 1.2
+            return (
+                tier,
+                len(risk_rank) + cat_rank.get(spec.category, len(cat_rank)),
+                reg_rank[name],
+            )
+        return (2, cat_rank.get(spec.category, len(cat_rank)), reg_rank[name])
 
     return sorted(QUERIES, key=key)

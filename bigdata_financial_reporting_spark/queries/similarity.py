@@ -543,16 +543,24 @@ def sim_embedding_outliers(spark, sf_dir):
     "emb_covariance_matrix",
     oracle="""
     WITH x AS (
-      SELECT vec_id,
-             unnest(generate_series(1, len(embedding))) AS i,
-             unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS xi
-      FROM embeddings
+      SELECT vec_id, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xq
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    p AS (
+      SELECT a.pos AS pos_i, b.pos AS pos_j,
+             sum(a.xq * b.xq) AS sxy,
+             sum(a.xq) AS sx, sum(b.xq) AS sy,
+             count(*) AS n
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY a.pos, b.pos
     )
-    SELECT a.i - 1 AS pos_i, b.i - 1 AS pos_j,
-           round(covar_samp(a.xi, b.xi), 6) AS cov,
-           count(*) AS n
-    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-    GROUP BY a.i, b.i
+    SELECT pos_i, pos_j,
+           round(CAST(sxy * n - sx * sy AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) / 1e12, 6) AS cov,
+           n
+    FROM p
     """,
     category="similarity",
 )
@@ -565,12 +573,26 @@ def emb_covariance_matrix(spark, sf_dir):
     keyed aggregation merges partials into exact global sums. The
     shuffle carries #partitions x 2080 rows — independent of corpus
     size — so the operator scales to any row count; only the dimension
-    d^2 term matters. Covariance derives from merged raw moments
-    ((Sxy - SxSy/n)/(n-1)), identical to the oracle's covar_samp up to
-    double rounding at 6dp."""
+    d^2 term matters.
+
+    Determinism (the round-4 driver failure): double partial sums merge
+    in shuffle order, and float addition is not associative, so entries
+    near a 6-dp rounding boundary flipped between runs. Fixed with the
+    sim_random_projection pattern — components micro-quantize to exact
+    integers (round(x*1e6), Spark-side so both engines share HALF_UP),
+    the Gram partials are exact int64, the merge accumulates
+    decimal(38,0) (order-independent), and the sample covariance
+    derives at the very end from the exact integer identity
+    (Sxy*n - Sx*Sy) / (n*(n-1)) / 1e12 — one fixed double expression
+    over exact inputs, identical on both engines."""
     import pandas as pd
 
-    d = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = load_table(spark, sf_dir, "embeddings").select(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("xq")
+    )
 
     def partial_gram(batches):
         import numpy as np
@@ -578,7 +600,11 @@ def emb_covariance_matrix(spark, sf_dir):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            # exact int64 Gram: |xq| <= ~1e6, so per-batch products
+            # (<=1e12) summed over an Arrow batch (<=10k rows) stay
+            # far inside int64; global overflow safety comes from the
+            # decimal(38,0) merge below.
+            X = np.stack(pdf["xq"].to_numpy()).astype("int64")
             n, dim = X.shape
             g = X.T @ X
             s = X.sum(axis=0)
@@ -595,17 +621,17 @@ def emb_covariance_matrix(spark, sf_dir):
             )
 
     partials = d.mapInPandas(
-        partial_gram, schema="i int, j int, sxy double, sx double, sy double, n long"
+        partial_gram, schema="i int, j int, sxy long, sx long, sy long, n long"
     )
     merged = partials.groupBy("i", "j").agg(
-        F.sum("sxy").alias("sxy"),
-        F.sum("sx").alias("sx"),
-        F.sum("sy").alias("sy"),
+        F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("sy").cast("decimal(38,0)")).alias("sy"),
         F.sum("n").alias("n"),
     )
-    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
-        F.col("n") - 1
-    )
+    num = F.col("sxy") * F.col("n") - F.col("sx") * F.col("sy")
+    den = F.col("n") * (F.col("n") - F.lit(1))
+    cov = num.cast("double") / den.cast("double") / F.lit(1e12)
     return merged.select(
         F.col("i").alias("pos_i"),
         F.col("j").alias("pos_j"),

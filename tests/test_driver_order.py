@@ -8,8 +8,10 @@ import json
 from pathlib import Path
 
 from bigdata_financial_reporting_spark.queries.driver_order import (
+    _STATIC_SEEN,
     DRIVER_SEEN,
     RECHECK_FIRST,
+    RISK_ORDER,
     ordered_names,
 )
 from bigdata_financial_reporting_spark.queries.registry import QUERIES
@@ -58,3 +60,35 @@ def test_recheck_first_keys_lead():
     names = ordered_names()
     for i, key in enumerate(RECHECK_FIRST):
         assert names[i] == key
+
+
+def test_static_seen_names_exist_in_registry():
+    """Round-4 verdict item 7: the bare-checkout fallback must never
+    carry names that no longer exist in the registry."""
+    stale = _STATIC_SEEN - set(QUERIES)
+    assert not stale, f"stale fallback names: {sorted(stale)}"
+
+
+def test_risk_order_names_exist_and_are_unique():
+    assert len(set(RISK_ORDER)) == len(RISK_ORDER)
+    missing = set(RISK_ORDER) - set(QUERIES)
+    assert not missing, f"RISK_ORDER names not in registry: {sorted(missing)}"
+
+
+def test_risk_order_precedes_untriaged_unseen():
+    """Triaged backlog keys must outrank any later additions so the
+    driver budget clears the risk-ranked backlog first."""
+    names = ordered_names()
+    pos = {n: i for i, n in enumerate(names)}
+    triaged_unseen = [n for n in RISK_ORDER if n not in DRIVER_SEEN]
+    untriaged_unseen = [
+        n
+        for n in QUERIES
+        if n not in DRIVER_SEEN
+        and n not in RISK_ORDER
+        and n not in RECHECK_FIRST
+    ]
+    if triaged_unseen and untriaged_unseen:
+        assert max(pos[n] for n in triaged_unseen) < min(
+            pos[n] for n in untriaged_unseen
+        )
