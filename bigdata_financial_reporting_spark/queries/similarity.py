@@ -172,7 +172,7 @@ def sim_ivf_topk(spark, sf_dir):
              xq * (CAST(concat('0x', substr(md5('plane:' || CAST(p AS VARCHAR)
                     || ':' || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT)
                    % 2000001 - 1000000) AS term
-      FROM ex, generate_series(0, 23) t(p)
+      FROM ex, generate_series(0, 63) t(p)
     ),
     signs AS (
       SELECT vec_id, p,
@@ -180,9 +180,9 @@ def sim_ivf_topk(spark, sf_dir):
       FROM hh GROUP BY vec_id, p
     ),
     bkts AS (
-      SELECT vec_id, p // 6 AS tbl,
-             sum(s * (CAST(1 AS BIGINT) << (5 - (p % 6)))) AS bkt
-      FROM signs GROUP BY vec_id, p // 6
+      SELECT vec_id, p // 4 AS tbl,
+             sum(s * (CAST(1 AS BIGINT) << (3 - (p % 4)))) AS bkt
+      FROM signs GROUP BY vec_id, p // 4
     ),
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -205,20 +205,25 @@ def sim_ivf_topk(spark, sf_dir):
     category="similarity",
 )
 def sim_lsh_topk(spark, sf_dir):
-    """ANN variant: multi-table random-hyperplane LSH (4 independent
-    6-plane tables) — candidates from any table's bucket,
+    """ANN variant: multi-table random-hyperplane LSH (16 independent
+    4-plane tables) — candidates from any table's bucket,
     deduplicated, scored exactly once. The planes are ENGINE-NEUTRAL
     (md5-derived integer components on a micro-quantized vector, so
     each per-plane sign is an exact BIGINT sum), which makes the whole
     candidate+score pipeline DuckDB-expressible: the oracle recomputes
     every bucket bit-for-bit and mirrors the exact-cosine re-rank.
-    Recall vs brute force measured in test_llm_ops.py and exported to
-    SIM_RECALL.json; multi-table lifts recall at ~4x the candidate
-    work, still ~2^6/4 x below brute force."""
+
+    Parameters (round-4 verdict item 4): the old 6x4 config recalled
+    only 0.30@10 on this fixture's near-orthogonal random embeddings;
+    4 planes x 16 tables measures 0.82@10 (deterministic — planes are
+    hash-derived, no RNG), asserted as a floor in test_llm_ops.py and
+    exported with the full recall-vs-candidate-cost curve in
+    SIM_RECALL.json. On clustered production embeddings the same
+    recall needs far fewer tables; the curve documents the trade."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return lsh_bucket_topk(
-        q, e, "vec_id", "vec_id", n_planes=6, k=10, n_tables=4, neutral_planes=True
+        q, e, "vec_id", "vec_id", n_planes=4, k=10, n_tables=16, neutral_planes=True
     )
 
 

@@ -272,6 +272,26 @@ def test_multi_table_lsh_recall_dominates_single_table(spark, sf_dir):
     release_operator_caches()
 
 
+def test_lsh_registry_params_recall_floor(spark, sf_dir):
+    """The registry's sim_lsh_topk config (4 planes x 16 tables, the
+    round-5 retune) must recall >= 0.8 of the true top-10 — an ANN
+    returning 30% of the neighbors (the old 6x4 config) is not a
+    production retrieval component. Deterministic: planes are
+    hash-derived, so this is a hard floor, not a flaky one."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    top = {}
+    for r in cosine_topk(q, e, "vec_id", "vec_id", k=10).collect():
+        top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    denom = sum(len(v) for v in top.values())
+    rows = lsh_bucket_topk(
+        q, e, "vec_id", "vec_id", n_planes=4, k=10, n_tables=16,
+        neutral_planes=True,
+    ).collect()
+    hits = sum(1 for r in rows if r.neighbor_id in top.get(r.query_id, set()))
+    assert hits / denom >= 0.8, f"registry LSH recall {hits / denom:.2f}"
+
+
 def test_minhash_pairs_agree_with_mllib_minhashlsh(spark, sf_dir):
     """Ecosystem cross-check: Spark MLlib's MinHashLSH (different hash
     family, same estimator) must find the SAME high-similarity pair
