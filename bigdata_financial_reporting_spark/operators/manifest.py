@@ -41,13 +41,51 @@ def latest_version(table_dir: str) -> int:
     return max(vs, default=0)
 
 
+class ManifestConflictError(RuntimeError):
+    """A concurrent writer committed between the caller's base snapshot
+    and this commit, and ``on_conflict='error'`` forbids auto-merge.
+    Recompute ``base_files`` against the new latest version and retry."""
+
+
 def commit_version(
-    df: DataFrame, table_dir: str, base_files: list[str] | None = None
+    df: DataFrame,
+    table_dir: str,
+    base_files: list[str] | None = None,
+    base_version: int | None = None,
+    on_conflict: str = "merge",
 ) -> int:
     """Write ``df`` as new immutable data files and commit the next
-    manifest. ``base_files``: files from the previous version to KEEP
-    (logical append keeps all of them; rewrite/overwrite passes a
-    subset or none). Returns the committed version number."""
+    manifest. ``base_files``: files from the base version to KEEP
+    (logical append keeps all of them; compaction passes the survivors;
+    overwrite passes none). Returns the committed version number.
+
+    Concurrency (Iceberg/Delta-style optimistic commit): the manifest
+    is created with O_EXCL, so two writers racing for the same version
+    number cannot clobber each other — the loser detects the collision.
+    A losing (or merely stale — ``base_version`` older than the table's
+    latest) commit must NOT republish its pre-race file list, or the
+    winner's files silently vanish from history. Instead the base is
+    RE-RESOLVED against the now-latest manifest:
+
+    - ``on_conflict='merge'`` (default): keep every file the latest
+      version lists except those this commit explicitly dropped
+      relative to its own base (drops = base version's files minus
+      ``base_files``), plus this commit's new files. An append keeps
+      the winner's appends; a compaction still retires exactly the
+      files it compacted.
+    - ``on_conflict='error'``: raise :class:`ManifestConflictError` and
+      let the caller recompute ``base_files`` itself.
+
+    A full rewrite (``base_files=None``) depends on no base state and
+    simply takes the next free version number.
+
+    ``base_version``: the version ``base_files`` was computed from;
+    defaults to the latest version visible now. Passing it explicitly
+    closes the wider race where a concurrent commit lands between the
+    caller's ``files_of(...)`` read and this call — without it only
+    same-version-number collisions are detectable."""
+    if on_conflict not in ("merge", "error"):
+        raise ValueError(f"on_conflict must be 'merge' or 'error', got {on_conflict!r}")
     os.makedirs(table_dir, exist_ok=True)
     staging = os.path.join(table_dir, f"commit-{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(staging)
@@ -56,21 +94,33 @@ def commit_version(
         for f in os.listdir(staging)
         if f.endswith(".parquet")
     )
-    files = sorted((base_files or []) + new_files)
-    # Exclusive-create is the commit point: os.rename CLOBBERS on
-    # POSIX, so two concurrent writers allocating the same version
-    # number would silently overwrite each other's manifest. mode='x'
-    # makes the loser see FileExistsError and retry with the next
-    # number — optimistic concurrency, every commit preserved.
-    version = latest_version(table_dir) + 1
+    if base_version is None:
+        base_version = latest_version(table_dir)
+    if base_files is None:
+        dropped: set[str] = set()  # rewrite: no kept base state
+    else:
+        base_snapshot = files_of(table_dir, base_version) if base_version else []
+        dropped = set(base_snapshot) - set(base_files)
+    files = sorted(base_files or []) + new_files if base_files else new_files
+    files = sorted(set(files))
+    version = base_version + 1
     while True:
-        manifest = {"version": version, "files": files}
         try:
             with open(_manifest_path(table_dir, version), "x") as fh:
-                json.dump(manifest, fh)
+                json.dump({"version": version, "files": files}, fh)
             return version
         except FileExistsError:
-            version += 1
+            # a concurrent writer owns this version number: re-resolve
+            latest = latest_version(table_dir)
+            if base_files is not None:
+                if on_conflict == "error":
+                    raise ManifestConflictError(
+                        f"{table_dir}: base v{base_version} is stale — "
+                        f"latest is v{latest}; recompute base_files"
+                    ) from None
+                current = set(files_of(table_dir, latest))
+                files = sorted((current - dropped) | set(new_files))
+            version = max(latest, version) + 1
 
 
 def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame:

@@ -433,7 +433,11 @@ def rms_windows_wav(df: DataFrame, win: int = 32) -> DataFrame:
     silence/clipping before training. Same Arrow-batched
     ``mapInPandas`` shape as decode_wav: one pass, no shuffle, rows
     fan out ~n_samples/win per clip. Malformed payloads are skipped
-    (the decode queries already surface them)."""
+    (the decode queries already surface them), and so are formats the
+    decoder below cannot represent — the sample loop assumes 8-bit
+    unsigned MONO PCM, so a 16-bit or multi-channel WAV that parses
+    fine would otherwise yield silently wrong RMS/peak (ADVICE
+    round 4)."""
     import numpy as np
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -444,6 +448,8 @@ def rms_windows_wav(df: DataFrame, win: int = 32) -> DataFrame:
                 if parsed is None:
                     continue
                 (_af, _ch, _rate, _bits), data = parsed
+                if _bits != 8 or _ch != 1:
+                    continue  # decoder handles 8-bit mono only
                 a = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
                 for w in range(0, len(a), win):
                     seg = a[w : w + win]

@@ -96,12 +96,29 @@ def _keep_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+#: Hard cap on the query-side rows the vectorized path will collect to
+#: the driver. The collect is bounded by #queries (never the corpus),
+#: but nothing used to enforce that — a caller passing a corpus-sized
+#: "queries" frame got a silent driver OOM. 100k queries x 64 dims x 8B
+#: is ~50 MB on the driver and a ~50 MB broadcast: comfortably safe;
+#: beyond it, the distributed `method='expr'` path is the right tool.
+VECTORIZED_QUERY_CAP = 100_000
+
+
 def _cosine_topk_vectorized(
     queries, corpus, query_id, corpus_id, query_vec, corpus_vec, k
 ):
     import numpy as np
     import pandas as pd
 
+    n_q = queries.limit(VECTORIZED_QUERY_CAP + 1).count()
+    if n_q > VECTORIZED_QUERY_CAP:
+        raise ValueError(
+            f"cosine_topk(method='vectorized') collects the query side to "
+            f"the driver; got >{VECTORIZED_QUERY_CAP} query rows. Use "
+            f"method='expr' (fully distributed broadcast-join path) for "
+            f"large query sets."
+        )
     qrows = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
     ).collect()

@@ -143,11 +143,23 @@ def scd2_versions(df, key: str, state: str, ts: str, tiebreak: str):
     arbitrary lead() ordering and flip valid_to/is_current between
     runs. One hash shuffle on the key, shared by both windows.
     Returns (key, state, valid_from, valid_to) with original types.
-    Shared by ops_scd2_build and join_point_in_time_scd2."""
+    Shared by ops_scd2_build and join_point_in_time_scd2.
+
+    NULL states are first-class (ADVICE round 4): the change predicate
+    is a null-safe inequality, so a non-NULL -> NULL transition opens a
+    version (plain ``!=`` yields NULL and silently drops it) and a row
+    FOLLOWING a NULL state is a change only if its state really
+    differs — ``__prev IS NULL`` alone conflates "first row" with
+    "previous state was NULL", so the true first row is detected with
+    row_number() instead."""
     w = Window.partitionBy(key).orderBy(ts, tiebreak)
     changes = (
         df.withColumn("__prev", F.lag(state).over(w))
-        .filter(F.col("__prev").isNull() | (F.col(state) != F.col("__prev")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") == 1)
+            | ~F.col(state).eqNullSafe(F.col("__prev"))
+        )
         .select(key, state, ts, tiebreak)
     )
     w2 = Window.partitionBy(key).orderBy(ts, tiebreak)

@@ -328,7 +328,9 @@ def src_python_datasource(spark, sf_dir):
              substr(line, strpos(line, chr(9)) + 1), '\\s+'), t -> t <> ''))
              AS n_tokens
     FROM (
-      SELECT CAST(doc_id AS VARCHAR) || chr(9) || text AS line FROM documents
+      SELECT CAST(doc_id AS VARCHAR) || chr(9)
+             || regexp_replace(text, '[\r\n]', ' ', 'g') AS line
+      FROM documents
     )
     """,
     category="sources",
@@ -341,7 +343,12 @@ def src_text_lines_roundtrip(spark, sf_dir):
     line. Text files have no schema and no row order guarantee across
     part-files — the id travels IN the line, which is the pattern a
     real pipeline uses (jsonl/tsv), so the roundtrip is
-    order-independent. Line splitting and parsing are codegen
+    order-independent. Embedded line terminators in a document would
+    split it into multiple lines on read-back (NULL ids, silently
+    wrong stats — ADVICE round 4), so the line builder escapes
+    ``[\\r\\n]`` to a space (length- and token-preserving; mirrored in
+    the oracle) to make the one-doc-one-line contract hold for
+    arbitrary corpora. Line splitting and parsing are codegen
     expressions; the sink keeps the source's partitioning (no
     coalesce(1) single-writer funnel)."""
     import os
@@ -351,9 +358,11 @@ def src_text_lines_roundtrip(spark, sf_dir):
     path = os.path.join(tempfile.gettempdir(), "bdfr_scratch", "text_lines")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     lines = d.select(
-        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
-            "value"
-        )
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.regexp_replace("text", "[\\r\\n]", " "),
+        ).alias("value")
     )
     lines.write.mode("overwrite").text(path)
     back = spark.read.text(path)

@@ -305,9 +305,19 @@ def udf_map_in_arrow(spark, sf_dir):
 
     def norms(batches):
         for batch in batches:
+            if batch.num_rows == 0:
+                # mapInArrow delivers empty batches on sparse
+                # partitions; np.asarray([]) is 1-D and the shape[1]
+                # below would raise (ADVICE round 4)
+                continue
             vecs = batch.column("embedding").to_pylist()
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             arr = np.asarray(vecs, dtype=np.float64)
+            if arr.ndim != 2:
+                raise ValueError(
+                    "udf_map_in_arrow expects fixed-length embeddings; "
+                    "got ragged lengths in one Arrow batch"
+                )
             l2 = np.sqrt((arr * arr).sum(axis=1))
             yield pa.RecordBatch.from_arrays(
                 [

@@ -292,6 +292,29 @@ def test_lsh_registry_params_recall_floor(spark, sf_dir):
     assert hits / denom >= 0.8, f"registry LSH recall {hits / denom:.2f}"
 
 
+def test_vectorized_topk_rejects_oversized_query_side(spark, sf_dir, monkeypatch):
+    """The vectorized path's driver collect is bounded by #queries; the
+    cap must turn an over-sized query frame into a loud error pointing
+    at the distributed path, not a silent driver OOM."""
+    import pytest
+
+    from bigdata_financial_reporting_spark.operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(sim, "VECTORIZED_QUERY_CAP", 3)
+    with pytest.raises(ValueError, match="method='expr'"):
+        cosine_topk(
+            e.filter(F.col("vec_id") < 10), e, "vec_id", "vec_id",
+            k=5, method="vectorized",
+        )
+    # at-or-under the cap still works
+    out = cosine_topk(
+        e.filter(F.col("vec_id") < 3), e, "vec_id", "vec_id",
+        k=5, method="vectorized",
+    )
+    assert out.count() == 15
+
+
 def test_minhash_pairs_agree_with_mllib_minhashlsh(spark, sf_dir):
     """Ecosystem cross-check: Spark MLlib's MinHashLSH (different hash
     family, same estimator) must find the SAME high-similarity pair

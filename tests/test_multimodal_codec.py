@@ -214,3 +214,27 @@ def test_ahash_survives_images_of_64_plus_pixels(spark):
     assert got[1] != got[3]
     for v in got.values():
         assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_rms_windows_skips_non_8bit_mono(spark):
+    """ADVICE round 4: the RMS decoder assumes 8-bit unsigned mono; a
+    16-bit or stereo WAV parses fine but would decode to garbage — it
+    must be skipped like a malformed payload, not silently scored."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.multimodal import (
+        rms_windows_wav,
+    )
+
+    data = bytes(range(64))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(_wav(data, bits=8, ch=1))),
+            Row(doc_id=2, payload=bytearray(_wav(data, bits=16, ch=1))),
+            Row(doc_id=3, payload=bytearray(_wav(data, bits=8, ch=2))),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = rms_windows_wav(df, win=32).collect()
+    assert {r.doc_id for r in got} == {1}
+    assert len(got) == 2  # 64 samples / 32-sample windows

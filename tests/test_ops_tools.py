@@ -274,3 +274,97 @@ def test_manifest_time_travel_snapshot_isolation(spark, sf_dir, tmp_path):
     assert latest_version(table) == v3 == 3
     # v1's files are all still listed by v2 (logical append, no rewrite)
     assert set(files_of(table, v1)) <= set(files_of(table, v2))
+
+
+def test_manifest_concurrent_append_conflict_merges_not_clobbers(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE round 4: a losing concurrent append must NOT republish its
+    pre-race file list (silently dropping the winner's files). With an
+    explicit base_version, a stale committer collides with the winner's
+    manifest and re-resolves: append keeps the winner's files,
+    compaction still retires exactly the files it compacted, and
+    on_conflict='error' surfaces the conflict instead."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_financial_reporting_spark.operators.manifest import (
+        ManifestConflictError,
+        commit_version,
+        files_of,
+        read_version,
+    )
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    table = os.path.join(str(tmp_path), "race")
+    n = load_table(spark, sf_dir, "nation")
+    v1 = commit_version(n.filter(F.col("n_nationkey") < 10), table)
+    stale_base = files_of(table, v1)
+
+    # winner appends rows 10-19 against v1
+    v2 = commit_version(
+        n.filter((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)),
+        table, base_files=stale_base, base_version=v1,
+    )
+    assert v2 == 2
+
+    # loser appends rows 20+ still against the STALE v1 base: must land
+    # as v3 and keep the winner's v2 files (25 rows total, not 15)
+    v3 = commit_version(
+        n.filter(F.col("n_nationkey") >= 20),
+        table, base_files=stale_base, base_version=v1,
+    )
+    assert v3 == 3
+    assert set(files_of(table, v2)) <= set(files_of(table, v3))
+    assert read_version(spark, table, v3).count() == 25
+
+    # compaction racing an append retires exactly its compacted files
+    # but keeps the concurrent append: drop v1's files, rewrite rows
+    # <10 as one file, stale base v1 — winner v3 already exists.
+    survivors = []  # compact ALL of v1's files away
+    v4 = commit_version(
+        n.filter(F.col("n_nationkey") < 10).coalesce(1),
+        table, base_files=survivors, base_version=v1,
+    )
+    assert v4 == 4
+    kept = set(files_of(table, v4))
+    assert not (set(stale_base) & kept), "compacted files must be retired"
+    assert read_version(spark, table, v4).count() == 25
+
+    # error mode: stale base surfaces instead of auto-merging
+    with pytest.raises(ManifestConflictError):
+        commit_version(
+            n.filter(F.col("n_nationkey") < 5), table,
+            base_files=stale_base, base_version=v1, on_conflict="error",
+        )
+
+
+def test_scd2_versions_handles_null_states(spark):
+    """ADVICE round 4: a non-NULL -> NULL transition must open a
+    version (plain != drops it), consecutive NULLs must collapse, and
+    a row after a NULL state is a change only if it differs."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.timeseries import (
+        scd2_versions,
+    )
+
+    rows = [
+        Row(k=1, state="A", ts=1, seq=1),
+        Row(k=1, state=None, ts=2, seq=2),
+        Row(k=1, state=None, ts=3, seq=3),   # collapses into the NULL version
+        Row(k=1, state="A", ts=4, seq=4),    # change (NULL -> A)
+        Row(k=1, state="A", ts=5, seq=5),    # not a change
+        Row(k=1, state=None, ts=6, seq=6),   # change (A -> NULL)
+    ]
+    df = spark.createDataFrame(rows, "k long, state string, ts long, seq long")
+    got = sorted(
+        (
+            (r.valid_from, r.state, r.valid_to)
+            for r in scd2_versions(df, "k", "state", "ts", "seq").collect()
+        ),
+        key=lambda t: t[0],
+    )
+    assert got == [(1, "A", 2), (2, None, 4), (4, "A", 6), (6, None, None)]
