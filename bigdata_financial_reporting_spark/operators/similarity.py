@@ -760,3 +760,102 @@ def random_projection(
             lambda s: s.getField("c"),
         ).alias("proj_micro")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.35,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, then prune near-duplicate PAIRS ONLY WITHIN each
+    cluster — the blocking that turns the corpus-quadratic all-pairs
+    cosine into per-cluster quadratic work, which is how semantic
+    dedup runs on pretraining-scale corpora.
+
+    Keep rule (deterministic, SQL-expressible): within a cluster, a
+    row is DROPPED if any LOWER-id row of the same cluster has cosine
+    >= ``threshold`` to it — the greedy keep-first-seen rule in its
+    pessimistic transitive form (a row similar to an already-dropped
+    earlier row is also dropped; at SemDeDup's high thresholds the
+    epsilon-balls are tight and the two rules coincide).
+
+    Quantizer: pass ``centroids`` from ``train_centroids`` for real
+    spherical-k-means cells; default is the ``n_clusters`` lowest-id
+    corpus vectors (deterministic and training-free — the same
+    degenerate quantizer as ``ivf_topk``, which keeps the whole
+    dataflow exactly reproducible in a SQL oracle).
+
+    Plan: one broadcast join for assignment (centroid frame is
+    model-sized), one hash shuffle on the cluster id, per-cluster
+    self-join bounded by the largest cell. Returns one row per input:
+    (id, cell, is_kept, dup_of) with ``dup_of`` the lowest same-cell
+    id that evicted the row (NULL when kept)."""
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = (
+            df.select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("__cent"),
+                l2_norm(F.col(vec_col)).alias("__centn"),
+            )
+            .orderBy("cent_id")
+            .limit(n_clusters)
+        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("n"),
+    )
+    assign_w = Window.partitionBy("id").orderBy(
+        F.col("__sim").desc(), F.col("cent_id").asc()
+    )
+    cells = (
+        base.join(F.broadcast(cents))
+        .withColumn(
+            "__sim",
+            _cosine_with_norms(
+                F.col("v"), F.col("__cent"), F.col("n"), F.col("__centn")
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(assign_w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "v", "n", F.col("cent_id").alias("cell"))
+    )
+    a = cells.select(
+        F.col("cell"),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = cells.select(
+        F.col("cell"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    dups = (
+        a.join(b, (a["cell"] == b["cell"]) & (F.col("id_a") < F.col("id_b")))
+        .filter(
+            _cosine_with_norms(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            )
+            >= threshold
+        )
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        cells.join(dups, cells["id"] == dups["id_b"], "left")
+        .select(
+            "id",
+            "cell",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+    )

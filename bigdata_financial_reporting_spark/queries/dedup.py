@@ -503,3 +503,51 @@ def dedup_chunk_lines(spark, sf_dir):
             )
         ).alias("dedup_digest"),
     )
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding AS v, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC, c.cent_id)
+               AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, v, cent_id AS cell FROM assigned WHERE rn = 1),
+    dups AS (
+      SELECT b.vec_id, min(a.vec_id) AS dup_of
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {duck_cosine('a.v', 'b.v')} >= 0.35
+      GROUP BY b.vec_id
+    )
+    SELECT c.vec_id AS id, c.cell, d.vec_id IS NULL AS is_kept, d.dup_of
+    FROM cells c LEFT JOIN dups d USING (vec_id)
+    """,
+    category="dedup",
+)
+def dedup_semantic_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (cluster-blocked embedding near-dup
+    pruning, arXiv:2303.09540 — the canonical semantic-dedup recipe
+    for pretraining corpora): coarse-quantize the embedding space,
+    then drop rows similar (cosine >= 0.35) to a lower-id row of the
+    SAME cluster only. The blocking bounds the quadratic term by the
+    largest cell, which is what lets semantic dedup run at corpus
+    scale; the degenerate lowest-id quantizer keeps the whole dataflow
+    (assignment, intra-cell pairs, keep rule) exactly reproducible in
+    the SQL oracle — production runs pass `train_centroids` cells
+    into `operators.similarity.semantic_dedup` instead. Emits one row
+    per vector with its cell, keep flag, and evicting duplicate."""
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", n_clusters=16, threshold=0.35
+    )

@@ -238,7 +238,11 @@ RISK_ORDER: tuple[str, ...] = (
 # ~50-key budget clears the backlog first (new keys carry fresh
 # local-oracle evidence and get their driver row in a later round).
 # Round-5 session additions go here.
-DEFER_NEW: frozenset[str] = frozenset()
+DEFER_NEW: frozenset[str] = frozenset(
+    {
+        "dedup_semantic_semdedup",
+    }
+)
 
 # SURVEY §2B families for never-checked keys not in RISK_ORDER (i.e.
 # anything added after the risk triage), most core first.
