@@ -111,17 +111,21 @@ def _cosine_topk_vectorized(
     import numpy as np
     import pandas as pd
 
-    n_q = queries.limit(VECTORIZED_QUERY_CAP + 1).count()
-    if n_q > VECTORIZED_QUERY_CAP:
+    # cap+1 limit folded into the one collect (no separate count job):
+    # seeing cap+1 rows proves the query side is over the cap without
+    # ever materializing more than cap+1 rows on the driver.
+    qrows = (
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
+        .limit(VECTORIZED_QUERY_CAP + 1)
+        .collect()
+    )
+    if len(qrows) > VECTORIZED_QUERY_CAP:
         raise ValueError(
             f"cosine_topk(method='vectorized') collects the query side to "
             f"the driver; got >{VECTORIZED_QUERY_CAP} query rows. Use "
             f"method='expr' (fully distributed broadcast-join path) for "
             f"large query sets."
         )
-    qrows = queries.select(
-        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
-    ).collect()
     if not qrows:
         spark = corpus.sparkSession
         return spark.createDataFrame(
