@@ -32,12 +32,16 @@ from test_oracle import (
 #: Hostile layout: 7 is odd and coprime to every input partition count
 #: the fixtures produce; 64 KiB splits force multi-split scans of even
 #: the sf0.01 files; the tiny advisory size changes AQE's coalesced
-#: partitioning, hence shuffle merge order.
+#: partitioning, hence shuffle merge order; the 128 KiB auto-broadcast
+#: threshold flips every non-hinted join to sort-merge (explicit
+#: F.broadcast hints still win), exercising the join-strategy variation
+#: a driver environment with default thresholds would see.
 PERTURB_CONF = {
     "spark.sql.shuffle.partitions": "7",
     "spark.sql.files.maxPartitionBytes": "65536",
     "spark.sql.files.openCostInBytes": "16384",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+    "spark.sql.autoBroadcastJoinThreshold": "131072",
 }
 
 
