@@ -863,3 +863,109 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011, the codebook
+    compression under IVF-PQ ANN indexes): split each d-dim vector
+    into ``n_subspaces`` contiguous subvectors and replace each
+    subvector with the id of its nearest codebook entry — 64 floats
+    become 8 small ints (32x), which is what makes billion-vector
+    indexes fit in memory.
+
+    Codebook: pass a frame of (s, code, cv) rows — ``cv`` a FULL-dim
+    vector whose s-th slice is the centroid — e.g. derived from
+    ``train_centroids`` per subspace; default is the ``n_codes``
+    lowest-id corpus vectors serving as entries for every subspace
+    (deterministic and training-free, the same degenerate-quantizer
+    trade as ``ivf_topk``: identical dataflow, worse distortion).
+
+    Determinism/scale posture: per-(row, subspace, code) squared L2 is
+    an IN-ORDER double fold over the 8 components (no shuffle-order
+    float merge anywhere); the argmin is a (d2, code)-ordered window;
+    the final per-row reassembly sorts by subspace and folds the
+    per-subspace errors in order. Vectors never cross a shuffle — the
+    codebook join is broadcast and happens before the first exchange;
+    the two shuffles carry only (id, s, code, d2).
+
+    Returns (id, pq_code ','-joined, mse = total squared error / d)."""
+    sub_dim_col = (F.size(F.col(vec_col)) / n_subspaces).cast("int")
+    if codebook is None:
+        codebook = (
+            df.select(
+                F.col(id_col).alias("cb_id"), F.col(vec_col).alias("cv")
+            )
+            .orderBy("cb_id")
+            .limit(n_codes)
+            .select(
+                "cv",
+                (
+                    F.row_number().over(Window.orderBy("cb_id")) - 1
+                ).alias("code"),
+            )
+            .select(
+                F.explode(
+                    F.array(*[F.lit(s) for s in range(n_subspaces)])
+                ).alias("s"),
+                "code",
+                "cv",
+            )
+        )
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sub_dim_col.alias("sub_dim"),
+        F.explode(F.array(*[F.lit(s) for s in range(n_subspaces)])).alias("s"),
+    )
+
+    def _d2(v, cv, s, sub_dim):
+        def step(acc, i):
+            idx = (s * sub_dim + i).cast("int")
+            diff = F.element_at(v, idx).cast("double") - F.element_at(
+                cv, idx
+            ).cast("double")
+            return acc + diff * diff
+
+        return F.aggregate(
+            F.sequence(F.lit(1), sub_dim), F.lit(0.0), step
+        )
+
+    scored = rows.join(F.broadcast(codebook), "s").select(
+        "id",
+        "s",
+        "code",
+        "sub_dim",
+        _d2(F.col("v"), F.col("cv"), F.col("s"), F.col("sub_dim")).alias("d2"),
+    )
+    w = Window.partitionBy("id", "s").orderBy(F.col("d2").asc(), F.col("code").asc())
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "s", "code", "sub_dim", "d2")
+    )
+    per = best.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "code", "d2"))).alias("parts"),
+        F.max("sub_dim").alias("sub_dim"),
+    )
+    total = F.aggregate(
+        F.transform("parts", lambda p: p.getField("d2")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return per.select(
+        "id",
+        F.concat_ws(
+            ",",
+            F.transform("parts", lambda p: p.getField("code").cast("string")),
+        ).alias("pq_code"),
+        F.round(
+            total / (F.lit(n_subspaces) * F.col("sub_dim")).cast("double"), 6
+        ).alias("mse"),
+    )

@@ -241,6 +241,7 @@ RISK_ORDER: tuple[str, ...] = (
 DEFER_NEW: frozenset[str] = frozenset(
     {
         "dedup_semantic_semdedup",
+        "sim_pq_encode",
     }
 )
 

@@ -759,3 +759,54 @@ def sim_euclidean_topk(spark, sf_dir):
             F.round("dist", 6).alias("l2_dist"), "rank",
         )
     )
+
+
+@register(
+    "sim_pq_encode",
+    oracle="""
+    WITH lowest AS (
+      SELECT embedding AS cv,
+             row_number() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    cb AS (SELECT s, code, cv FROM lowest, generate_series(0, 7) t(s)),
+    scored AS (
+      SELECT e.vec_id, c.s, c.code,
+             list_aggregate(list_transform(generate_series(1, 8),
+               i -> (CAST(e.embedding[c.s*8+i] AS DOUBLE)
+                     - CAST(c.cv[c.s*8+i] AS DOUBLE))
+                  * (CAST(e.embedding[c.s*8+i] AS DOUBLE)
+                     - CAST(c.cv[c.s*8+i] AS DOUBLE))), 'sum') AS d2
+      FROM embeddings e CROSS JOIN cb c
+    ),
+    best AS (
+      SELECT vec_id, s, code, d2,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rn
+      FROM scored
+    )
+    SELECT vec_id AS id,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS pq_code,
+           round(list_aggregate(list(d2 ORDER BY s), 'sum') / 64, 6) AS mse
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    """,
+    category="similarity",
+)
+def sim_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (the FAISS-style IVF-PQ
+    compression step): each 64-dim vector becomes 8 sub-codes into
+    16-entry per-subspace codebooks — 32x smaller, the representation
+    billion-vector ANN indexes actually store. The degenerate
+    lowest-id codebook keeps the whole dataflow (per-subspace squared
+    L2 as an in-order fold, (d2, code)-ordered argmin, subspace-ordered
+    reassembly) exactly reproducible in the SQL oracle; production
+    passes per-subspace trained centroids via
+    operators.similarity.pq_encode's codebook argument. Emits the
+    packed code and the reconstruction MSE witness."""
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(e, "vec_id", "embedding", n_subspaces=8, n_codes=16)

@@ -358,3 +358,23 @@ def test_minhash_pairs_agree_with_mllib_minhashlsh(spark, sf_dir):
         and 1.0 - r["jd"] >= 0.8
     }
     assert ours == theirs
+
+
+def test_pq_encode_properties(spark, sf_dir):
+    """PQ invariants: one row per vector, 8 codes each in [0, 16), the
+    16 codebook member vectors reconstruct exactly (mse 0), and
+    non-member mse is positive — the compression is lossy but bounded
+    by the worst subspace distance to the nearest entry."""
+    from bigdata_financial_reporting_spark.operators.similarity import pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    rows = pq_encode(e, "vec_id", "embedding", n_subspaces=8, n_codes=16).collect()
+    assert len(rows) == n
+    for r in rows:
+        codes = [int(c) for c in r.pq_code.split(",")]
+        assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
+        if r.id < 16:  # codebook member: its own subvectors are entries
+            assert r.mse == 0.0, f"codebook member {r.id} mse {r.mse}"
+        else:
+            assert r.mse > 0
