@@ -969,3 +969,104 @@ def pq_encode(
             total / (F.lit(n_subspaces) * F.col("sub_dim")).cast("double"), 6
         ).alias("mse"),
     )
+
+
+def train_pq_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic per-subspace k-means for ``pq_encode`` — real PQ
+    training (Lloyd on squared L2 within each subspace, the metric PQ
+    quantizes under).
+
+    Init: each subspace's entries are the ``n_codes`` lowest-id
+    vectors' subvectors (no RNG). Each iteration: assign every
+    subvector to its min-distance entry (broadcast join, in-order
+    distance fold, ties to the lower code), recompute entry means per
+    (subspace, code, pos) with one map-side-combined aggregation —
+    subvectors never cross a shuffle whole — rounded to 9 dp so
+    accumulation-order noise cannot make reruns diverge; empty cells
+    keep their previous entry. The model state collected between
+    iterations is n_subspaces x n_codes x sub_dim doubles (8x16x8
+    here) — the textbook small-model pattern, all data-sized work
+    distributed.
+
+    Returns the ``(s, code, cv)`` frame ``pq_encode`` expects, with
+    each entry embedded at its subspace's slice of a zero-padded
+    full-dim vector (so the encoder's shared indexing applies
+    unchanged)."""
+    spark = df.sparkSession
+    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    sub_dim = dim // n_subspaces
+
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    sub = base.select(
+        "vid",
+        "v",
+        F.explode(F.array(*[F.lit(s) for s in range(n_subspaces)])).alias("s"),
+    ).select(
+        "vid",
+        "s",
+        F.transform(
+            F.slice(
+                F.col("v"), F.col("s") * sub_dim + F.lit(1), F.lit(sub_dim)
+            ),
+            lambda x: x.cast("double"),
+        ).alias("sv"),
+    )
+
+    init = base.orderBy("vid").limit(n_codes).collect()
+    # {(s, code): [sub_dim floats]}
+    book = {
+        (s, i): [float(x) for x in r.v[s * sub_dim : (s + 1) * sub_dim]]
+        for i, r in enumerate(init)
+        for s in range(n_subspaces)
+    }
+
+    def d2(sv, cv):
+        return F.aggregate(
+            F.zip_with(sv, cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assign_w = Window.partitionBy("vid", "s").orderBy(
+        F.col("__d2").asc(), F.col("code").asc()
+    )
+    for _ in range(iterations):
+        cb = spark.createDataFrame(
+            [(s, c, v) for (s, c), v in sorted(book.items())],
+            "s int, code int, cv array<double>",
+        )
+        assigned = (
+            sub.join(F.broadcast(cb), "s")
+            .withColumn("__d2", d2(F.col("sv"), F.col("cv")))
+            .withColumn("__rn", F.row_number().over(assign_w))
+            .filter(F.col("__rn") == 1)
+            .select("s", "code", "sv")
+        )
+        per = (
+            assigned.select("s", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("s", "code", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda t: t.getField("m"),
+                ).alias("cv")
+            )
+        )
+        new = {(r.s, r.code): list(r.cv) for r in per.collect()}
+        book = {key: new.get(key, v) for key, v in book.items()}
+
+    rows = []
+    for (s, c), v in sorted(book.items()):
+        full = [0.0] * dim
+        full[s * sub_dim : (s + 1) * sub_dim] = v
+        rows.append((s, c, full))
+    return spark.createDataFrame(rows, "s int, code int, cv array<double>")

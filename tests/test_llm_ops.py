@@ -378,3 +378,31 @@ def test_pq_encode_properties(spark, sf_dir):
             assert r.mse == 0.0, f"codebook member {r.id} mse {r.mse}"
         else:
             assert r.mse > 0
+
+
+def test_trained_pq_codebook_beats_degenerate(spark, sf_dir):
+    """The point of PQ training: per-subspace Lloyd entries must cut
+    total reconstruction error vs the degenerate lowest-id codebook,
+    and the trained path must stay deterministic across reruns."""
+    from pyspark.sql import functions as F
+
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebook,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def total_mse(codebook):
+        return (
+            pq_encode(e, "vec_id", "embedding", 8, 16, codebook=codebook)
+            .agg(F.sum("mse"))
+            .first()[0]
+        )
+
+    degenerate = total_mse(None)
+    cb = train_pq_codebook(e, "vec_id", "embedding", 8, 16, iterations=2)
+    trained = total_mse(cb)
+    assert trained < degenerate, f"trained {trained} !< degenerate {degenerate}"
+    cb2 = train_pq_codebook(e, "vec_id", "embedding", 8, 16, iterations=2)
+    assert sorted(map(tuple, cb.collect())) == sorted(map(tuple, cb2.collect()))
