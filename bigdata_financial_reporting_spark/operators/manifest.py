@@ -119,6 +119,20 @@ def commit_version(
                         f"latest is v{latest}; recompute base_files"
                     ) from None
                 current = set(files_of(table_dir, latest))
+                # Iceberg-style validation: merging is only sound if
+                # every file this commit retires is still live in the
+                # winner's snapshot. If the winner ALREADY removed some
+                # of them (two compactions of the same base), merging
+                # would list both rewrites of the same rows — silent
+                # duplication. Surface the conflict instead.
+                gone = dropped - current
+                if gone:
+                    raise ManifestConflictError(
+                        f"{table_dir}: files this commit retires were "
+                        f"already removed by a concurrent commit "
+                        f"(e.g. {sorted(gone)[:3]}); recompute "
+                        f"base_files against v{latest}"
+                    ) from None
                 files = sorted((current - dropped) | set(new_files))
             version = max(latest, version) + 1
 

@@ -896,7 +896,23 @@ def pq_encode(
     the two shuffles carry only (id, s, code, d2).
 
     Returns (id, pq_code ','-joined, mse = total squared error / d)."""
-    sub_dim_col = (F.size(F.col(vec_col)) / n_subspaces).cast("int")
+    # A vector length not divisible by n_subspaces would silently
+    # truncate the trailing dims out of both the codes and the MSE;
+    # fail loudly per offending row instead (codegen-side check).
+    sub_dim_col = F.when(
+        F.size(F.col(vec_col)) % n_subspaces == 0,
+        (F.size(F.col(vec_col)) / n_subspaces).cast("int"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"pq_encode: vector length must be divisible by "
+                    f"n_subspaces={n_subspaces}; got length "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("int")
+    )
     if codebook is None:
         codebook = (
             df.select(
@@ -944,7 +960,12 @@ def pq_encode(
         "sub_dim",
         _d2(F.col("v"), F.col("cv"), F.col("s"), F.col("sub_dim")).alias("d2"),
     )
-    w = Window.partitionBy("id", "s").orderBy(F.col("d2").asc(), F.col("code").asc())
+    # nulls LAST: a NULL d2 (e.g. a codebook entry shorter than the
+    # indexed slice -> out-of-range element_at) must never win the
+    # argmin — Spark's plain asc() sorts NULL first.
+    w = Window.partitionBy("id", "s").orderBy(
+        F.col("d2").asc_nulls_last(), F.col("code").asc()
+    )
     best = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -998,9 +1019,24 @@ def train_pq_codebook(
     Returns the ``(s, code, cv)`` frame ``pq_encode`` expects, with
     each entry embedded at its subspace's slice of a zero-padded
     full-dim vector (so the encoder's shared indexing applies
-    unchanged)."""
+    unchanged).
+
+    Deliberately mirrors ``train_centroids``' deterministic-Lloyd
+    scaffolding (lowest-id init, lower-id tie-break, 9-dp-rounded
+    means, empty-cell carry-forward, small-model collect between
+    iterations); the two differ in metric (squared L2 vs cosine) and
+    unit (subvector-per-subspace vs whole vector). A change to the
+    shared determinism contract must be applied to BOTH."""
     spark = df.sparkSession
-    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    first = df.select(F.size(F.col(vec_col))).first()
+    if first is None:
+        raise ValueError("train_pq_codebook: input frame is empty")
+    dim = first[0]
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"train_pq_codebook: vector length {dim} must be divisible "
+            f"by n_subspaces={n_subspaces}"
+        )
     sub_dim = dim // n_subspaces
 
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))

@@ -214,7 +214,10 @@ def sim_lsh_topk(spark, sf_dir):
     every bucket bit-for-bit and mirrors the exact-cosine re-rank.
 
     Parameters (round-4 verdict item 4): the old 6x4 config recalled
-    only 0.30@10 on this fixture's near-orthogonal random embeddings;
+    only 0.20@10 on this fixture's near-orthogonal random embeddings
+    with THESE neutral planes (the 0.30 the round-4 artifact reported
+    was measured on the xxhash plane family the registry never ran —
+    the old gen_sim_recall call omitted neutral_planes=True; fixed);
     4 planes x 16 tables measures 0.82@10 (deterministic — planes are
     hash-derived, no RNG), asserted as a floor in test_llm_ops.py and
     exported with the full recall-vs-candidate-cost curve in
@@ -599,31 +602,39 @@ def emb_covariance_matrix(spark, sf_dir):
         ).alias("xq")
     )
 
+    # numpy int64 overflow WRAPS silently, so the per-slice Gram must
+    # be bounded by construction, not by hoping the Arrow batch conf
+    # stays at its 10k default: |xq| <= ~1e6 -> per-row products
+    # <= ~1e12, and 65536 rows x 1e12 ~ 6.6e16 << 2^63. Chunking here
+    # makes the partial exact under ANY
+    # spark.sql.execution.arrow.maxRecordsPerBatch (incl. 0 =
+    # whole-partition batches); global exactness is the decimal(38,0)
+    # merge below.
+    CHUNK = 65536
+
     def partial_gram(batches):
         import numpy as np
 
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            # exact int64 Gram: |xq| <= ~1e6, so per-batch products
-            # (<=1e12) summed over an Arrow batch (<=10k rows) stay
-            # far inside int64; global overflow safety comes from the
-            # decimal(38,0) merge below.
-            X = np.stack(pdf["xq"].to_numpy()).astype("int64")
-            n, dim = X.shape
-            g = X.T @ X
-            s = X.sum(axis=0)
-            iu, ju = np.triu_indices(dim)
-            yield pd.DataFrame(
-                {
-                    "i": iu.astype("int32"),
-                    "j": ju.astype("int32"),
-                    "sxy": g[iu, ju],
-                    "sx": s[iu],
-                    "sy": s[ju],
-                    "n": np.full(len(iu), n, dtype="int64"),
-                }
-            )
+            for start in range(0, len(pdf), CHUNK):
+                chunk = pdf["xq"].iloc[start : start + CHUNK]
+                if len(chunk) == 0:
+                    continue
+                X = np.stack(chunk.to_numpy()).astype("int64")
+                n, dim = X.shape
+                g = X.T @ X
+                s = X.sum(axis=0)
+                iu, ju = np.triu_indices(dim)
+                yield pd.DataFrame(
+                    {
+                        "i": iu.astype("int32"),
+                        "j": ju.astype("int32"),
+                        "sxy": g[iu, ju],
+                        "sx": s[iu],
+                        "sy": s[ju],
+                        "n": np.full(len(iu), n, dtype="int64"),
+                    }
+                )
 
     partials = d.mapInPandas(
         partial_gram, schema="i int, j int, sxy long, sx long, sy long, n long"

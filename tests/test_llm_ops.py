@@ -406,3 +406,42 @@ def test_trained_pq_codebook_beats_degenerate(spark, sf_dir):
     assert trained < degenerate, f"trained {trained} !< degenerate {degenerate}"
     cb2 = train_pq_codebook(e, "vec_id", "embedding", 8, 16, iterations=2)
     assert sorted(map(tuple, cb.collect())) == sorted(map(tuple, cb2.collect()))
+
+
+def test_pq_encode_rejects_indivisible_vector_length(spark):
+    """Review finding: a vector length not divisible by n_subspaces
+    must fail loudly, not silently drop the trailing dimensions."""
+    import pytest
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i)] * 60) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="divisible"):
+        pq_encode(df, "vec_id", "embedding", n_subspaces=8, n_codes=4).collect()
+
+
+def test_covariance_exact_under_tiny_arrow_batches(spark, ddb, sf_dir):
+    """Review finding: the int64 Gram partial must be exact under ANY
+    Arrow batch size (numpy overflow wraps silently). The 64k-row
+    chunking makes the partial bounded by construction; prove the
+    result is batch-size-independent by forcing 97-row batches."""
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    from test_oracle import canon_rows
+
+    spec = QUERIES["emb_covariance_matrix"]
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "97")
+    try:
+        sdf = spec.fn(spark, sf_dir)
+        s = [tuple(r) for r in sdf.collect()]
+    finally:
+        spark.conf.set(key, saved)
+    res = ddb.execute(spec.oracle)
+    d_cols = [d[0] for d in res.description]
+    assert canon_rows(sdf.columns, s) == canon_rows(d_cols, res.fetchall())

@@ -368,3 +368,39 @@ def test_scd2_versions_handles_null_states(spark):
         key=lambda t: t[0],
     )
     assert got == [(1, "A", 2), (2, None, 4), (4, "A", 6), (6, None, None)]
+
+
+def test_manifest_double_compaction_conflict_raises(spark, sf_dir, tmp_path):
+    """Review finding: two concurrent compactions of the SAME base must
+    not auto-merge (that would list both rewrites of the same rows —
+    silent duplication); the loser gets a conflict error."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_financial_reporting_spark.operators.manifest import (
+        ManifestConflictError,
+        commit_version,
+        read_version,
+    )
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    table = os.path.join(str(tmp_path), "double_compact")
+    n = load_table(spark, sf_dir, "nation")
+    v1 = commit_version(n.filter(F.col("n_nationkey") < 10), table)
+
+    # compaction A wins: retires all of v1's files
+    v2 = commit_version(
+        n.filter(F.col("n_nationkey") < 10).coalesce(1),
+        table, base_files=[], base_version=v1,
+    )
+    assert v2 == 2
+    # compaction B raced A from the same base: its retired files are
+    # no longer live in the winner's snapshot -> conflict, not merge
+    with pytest.raises(ManifestConflictError, match="already removed"):
+        commit_version(
+            n.filter(F.col("n_nationkey") < 10).coalesce(1),
+            table, base_files=[], base_version=v1,
+        )
+    assert read_version(spark, table, v2).count() == 10
