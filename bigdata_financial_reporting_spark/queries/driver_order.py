@@ -242,6 +242,7 @@ DEFER_NEW: frozenset[str] = frozenset(
     {
         "dedup_semantic_semdedup",
         "sim_pq_encode",
+        "sim_ivfpq_topk",
     }
 )
 

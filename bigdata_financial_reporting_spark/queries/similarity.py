@@ -821,3 +821,98 @@ def sim_pq_encode(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     return pq_encode(e, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+
+
+_DUCK_PQ_D2 = (
+    "list_aggregate(list_transform(generate_series(1, 8), "
+    "i -> (CAST({a}[{s}*8+i] AS DOUBLE) - CAST({b}[{s}*8+i] AS DOUBLE)) "
+    "   * (CAST({a}[{s}*8+i] AS DOUBLE) - CAST({b}[{s}*8+i] AS DOUBLE))), "
+    "'sum')"
+)
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT e.vec_id AS neighbor_id, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC, c.cent_id)
+               AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (SELECT neighbor_id, cent_id AS cell FROM assigned WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {duck_cosine('q.embedding', 'c.cv')} DESC, c.cent_id)
+               AS rn
+      FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5
+    ),
+    pcells AS (SELECT query_id, cell FROM probes WHERE rn <= 4),
+    lowest AS (
+      SELECT embedding AS cbv,
+             row_number() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    cb AS (SELECT s, code, cbv FROM lowest, generate_series(0, 7) t(s)),
+    code_scored AS (
+      SELECT e.vec_id AS neighbor_id, c.s, c.code,
+             {_DUCK_PQ_D2.format(a='e.embedding', b='c.cbv', s='c.s')} AS d2,
+             row_number() OVER (PARTITION BY e.vec_id, c.s
+               ORDER BY {_DUCK_PQ_D2.format(a='e.embedding', b='c.cbv', s='c.s')},
+                        c.code) AS rn
+      FROM embeddings e CROSS JOIN cb c
+    ),
+    codes AS (SELECT neighbor_id, s, code FROM code_scored WHERE rn = 1),
+    qtable AS (
+      SELECT q.vec_id AS query_id, c.s, c.code,
+             {_DUCK_PQ_D2.format(a='q.embedding', b='c.cbv', s='c.s')} AS qd2
+      FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, s.neighbor_id
+      FROM pcells p JOIN cells s USING (cell)
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_aggregate(list(qt.qd2 ORDER BY k.s), 'sum') AS adc
+      FROM cand
+      JOIN codes k ON k.neighbor_id = cand.neighbor_id
+      JOIN qtable qt ON qt.query_id = cand.query_id
+                    AND qt.s = k.s AND qt.code = k.code
+      GROUP BY cand.query_id, cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_d2,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    category="similarity",
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (the FAISS composition billion-vector indexes run):
+    IVF cells bound WHICH candidates are scored (4/16 probing), PQ
+    codes bound WHAT scoring reads (8 ints per vector, raw vectors
+    never touched at query time), asymmetric distance computed from a
+    broadcast per-query 8x16 lookup table with a subspace-ordered
+    fold. Degenerate lowest-id quantizers keep every stage exactly
+    SQL-reproducible — assignment, probing, encoding, distance tables,
+    ADC sum, and re-rank are mirrored CTE-for-stage; production swaps
+    in train_centroids cells + train_pq_codebook entries. Recall vs
+    the exact ranking is measured in test_llm_ops.py."""
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        q, e, "vec_id", "vec_id",
+        n_centroids=16, n_probe=4, n_subspaces=8, n_codes=16, k=10,
+    )

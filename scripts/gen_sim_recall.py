@@ -165,6 +165,31 @@ def main() -> None:
         "floor": {"recall_at_k": 0.8},
     }
 
+    # sim_ivfpq_topk — composed IVF-PQ with ADC scoring. Recall is
+    # capped by BOTH quantization and the metric mismatch on this
+    # fixture (ADC ranks by quantized L2; the ground truth by cosine
+    # over unnormalized random vectors), so the floor is deliberately
+    # lower than IVF's; determinism and exact-oracle agreement are the
+    # hard guarantees (tests + CORRECTNESS gate).
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    pq_rows = ivfpq_topk(q, e, "vec_id", "vec_id").collect()
+    pq_hits = sum(
+        1 for r in pq_rows if r.neighbor_id in exact_top.get(r.query_id, set())
+    )
+    out["queries"]["sim_ivfpq_topk"] = {
+        "params": {
+            "n_centroids": 16, "n_probe": 4,
+            "n_subspaces": 8, "n_codes": 16,
+        },
+        "returned": len(pq_rows),
+        "recall_at_k": round(pq_hits / sum(len(v) for v in exact_top.values()), 4),
+        "metric_note": "ADC ranks by quantized L2; ground truth is cosine",
+        "floor": {"recall_at_k": 0.3},
+    }
+
     # dedup_embedding_cosine — banded LSH blocking vs exact all-pairs
     # cosine at the registry threshold (0.35). The oracle gate assumes
     # pair-set equality at fixture scale; record it as hard evidence.
