@@ -438,6 +438,49 @@ def train_centroids(
     return cents
 
 
+def _degenerate_centroids(
+    corpus: DataFrame, corpus_id: str, vec_col: str, n_centroids: int
+) -> DataFrame:
+    """The training-free deterministic coarse quantizer: the
+    ``n_centroids`` lowest-id corpus vectors, in the schema
+    ``train_centroids`` returns. The ONE builder shared by ivf_topk
+    and ivfpq_topk (review round 5: two copies drift silently)."""
+    return (
+        corpus.select(
+            F.col(corpus_id).alias("cent_id"),
+            F.col(vec_col).alias("__cent"),
+            l2_norm(F.col(vec_col)).alias("__centn"),
+        )
+        .orderBy("cent_id")
+        .limit(n_centroids)
+    )
+
+
+def _nearest_cells(
+    rows: DataFrame, key_col: str, vec_col: str, norm_col: str,
+    cents: DataFrame, n_keep: int,
+) -> DataFrame:
+    """Rank centroid cells by cosine for each row and keep the top
+    ``n_keep``, appending ``cell`` — the ONE implementation of the IVF
+    assignment (n_keep=1) and probe (n_keep=n_probe) step: broadcast
+    centroid join, (sim desc, cent_id asc) tie-break."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__sim").desc(), F.col("cent_id").asc()
+    )
+    return (
+        rows.join(F.broadcast(cents))
+        .withColumn(
+            "__sim",
+            _cosine_with_norms(
+                F.col(vec_col), F.col("__cent"), F.col(norm_col), F.col("__centn")
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_keep)
+        .select(*rows.columns, F.col("cent_id").alias("cell"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -464,15 +507,7 @@ def ivf_topk(
     if centroids is not None:
         cents = centroids
     else:
-        cents = (
-            corpus.select(
-                F.col(corpus_id).alias("cent_id"),
-                F.col(vec_col).alias("__cent"),
-                l2_norm(F.col(vec_col)).alias("__centn"),
-            )
-            .orderBy("cent_id")
-            .limit(n_centroids)
-        )
+        cents = _degenerate_centroids(corpus, corpus_id, vec_col, n_centroids)
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
@@ -480,42 +515,14 @@ def ivf_topk(
         l2_norm(F.col(vec_col)).alias("__cn"),
     )
     # cell assignment: nearest centroid by cosine (rank-1 per vector)
-    assign_w = Window.partitionBy("neighbor_id").orderBy(
-        F.col("__sim").desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        c.join(F.broadcast(cents))
-        .withColumn(
-            "__sim",
-            _cosine_with_norms(
-                F.col("__cv"), F.col("__cent"), F.col("__cn"), F.col("__centn")
-            ),
-        )
-        .withColumn("__rn", F.row_number().over(assign_w))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "__cv", "__cn", F.col("cent_id").alias("cell"))
-    )
+    assigned = _nearest_cells(c, "neighbor_id", "__cv", "__cn", cents, 1)
 
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("cent_id").asc()
-    )
-    probes = (
-        q.join(F.broadcast(cents))
-        .withColumn(
-            "__sim",
-            _cosine_with_norms(
-                F.col("__qv"), F.col("__cent"), F.col("__qn"), F.col("__centn")
-            ),
-        )
-        .withColumn("__rn", F.row_number().over(probe_w))
-        .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", "__qn", F.col("cent_id").alias("cell"))
-    )
+    probes = _nearest_cells(q, "query_id", "__qv", "__qn", cents, n_probe)
 
     scored = assigned.join(F.broadcast(probes), "cell").select(
         "query_id",
@@ -865,6 +872,69 @@ def semantic_dedup(
     )
 
 
+def _checked_sub_dim(vec, n_subspaces: int, caller: str):
+    """sub_dim = len(vec)/n_subspaces with a loud per-row failure on
+    indivisible lengths (silent truncation would drop the trailing
+    dims from codes and MSE). Shared by pq_encode and ivfpq_topk's
+    query side — review round 5 found the guard missing on one of the
+    two copies."""
+    return F.when(
+        F.size(vec) % n_subspaces == 0,
+        (F.size(vec) / n_subspaces).cast("int"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{caller}: vector length must be divisible by "
+                    f"n_subspaces={n_subspaces}; got length "
+                ),
+                F.size(vec).cast("string"),
+            )
+        ).cast("int")
+    )
+
+
+def _pq_subspace_d2(vec, cv, s, sub_dim):
+    """Squared L2 between ``vec``'s and ``cv``'s s-th subvectors as an
+    IN-ORDER double fold (component order i=1..sub_dim) — the ONE
+    distance both the PQ encoder and the ADC table builder use, and
+    the fold the DuckDB oracles mirror term-for-term."""
+
+    def step(acc, i):
+        idx = (s * sub_dim + i).cast("int")
+        diff = F.element_at(vec, idx).cast("double") - F.element_at(
+            cv, idx
+        ).cast("double")
+        return acc + diff * diff
+
+    return F.aggregate(F.sequence(F.lit(1), sub_dim), F.lit(0.0), step)
+
+
+def _degenerate_pq_codebook(
+    df: DataFrame, id_col: str, vec_col: str, n_subspaces: int, n_codes: int
+) -> DataFrame:
+    """Training-free deterministic PQ codebook: the ``n_codes``
+    lowest-id vectors serve as entries for every subspace. The ONE
+    builder shared by pq_encode and ivfpq_topk — their (s, code) join
+    is only sound if both sides use bit-identical entries."""
+    return (
+        df.select(F.col(id_col).alias("cb_id"), F.col(vec_col).alias("cv"))
+        .orderBy("cb_id")
+        .limit(n_codes)
+        .select(
+            "cv",
+            (F.row_number().over(Window.orderBy("cb_id")) - 1).alias("code"),
+        )
+        .select(
+            F.explode(F.array(*[F.lit(s) for s in range(n_subspaces)])).alias(
+                "s"
+            ),
+            "code",
+            "cv",
+        )
+    )
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str,
@@ -896,69 +966,26 @@ def pq_encode(
     the two shuffles carry only (id, s, code, d2).
 
     Returns (id, pq_code ','-joined, mse = total squared error / d)."""
-    # A vector length not divisible by n_subspaces would silently
-    # truncate the trailing dims out of both the codes and the MSE;
-    # fail loudly per offending row instead (codegen-side check).
-    sub_dim_col = F.when(
-        F.size(F.col(vec_col)) % n_subspaces == 0,
-        (F.size(F.col(vec_col)) / n_subspaces).cast("int"),
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"pq_encode: vector length must be divisible by "
-                    f"n_subspaces={n_subspaces}; got length "
-                ),
-                F.size(F.col(vec_col)).cast("string"),
-            )
-        ).cast("int")
-    )
     if codebook is None:
-        codebook = (
-            df.select(
-                F.col(id_col).alias("cb_id"), F.col(vec_col).alias("cv")
-            )
-            .orderBy("cb_id")
-            .limit(n_codes)
-            .select(
-                "cv",
-                (
-                    F.row_number().over(Window.orderBy("cb_id")) - 1
-                ).alias("code"),
-            )
-            .select(
-                F.explode(
-                    F.array(*[F.lit(s) for s in range(n_subspaces)])
-                ).alias("s"),
-                "code",
-                "cv",
-            )
+        codebook = _degenerate_pq_codebook(
+            df, id_col, vec_col, n_subspaces, n_codes
         )
     rows = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        sub_dim_col.alias("sub_dim"),
+        _checked_sub_dim(F.col(vec_col), n_subspaces, "pq_encode").alias(
+            "sub_dim"
+        ),
         F.explode(F.array(*[F.lit(s) for s in range(n_subspaces)])).alias("s"),
     )
-
-    def _d2(v, cv, s, sub_dim):
-        def step(acc, i):
-            idx = (s * sub_dim + i).cast("int")
-            diff = F.element_at(v, idx).cast("double") - F.element_at(
-                cv, idx
-            ).cast("double")
-            return acc + diff * diff
-
-        return F.aggregate(
-            F.sequence(F.lit(1), sub_dim), F.lit(0.0), step
-        )
-
     scored = rows.join(F.broadcast(codebook), "s").select(
         "id",
         "s",
         "code",
         "sub_dim",
-        _d2(F.col("v"), F.col("cv"), F.col("s"), F.col("sub_dim")).alias("d2"),
+        _pq_subspace_d2(
+            F.col("v"), F.col("cv"), F.col("s"), F.col("sub_dim")
+        ).alias("d2"),
     )
     # nulls LAST: a NULL d2 (e.g. a codebook entry shorter than the
     # indexed slice -> out-of-range element_at) must never win the
@@ -1147,38 +1174,29 @@ def ivfpq_topk(
     if centroids is not None:
         cents = centroids
     else:
-        cents = (
-            corpus.select(
-                F.col(corpus_id).alias("cent_id"),
-                F.col(vec_col).alias("__cent"),
-                l2_norm(F.col(vec_col)).alias("__centn"),
-            )
-            .orderBy("cent_id")
-            .limit(n_centroids)
+        cents = _degenerate_centroids(corpus, corpus_id, vec_col, n_centroids)
+    # The SAME codebook frame feeds both the corpus encoder and the
+    # query distance table — their (s, code) join is only sound if the
+    # two sides use bit-identical entries (review round 5: two
+    # independently-built copies would drift silently).
+    cb = (
+        codebook
+        if codebook is not None
+        else _degenerate_pq_codebook(
+            corpus, corpus_id, vec_col, n_subspaces, n_codes
         )
+    )
     # --- index build: cell assignment + PQ codes, vectors used once
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
     )
-    assign_w = Window.partitionBy("neighbor_id").orderBy(
-        F.col("__sim").desc(), F.col("cent_id").asc()
-    )
-    cells = (
-        c.join(F.broadcast(cents))
-        .withColumn(
-            "__sim",
-            _cosine_with_norms(
-                F.col("__cv"), F.col("__cent"), F.col("__cn"), F.col("__centn")
-            ),
-        )
-        .withColumn("__rn", F.row_number().over(assign_w))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", F.col("cent_id").alias("cell"))
+    cells = _nearest_cells(c, "neighbor_id", "__cv", "__cn", cents, 1).select(
+        "neighbor_id", "cell"
     )
     codes = pq_encode(
-        corpus, corpus_id, vec_col, n_subspaces, n_codes, codebook=codebook
+        corpus, corpus_id, vec_col, n_subspaces, n_codes, codebook=cb
     ).select(
         F.col("id").alias("neighbor_id"),
         F.posexplode(F.split("pq_code", ",")).alias("s", "code_s"),
@@ -1192,71 +1210,28 @@ def ivfpq_topk(
         F.col(vec_col).alias("__qv"),
         l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("cent_id").asc()
-    )
-    probes = (
-        q.join(F.broadcast(cents))
-        .withColumn(
-            "__sim",
-            _cosine_with_norms(
-                F.col("__qv"), F.col("__cent"), F.col("__qn"), F.col("__centn")
-            ),
-        )
-        .withColumn("__rn", F.row_number().over(probe_w))
-        .filter(F.col("__rn") <= n_probe)
-        .select("query_id", F.col("cent_id").alias("cell"))
-    )
-    if codebook is None:
-        cb = (
-            corpus.select(
-                F.col(corpus_id).alias("cb_id"), F.col(vec_col).alias("cv")
-            )
-            .orderBy("cb_id")
-            .limit(n_codes)
-            .select(
-                "cv",
-                (F.row_number().over(Window.orderBy("cb_id")) - 1).alias(
-                    "code"
-                ),
-            )
-            .select(
-                F.explode(
-                    F.array(*[F.lit(s) for s in range(n_subspaces)])
-                ).alias("s"),
-                "code",
-                "cv",
-            )
-        )
-    else:
-        cb = codebook
-    sub_dim = (F.size(F.col("__qv")) / n_subspaces).cast("int")
+    probes = _nearest_cells(
+        q, "query_id", "__qv", "__qn", cents, n_probe
+    ).select("query_id", "cell")
     qrows = q.select(
-        "query_id", F.col("__qv").alias("qv"), sub_dim.alias("sub_dim")
+        "query_id",
+        F.col("__qv").alias("qv"),
+        _checked_sub_dim(F.col("__qv"), n_subspaces, "ivfpq_topk").alias(
+            "sub_dim"
+        ),
     ).select(
         "query_id",
         "qv",
         "sub_dim",
         F.explode(F.array(*[F.lit(s) for s in range(n_subspaces)])).alias("s"),
     )
-
-    def _qd2(qv, cv, s, sdim):
-        def step(acc, i):
-            idx = (s * sdim + i).cast("int")
-            diff = F.element_at(qv, idx).cast("double") - F.element_at(
-                cv, idx
-            ).cast("double")
-            return acc + diff * diff
-
-        return F.aggregate(F.sequence(F.lit(1), sdim), F.lit(0.0), step)
-
     qtable = qrows.join(F.broadcast(cb), "s").select(
         "query_id",
         "s",
         "code",
-        _qd2(F.col("qv"), F.col("cv"), F.col("s"), F.col("sub_dim")).alias(
-            "qd2"
-        ),
+        _pq_subspace_d2(
+            F.col("qv"), F.col("cv"), F.col("s"), F.col("sub_dim")
+        ).alias("qd2"),
     )
 
     # --- candidate scoring: (id, cell, codes) join probed cells, look

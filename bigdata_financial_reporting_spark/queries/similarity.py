@@ -616,10 +616,9 @@ def emb_covariance_matrix(spark, sf_dir):
         import numpy as np
 
         for pdf in batches:
+            # an empty pdf yields an empty range -> no iterations
             for start in range(0, len(pdf), CHUNK):
                 chunk = pdf["xq"].iloc[start : start + CHUNK]
-                if len(chunk) == 0:
-                    continue
                 X = np.stack(chunk.to_numpy()).astype("int64")
                 n, dim = X.shape
                 g = X.T @ X

@@ -67,7 +67,8 @@ def main() -> None:
                 # rows-only key (oracle=None): the driver records a
                 # weaker non-empty check — mirror it, don't KeyError
                 ok = len(s_rows) > 0
-                print(f"ok   {name} (rows-only, {len(s_rows)} rows)")
+                tag = "ok  " if ok else "BAD "
+                print(f"{tag} {name} (rows-only, {len(s_rows)} rows)")
                 if not ok:
                     bad.append(name)
                 continue
