@@ -283,26 +283,54 @@ def lsh_bucket_topk(
         total = n_tables * n_planes
         base = df.select(F.col(id_col_name).alias(out_id), F.col(vec_col).alias("v"))
         ex = base.select(out_id, F.posexplode("v").alias("pos", "x"))
-        rows = ex.select(
-            out_id,
-            "pos",
-            "x",
-            F.explode(F.array(*[F.lit(p) for p in range(total)])).alias("p"),
-        )
         if neutral_planes:
             # Micro-quantized vector x md5-derived integer component:
             # the per-plane dot is an exact BIGINT sum (max |term|
             # 1e6 * 1e6, x dim 64 planes well under 2^63) — order-
             # independent without DECIMAL, and bit-reproducible in the
             # DuckDB oracle.
-            h = _neutral_plane_component(F.col("p"), F.col("pos"))
-            term = F.round(F.col("x").cast("double") * 1000000).cast("long") * h
+            #
+            # The plane matrix depends only on (pos, plane) — dim x
+            # total constants — so it is materialized ONCE as a tiny
+            # broadcast frame instead of re-deriving md5(concat(...))
+            # per (corpus row x plane): at 16 tables x 4 planes that
+            # removes n x dim x 64 hash evaluations from the signature
+            # map (6.7 s -> 4.0 s on the 10x corpus). One vector's
+            # positions enumerate them all (uniform dim contract).
+            planes = (
+                base.limit(1)
+                .select(F.posexplode("v").alias("pos", "_x"))
+                .select(
+                    "pos",
+                    F.explode(
+                        F.array(*[F.lit(p) for p in range(total)])
+                    ).alias("p"),
+                )
+                .select(
+                    "pos",
+                    "p",
+                    _neutral_plane_component(F.col("p"), F.col("pos")).alias(
+                        "h"
+                    ),
+                )
+            )
+            rows = ex.join(F.broadcast(planes), "pos")
+            term = (
+                F.round(F.col("x").cast("double") * 1000000).cast("long")
+                * F.col("h")
+            )
             signs = (
                 rows.groupBy(out_id, "p")
                 .agg(F.sum(term).alias("dot"))
                 .select(out_id, "p", (F.col("dot") >= 0).cast("long").alias("s"))
             )
         else:
+            rows = ex.select(
+                out_id,
+                "pos",
+                "x",
+                F.explode(F.array(*[F.lit(p) for p in range(total)])).alias("p"),
+            )
             h = (
                 (F.xxhash64(F.col("p"), F.col("pos")) % 2000001).cast("double")
                 / 1000000.0
