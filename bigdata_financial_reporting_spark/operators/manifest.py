@@ -29,6 +29,30 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f"manifest-v{version}.json")
 
 
+def _publish_manifest(table_dir: str, version: int, files: list[str]) -> bool:
+    """Atomically publish ``manifest-v{version}.json``; False on collision.
+
+    A plain ``open(path, 'x')`` + ``json.dump`` makes the manifest
+    VISIBLE (and thus readable by a conflicting loser's ``files_of``)
+    before its bytes are written — a tight race turns a recoverable
+    conflict into a JSONDecodeError. Write the complete document to a
+    temp file first, fsync it, then ``os.link(temp, final)``: the link
+    either materializes the full content or fails with FileExistsError,
+    preserving the O_EXCL single-winner commit point."""
+    tmp = os.path.join(table_dir, f".manifest-{uuid.uuid4().hex[:12]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "files": files}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 def latest_version(table_dir: str) -> int:
     """Highest committed version, or 0 when the table does not exist."""
     if not os.path.isdir(table_dir):
@@ -87,6 +111,15 @@ def commit_version(
     if on_conflict not in ("merge", "error"):
         raise ValueError(f"on_conflict must be 'merge' or 'error', got {on_conflict!r}")
     os.makedirs(table_dir, exist_ok=True)
+    # Resolve the base BEFORE the (slow) staging write: resolving after
+    # would let a commit that lands mid-write become the "base", so this
+    # commit's drop set would be computed against the WINNER's snapshot
+    # (marking the winner's new files as drops) with no version
+    # collision to surface it — exactly the silent clobber the conflict
+    # path exists to prevent. Resolved-first, any concurrent commit
+    # makes this base stale and the O_EXCL collision below fires.
+    if base_version is None:
+        base_version = latest_version(table_dir)
     staging = os.path.join(table_dir, f"commit-{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(staging)
     new_files = sorted(
@@ -94,8 +127,6 @@ def commit_version(
         for f in os.listdir(staging)
         if f.endswith(".parquet")
     )
-    if base_version is None:
-        base_version = latest_version(table_dir)
     if base_files is None:
         dropped: set[str] = set()  # rewrite: no kept base state
     else:
@@ -105,36 +136,33 @@ def commit_version(
     files = sorted(set(files))
     version = base_version + 1
     while True:
-        try:
-            with open(_manifest_path(table_dir, version), "x") as fh:
-                json.dump({"version": version, "files": files}, fh)
+        if _publish_manifest(table_dir, version, files):
             return version
-        except FileExistsError:
-            # a concurrent writer owns this version number: re-resolve
-            latest = latest_version(table_dir)
-            if base_files is not None:
-                if on_conflict == "error":
-                    raise ManifestConflictError(
-                        f"{table_dir}: base v{base_version} is stale — "
-                        f"latest is v{latest}; recompute base_files"
-                    ) from None
-                current = set(files_of(table_dir, latest))
-                # Iceberg-style validation: merging is only sound if
-                # every file this commit retires is still live in the
-                # winner's snapshot. If the winner ALREADY removed some
-                # of them (two compactions of the same base), merging
-                # would list both rewrites of the same rows — silent
-                # duplication. Surface the conflict instead.
-                gone = dropped - current
-                if gone:
-                    raise ManifestConflictError(
-                        f"{table_dir}: files this commit retires were "
-                        f"already removed by a concurrent commit "
-                        f"(e.g. {sorted(gone)[:3]}); recompute "
-                        f"base_files against v{latest}"
-                    ) from None
-                files = sorted((current - dropped) | set(new_files))
-            version = max(latest, version) + 1
+        # a concurrent writer owns this version number: re-resolve
+        latest = latest_version(table_dir)
+        if base_files is not None:
+            if on_conflict == "error":
+                raise ManifestConflictError(
+                    f"{table_dir}: base v{base_version} is stale — "
+                    f"latest is v{latest}; recompute base_files"
+                )
+            current = set(files_of(table_dir, latest))
+            # Iceberg-style validation: merging is only sound if
+            # every file this commit retires is still live in the
+            # winner's snapshot. If the winner ALREADY removed some
+            # of them (two compactions of the same base), merging
+            # would list both rewrites of the same rows — silent
+            # duplication. Surface the conflict instead.
+            gone = dropped - current
+            if gone:
+                raise ManifestConflictError(
+                    f"{table_dir}: files this commit retires were "
+                    f"already removed by a concurrent commit "
+                    f"(e.g. {sorted(gone)[:3]}); recompute "
+                    f"base_files against v{latest}"
+                )
+            files = sorted((current - dropped) | set(new_files))
+        version = max(latest, version) + 1
 
 
 def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame:

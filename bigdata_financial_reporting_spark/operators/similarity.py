@@ -295,11 +295,21 @@ def lsh_bucket_topk(
             # broadcast frame instead of re-deriving md5(concat(...))
             # per (corpus row x plane): at 16 tables x 4 planes that
             # removes n x dim x 64 hash evaluations from the signature
-            # map (6.7 s -> 4.0 s on the 10x corpus). One vector's
-            # positions enumerate them all (uniform dim contract).
+            # map (6.7 s -> 4.0 s on the 10x corpus). Positions are
+            # enumerated from the corpus-wide MAX dim (a 1-row
+            # aggregate), NOT an arbitrary sampled row: limit(1)
+            # without ordering is nondeterministic, and with ragged
+            # vectors a short sample would silently drop positions
+            # from every signature. Max-dim covers each row's own
+            # positions exactly — the inner join on pos never extends
+            # a row beyond its own size.
             planes = (
-                base.limit(1)
-                .select(F.posexplode("v").alias("pos", "_x"))
+                base.agg(F.max(F.size("v")).alias("_d"))
+                .select(
+                    F.posexplode(
+                        F.sequence(F.lit(0), F.col("_d") - 1)
+                    ).alias("_i", "pos")
+                )
                 .select(
                     "pos",
                     F.explode(
@@ -1125,8 +1135,12 @@ def train_pq_codebook(
             lambda acc, x: acc + x,
         )
 
+    # asc_nulls_last, matching pq_encode's shared determinism contract:
+    # a NULL distance (ragged vector -> zip_with null-padding) must
+    # never win the argmin, or code 0 silently absorbs the ragged row
+    # and pollutes the trained means.
     assign_w = Window.partitionBy("vid", "s").orderBy(
-        F.col("__d2").asc(), F.col("code").asc()
+        F.col("__d2").asc_nulls_last(), F.col("code").asc()
     )
     for _ in range(iterations):
         cb = spark.createDataFrame(

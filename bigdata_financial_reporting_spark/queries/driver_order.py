@@ -35,74 +35,96 @@ from pathlib import Path
 
 from bigdata_financial_reporting_spark.queries.registry import QUERIES
 
-# Union of CORRECTNESS_r01..r04 keys (186) — fallback only; the live
+# Union of CORRECTNESS_r01..r05 keys (235) — fallback only; the live
 # set below re-reads every CORRECTNESS_r*.json so later rounds are
-# picked up automatically. Regenerated round 5 from the artifacts.
+# picked up automatically. Regenerated round 6 from the artifacts.
 _STATIC_SEEN: frozenset[str] = frozenset(
     {
         "agg_approx_count_distinct", "agg_approx_quantiles",
-        "agg_collect_sorted", "agg_corr_covar", "agg_count_distinct",
-        "agg_cube", "agg_global", "agg_grouping_sets", "agg_histogram",
+        "agg_benford_digits", "agg_bitmap_distinct",
+        "agg_chi2_independence", "agg_collect_sorted", "agg_corr_covar",
+        "agg_count_distinct", "agg_countmin_heavy_hitters",
+        "agg_crosstab_stat", "agg_cube", "agg_equidepth_histogram",
+        "agg_gini_coefficient", "agg_global", "agg_grouping_sets",
+        "agg_histogram", "agg_hll_sketch_mergeable", "agg_ks_twosample",
         "agg_median_percentile", "agg_min_by_max_by", "agg_pivot",
-        "agg_rollup", "agg_stats", "agg_unpivot", "boolean_combinators",
-        "case_when_coalesce", "cast_types", "dedup_clusters",
-        "dedup_embedding_cosine", "dedup_exact", "dedup_exact_groups",
-        "dedup_incremental", "dedup_minhash_pairs", "dedup_ngram_jaccard",
-        "dedup_simhash", "dedup_survivor_quality", "dedup_winnow_pairs",
-        "derived_column", "distinct_pairs", "dropdup_keys_pinned",
-        "emb_covariance_matrix", "filter_in_like_null", "filter_range",
-        "fin_beta_market", "fin_bollinger_bands", "fin_drawdown",
-        "fin_ema_window", "fin_gapfill_interpolate", "fin_ohlc_bars",
-        "fin_rsi_window", "fin_vwap", "fn_array", "fn_array_explode",
+        "agg_regression_family", "agg_rollup", "agg_stats",
+        "agg_subsample_ci", "agg_unpivot", "agg_weighted_median",
+        "agg_welch_ttest", "boolean_combinators", "case_when_coalesce",
+        "cast_types", "dedup_clusters", "dedup_embedding_cosine",
+        "dedup_exact", "dedup_exact_groups", "dedup_incremental",
+        "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_survivor_quality", "dedup_winnow_pairs", "derived_column",
+        "distinct_pairs", "dropdup_keys_pinned", "emb_covariance_matrix",
+        "filter_in_like_null", "filter_range", "fin_beta_market",
+        "fin_bollinger_bands", "fin_drawdown", "fin_ema_window",
+        "fin_gapfill_interpolate", "fin_hhi_concentration",
+        "fin_ohlc_bars", "fin_return_corr_pairs", "fin_rsi_window",
+        "fin_sharpe_by_instrument", "fin_var_expected_shortfall",
+        "fin_vwap", "fn_array", "fn_array_explode", "fn_collated_groupby",
         "fn_date", "fn_decimal_money", "fn_explode_outer", "fn_hash",
         "fn_json", "fn_map", "fn_math", "fn_nondeterministic_ids",
-        "fn_string", "fn_struct", "intersect_except", "join_anti",
-        "join_asof", "join_broadcast_dims", "join_cross",
+        "fn_string", "fn_struct", "fn_variant_json", "intersect_except",
+        "join_anti", "join_asof", "join_broadcast_dims", "join_cross",
         "join_full_outer", "join_fuzzy_levenshtein", "join_inner",
         "join_interval_containment", "join_interval_overlap",
-        "join_left_outer", "join_null_safe", "join_range_banded",
-        "join_right_outer", "join_self", "join_semi", "join_theta",
-        "limit_offset", "mix_apply_sample", "mix_temperature_sample",
+        "join_lateral_topn", "join_left_outer", "join_null_safe",
+        "join_point_in_time_scd2", "join_range_banded", "join_right_outer",
+        "join_self", "join_semi", "join_theta", "limit_offset",
+        "mix_apply_sample", "mix_temperature_sample",
         "mm_ahash_dedup_groups", "mm_audio_rms_windows",
         "mm_base64_roundtrip", "mm_binary_metadata", "mm_decode_features",
         "mm_decode_wav", "mm_frame_extract", "mm_frame_sampling",
-        "mm_resize_ppm", "null_fill_drop", "ops_compact_roundtrip",
-        "ops_table_profile", "ops_upsert_roundtrip",
-        "ops_validate_quality", "quality_filter_reasons",
-        "ref_avg_daily_return", "ref_daily_returns",
-        "ref_daily_returns_scalable", "ref_per_user_returns",
-        "ref_report_bundle", "rename_drop", "rollup_timeseries",
-        "sample_seeded", "sample_stratified", "select_prune",
-        "sim_centroid_per_label", "sim_cosine_topk",
+        "mm_resize_ppm", "null_fill_drop", "ops_cdc_apply",
+        "ops_compact_roundtrip", "ops_incremental_rollup_refresh",
+        "ops_scd2_build", "ops_table_profile", "ops_time_travel_versions",
+        "ops_upsert_roundtrip", "ops_validate_quality",
+        "ops_zorder_layout", "pipeline_pretrain_end2end",
+        "quality_filter_reasons", "ref_avg_daily_return",
+        "ref_daily_returns", "ref_daily_returns_scalable",
+        "ref_per_user_returns", "ref_report_bundle", "rename_drop",
+        "rollup_timeseries", "sample_seeded", "sample_stratified",
+        "select_prune", "sim_centroid_per_label", "sim_cosine_topk",
         "sim_cosine_topk_vectorized", "sim_embedding_outliers",
         "sim_euclidean_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
         "sim_lsh_topk", "sim_maxdot_topk", "sim_pairwise_matrix",
         "sim_quantize_int8", "sim_random_projection", "skew_salted_agg",
         "skew_salted_join", "sort_multi_key_limit", "split_contamination",
-        "split_train_test", "src_csv_roundtrip", "src_in_memory",
-        "src_json_roundtrip", "src_orc_roundtrip",
-        "src_parquet_partitioned_roundtrip", "src_parquet_scan",
-        "src_single_csv_sink", "src_split_export_roundtrip",
-        "stream_dedup_watermark", "stream_foreach_batch_sink",
-        "stream_rate_source", "stream_session_window",
-        "stream_sliding_window", "stream_stateful_counters",
-        "stream_static_join", "stream_stream_join",
-        "stream_tumbling_window", "text_bigrams", "text_fingerprint",
-        "text_global_shuffle", "text_lang_slice", "text_langid",
-        "text_normalize_stem", "text_pack_sequences", "text_quality_score",
-        "text_redact", "text_repetition_score", "text_source_overlap",
-        "text_tfidf", "text_token_count_bpe", "text_token_counts",
+        "split_train_test", "sql_pipe_syntax", "sql_recursive_cte_spine",
+        "sql_session_variables", "src_bucketed_colocated_join",
+        "src_csv_corrupt_handling", "src_csv_roundtrip",
+        "src_file_metadata_column", "src_in_memory", "src_json_roundtrip",
+        "src_orc_roundtrip", "src_parquet_partitioned_roundtrip",
+        "src_parquet_scan", "src_python_datasource",
+        "src_schema_evolution_merge", "src_single_csv_sink",
+        "src_split_export_roundtrip", "src_text_lines_roundtrip",
+        "stream_content_dedup", "stream_dedup_watermark",
+        "stream_foreach_batch_sink", "stream_rate_source",
+        "stream_session_window", "stream_sliding_window",
+        "stream_stateful_counters", "stream_static_join",
+        "stream_stream_join", "stream_tumbling_window",
+        "text_bigram_logprob", "text_bigrams", "text_collocations_pmi",
+        "text_distinctive_ngrams", "text_fingerprint",
+        "text_global_shuffle", "text_keywords_tfidf_topk",
+        "text_lang_slice", "text_langid", "text_normalize_stem",
+        "text_pack_sequences", "text_pagerank_keywords",
+        "text_quality_logreg", "text_quality_score", "text_redact",
+        "text_repetition_score", "text_source_overlap", "text_tfidf",
+        "text_token_count_bpe", "text_token_counts", "text_token_entropy",
         "text_tokenize", "text_top_shingles", "text_unigram_logprob",
-        "text_vocab_coverage", "text_winnow_fingerprint", "topk_per_group",
-        "tpch_q1", "tpch_q3_shape", "tpch_q5_shape", "ts_autocorrelation",
-        "ts_calendar_features", "ts_changepoint_cusum",
-        "ts_cohort_retention", "ts_event_rate_anomaly", "ts_forward_fill",
-        "ts_funnel", "ts_inter_event_gaps", "ts_mann_kendall_trend",
+        "text_vocab_coverage", "text_winnow_fingerprint", "text_zipf_fit",
+        "topk_per_group", "tpch_q1", "tpch_q3_shape", "tpch_q5_shape",
+        "ts_autocorrelation", "ts_calendar_features",
+        "ts_changepoint_cusum", "ts_cohort_retention",
+        "ts_event_rate_anomaly", "ts_forward_fill", "ts_funnel",
+        "ts_inter_event_gaps", "ts_mann_kendall_trend",
         "ts_minmax_downsample", "ts_sessionize", "ts_snapshot_diff",
-        "ts_theil_sen_slope", "udf_apply_in_pandas", "udf_map_in_pandas",
-        "udf_pandas_grouped_agg", "udf_pandas_scalar", "udf_python_udtf",
-        "udf_scalar_python", "udf_sql_registered", "union_all_distinct",
-        "window_first_last", "window_global_small", "window_lag_lead",
+        "ts_theil_sen_slope", "udf_apply_in_pandas",
+        "udf_arrow_optimized_scalar", "udf_map_in_arrow",
+        "udf_map_in_pandas", "udf_pandas_grouped_agg", "udf_pandas_scalar",
+        "udf_python_udtf", "udf_scalar_python", "udf_sql_function",
+        "udf_sql_registered", "union_all_distinct", "window_first_last",
+        "window_global_small", "window_hampel_outliers", "window_lag_lead",
         "window_moving_avg", "window_range_frame", "window_ranks",
         "window_running_agg", "window_zscore_anomaly",
         "winsorize_by_group",
@@ -129,10 +151,11 @@ def _seen_from_artifacts() -> frozenset[str]:
 DRIVER_SEEN: frozenset[str] = _seen_from_artifacts()
 
 # Keys whose latest driver row FAILED and have since been fixed.
-# Round 5: the one round-4 red row — emb_covariance_matrix's
-# order-dependent double accumulation, rewritten to exact micro-
-# quantized integer moments with an identical-arithmetic oracle
-# (queries/similarity.py). Clear once green in a CORRECTNESS artifact.
+# Round 6: emb_covariance_matrix's r05 red row was ONE signed-zero
+# cell — DuckDB round() emits -0.0, Spark's BigDecimal round emits
+# +0.0 — now eliminated by emitting exact BIGINT micro-units from both
+# engines (no double ever enters the hashed output,
+# queries/similarity.py). Clear once green in a CORRECTNESS artifact.
 RECHECK_FIRST: tuple[str, ...] = ("emb_covariance_matrix",)
 
 # The 81 never-driver-checked keys (all round-4 additions), ranked by

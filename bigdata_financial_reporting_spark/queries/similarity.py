@@ -563,12 +563,20 @@ def sim_embedding_outliers(spark, sf_dir):
              count(*) AS n
       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
       GROUP BY a.pos, b.pos
+    ),
+    q AS (
+      SELECT pos_i, pos_j, n,
+             sxy * n - sx * sy AS num,
+             CAST(n AS HUGEINT) * (n - 1) * 1000000 AS den
+      FROM p
     )
     SELECT pos_i, pos_j,
-           round(CAST(sxy * n - sx * sy AS DOUBLE)
-                 / CAST(n * (n - 1) AS DOUBLE) / 1e12, 6) AS cov,
+           CAST(CASE WHEN num < 0
+                     THEN -((2 * (-num) + den) // (2 * den))
+                     ELSE (2 * num + den) // (2 * den)
+                END AS BIGINT) AS cov_u,
            n
-    FROM p
+    FROM q
     """,
     category="similarity",
 )
@@ -588,11 +596,20 @@ def emb_covariance_matrix(spark, sf_dir):
     near a 6-dp rounding boundary flipped between runs. Fixed with the
     sim_random_projection pattern — components micro-quantize to exact
     integers (round(x*1e6), Spark-side so both engines share HALF_UP),
-    the Gram partials are exact int64, the merge accumulates
-    decimal(38,0) (order-independent), and the sample covariance
-    derives at the very end from the exact integer identity
-    (Sxy*n - Sx*Sy) / (n*(n-1)) / 1e12 — one fixed double expression
-    over exact inputs, identical on both engines."""
+    the Gram partials are exact int64, and the merge accumulates
+    decimal(38,0) (order-independent).
+
+    Rendering (the round-5 driver failure): even with exact sums, a
+    final round(double, 6) disagrees on SIGNED ZERO — DuckDB's round is
+    C++ std::round (round(-1e-9, 6) -> -0.0) while Spark's F.round goes
+    through BigDecimal, which cannot represent -0.0 -> +0.0; one such
+    cell fails the driver's value hash. So NO double ever enters the
+    output: both engines emit the covariance as exact BIGINT micro-units
+    cov_u = round_half_away((Sxy*n - Sx*Sy) / (n*(n-1)*1e6)), computed
+    with pure-integer arithmetic — sign(num) * ((2|num| + den) div
+    (2 den)) — where integer zero has no sign. Precision headroom:
+    |num| <= ~2e12 * n^2 stays inside decimal(38,0)/HUGEINT up to
+    n ~ 1e12 rows."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "embeddings").select(
@@ -604,12 +621,14 @@ def emb_covariance_matrix(spark, sf_dir):
 
     # numpy int64 overflow WRAPS silently, so the per-slice Gram must
     # be bounded by construction, not by hoping the Arrow batch conf
-    # stays at its 10k default: |xq| <= ~1e6 -> per-row products
-    # <= ~1e12, and 65536 rows x 1e12 ~ 6.6e16 << 2^63. Chunking here
-    # makes the partial exact under ANY
-    # spark.sql.execution.arrow.maxRecordsPerBatch (incl. 0 =
-    # whole-partition batches); global exactness is the decimal(38,0)
-    # merge below.
+    # stays at its 10k default. The slice size is derived from each
+    # batch's OBSERVED magnitude bound m = max|xq| — rows*m^2 must stay
+    # under 2^62 — rather than assuming unit-scaled embeddings: with
+    # |xq| ~ 1.2e7 (components ~12) a fixed 65536-row slice would wrap
+    # silently and the "exact under ANY batch size" claim would be
+    # false exactly when it matters. For unit-scale inputs this
+    # evaluates to the same 65536 cap; global exactness is the
+    # decimal(38,0) merge below.
     CHUNK = 65536
 
     def partial_gram(batches):
@@ -617,8 +636,26 @@ def emb_covariance_matrix(spark, sf_dir):
 
         for pdf in batches:
             # an empty pdf yields an empty range -> no iterations
-            for start in range(0, len(pdf), CHUNK):
-                chunk = pdf["xq"].iloc[start : start + CHUNK]
+            start = 0
+            while start < len(pdf):
+                m = int(
+                    np.abs(
+                        np.concatenate(
+                            pdf["xq"].iloc[start : start + CHUNK].to_numpy()
+                        )
+                    ).max(initial=1)
+                )
+                if m * m > (1 << 62):
+                    # even a 1-row slice would wrap int64 — refuse
+                    # rather than emit silently-wrapped partials
+                    raise ValueError(
+                        f"emb_covariance_matrix: |component| ~ {m / 1e6:g} "
+                        "exceeds the exact-int64 Gram bound (~3e3); "
+                        "rescale the embeddings first"
+                    )
+                safe = max(1, min(CHUNK, (1 << 62) // (m * m)))
+                chunk = pdf["xq"].iloc[start : start + safe]
+                start += safe
                 X = np.stack(chunk.to_numpy()).astype("int64")
                 n, dim = X.shape
                 g = X.T @ X
@@ -645,13 +682,24 @@ def emb_covariance_matrix(spark, sf_dir):
         F.sum("n").alias("n"),
     )
     num = F.col("sxy") * F.col("n") - F.col("sx") * F.col("sy")
-    den = F.col("n") * (F.col("n") - F.lit(1))
-    cov = num.cast("double") / den.cast("double") / F.lit(1e12)
-    return merged.select(
-        F.col("i").alias("pos_i"),
-        F.col("j").alias("pos_j"),
-        F.round(cov, 6).alias("cov"),
-        "n",
+    den = (
+        F.col("n").cast("decimal(38,0)")
+        * (F.col("n") - F.lit(1))
+        * F.lit(1000000)
+    )
+    # round-half-away-from-zero on exact integers: integer zero carries
+    # no sign, so the signed-zero rendering divergence cannot recur.
+    return (
+        merged.withColumn("num", num)
+        .withColumn("den", den)
+        .selectExpr(
+            "i as pos_i",
+            "j as pos_j",
+            "cast(case when num < 0 then -((2 * (-num) + den) div (2 * den))"
+            "          else (2 * num + den) div (2 * den) end as bigint)"
+            " as cov_u",
+            "n",
+        )
     )
 
 

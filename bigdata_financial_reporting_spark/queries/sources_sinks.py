@@ -88,7 +88,11 @@ def src_parquet_partitioned_roundtrip(spark, sf_dir):
 @register(
     "src_in_memory",
     oracle="""
-    SELECT * FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', NULL))
+    -- CAST: a bare 1.5 literal is DECIMAL(2,1) in DuckDB while the
+    -- Spark schema declares double; the driver-strict canon compares
+    -- types, not just values (round-6 strictness upgrade)
+    SELECT id, name, CAST(score AS DOUBLE) AS score
+    FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', NULL))
       AS t(id, name, score)
     """,
     category="sources",

@@ -1,0 +1,117 @@
+"""Registry-wide IEEE -0.0 sweep over the DuckDB oracles across scale
+factors -> NEGZERO_SWEEP.json.
+
+Round-5 verdict items 2/5: the driver value-hashes rendered cells, so a
+single cell where one engine emits -0.0 and the other +0.0 fails the
+key (emb_covariance_matrix, red in r04+r05, was exactly one such cell
+at sf0.01). The per-key oracle test (tests/test_oracle.py) now bans
+-0.0 on BOTH engines at the test SF; this script runs the same scan
+over every registered oracle at the OTHER fixtures — sf0.001, sf0.01,
+sf0.1, and the staged 10x corpus when present — so a fixture change
+cannot resurrect the bug in a different key unseen. DuckDB-only on
+purpose: DuckDB's C++ round()/arithmetic is the engine that preserves
+the sign of zero (Spark's BigDecimal rounding cannot emit -0.0 from
+round(); raw Spark doubles are covered by the sf0.01 both-engine test),
+and a DuckDB-side scan of 270 oracles per SF is seconds, not minutes.
+
+Usage:
+    python scripts/check_negzero.py            # all default SF dirs
+    python scripts/check_negzero.py /some/dir  # explicit dirs
+"""
+
+from __future__ import annotations
+
+import decimal
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bigdata_financial_reporting_spark.queries import QUERIES  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+DEFAULT_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+    "/tmp/sf1x",  # scripts/gen_scale10x.py staging dir, scanned if present
+]
+
+
+def _is_negzero(v) -> bool:
+    if isinstance(v, float):
+        return v == 0.0 and math.copysign(1.0, v) < 0
+    if isinstance(v, decimal.Decimal):
+        return v.is_zero() and v.is_signed()
+    return False
+
+
+def scan_dir(sf_dir: str) -> dict:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+        elif os.path.isdir(os.path.join(sf_dir, t)):
+            # 10x staging writes multi-file table directories
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t)}/*.parquet')"
+            )
+    hits: dict[str, list] = {}
+    checked = 0
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            cols = [d[0] for d in res.description]
+            rows = res.fetchall()
+        except Exception as e:  # fixture-dependent oracle (e.g. needs files)
+            hits.setdefault("__errors__", []).append(f"{name}: {e}")
+            continue
+        checked += 1
+        found = [
+            {"row": ri, "col": cols[ci], "value": repr(v)}
+            for ri, row in enumerate(rows)
+            for ci, v in enumerate(row)
+            if _is_negzero(v)
+        ]
+        if found:
+            hits[name] = found[:5]
+    con.close()
+    return {"checked": checked, "hits": hits}
+
+
+def main() -> int:
+    dirs = sys.argv[1:] or [d for d in DEFAULT_DIRS if os.path.isdir(d)]
+    report = {}
+    bad = False
+    for d in dirs:
+        r = scan_dir(d)
+        real = {k: v for k, v in r["hits"].items() if k != "__errors__"}
+        report[d] = r
+        print(f"{d}: {r['checked']} oracles scanned, {len(real)} with -0.0")
+        for k, v in real.items():
+            print(f"  HIT {k}: {v[:2]}")
+            bad = True
+    out = os.path.join(REPO, "NEGZERO_SWEEP.json")
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+    print(f"wrote {out}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
