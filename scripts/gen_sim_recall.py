@@ -176,8 +176,46 @@ def main() -> None:
     )
 
     pq_rows = ivfpq_topk(q, e, "vec_id", "vec_id").collect()
+    denom_pq = sum(len(v) for v in exact_top.values())
     pq_hits = sum(
         1 for r in pq_rows if r.neighbor_id in exact_top.get(r.query_id, set())
+    )
+    # Trained quantizers (round-5 verdict item 6): spherical-k-means
+    # IVF cells + per-subspace Lloyd PQ codebook — the production
+    # path — measured alongside the degenerate oracle-parity default,
+    # with a recall-vs-cost curve over n_probe (the knob that trades
+    # probed-corpus fraction for recall, mirroring the LSH curve).
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        train_pq_codebook,
+    )
+
+    t_cents = train_centroids(e, "vec_id", n_centroids=16, iterations=2)
+    t_book = train_pq_codebook(e, "vec_id", n_subspaces=8, n_codes=16, iterations=2)
+    pq_curve = []
+    for probe in (1, 2, 4, 8, 16):
+        rows_p = ivfpq_topk(
+            q, e, "vec_id", "vec_id", n_probe=probe,
+            centroids=t_cents, codebook=t_book,
+        ).collect()
+        hits_p = sum(
+            1
+            for r in rows_p
+            if r.neighbor_id in exact_top.get(r.query_id, set())
+        )
+        pq_curve.append(
+            {
+                "n_probe": probe,
+                "probed_corpus_fraction": round(probe / 16, 4),
+                "recall_at_k": round(hits_p / denom_pq, 4),
+            }
+        )
+    trained_pq_rows = ivfpq_topk(
+        q, e, "vec_id", "vec_id", centroids=t_cents, codebook=t_book
+    ).collect()
+    trained_hits = sum(
+        1
+        for r in trained_pq_rows
+        if r.neighbor_id in exact_top.get(r.query_id, set())
     )
     out["queries"]["sim_ivfpq_topk"] = {
         "params": {
@@ -185,8 +223,17 @@ def main() -> None:
             "n_subspaces": 8, "n_codes": 16,
         },
         "returned": len(pq_rows),
-        "recall_at_k": round(pq_hits / sum(len(v) for v in exact_top.values()), 4),
+        "recall_at_k": round(pq_hits / denom_pq, 4),
+        "trained_recall_at_k": round(trained_hits / denom_pq, 4),
+        "recall_cost_curve_trained": pq_curve,
         "metric_note": "ADC ranks by quantized L2; ground truth is cosine",
+        "curve_note": (
+            "recall plateaus even at n_probe=16 (full corpus probed): "
+            "the cap is PQ quantization + the L2-vs-cosine metric "
+            "mismatch on this unnormalized fixture, not cell "
+            "selection — use sim_ivf_trained_topk (exact re-rank) "
+            "when recall matters more than scan bytes"
+        ),
         "floor": {"recall_at_k": 0.3},
     }
 

@@ -472,3 +472,90 @@ def test_ivfpq_adc_recall_and_determinism(spark, sf_dir):
     assert hits / denom >= 0.3, f"IVF-PQ recall {hits / denom:.2f}"
     rerun = ivfpq_topk(q, e, "vec_id", "vec_id").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+
+
+def _semdedup_centroids(spark, vecs):
+    """Build a semantic_dedup centroid frame from raw python vectors."""
+    import math
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(
+            cent_id=i,
+            __cent=[float(x) for x in v],
+            __centn=math.sqrt(sum(x * x for x in v)),
+        )
+        for i, v in enumerate(vecs)
+    ]
+    return spark.createDataFrame(
+        rows, "cent_id long, __cent array<double>, __centn double"
+    )
+
+
+def test_semantic_dedup_empty_cell_and_coverage(spark):
+    """Round-5 verdict item 7: a centroid that attracts NO rows (empty
+    cell) must not crash or drop rows — every input id appears exactly
+    once in the output regardless of cell occupancy."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # all rows point along +x; the second centroid (-x) gets nothing
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 0.0, float(i) * 1e-3]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = _semdedup_centroids(spark, [[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]])
+    out = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.999999, centroids=cents
+    ).collect()
+    assert sorted(r.id for r in out) == list(range(6))
+    assert {r.cell for r in out} == {0}  # the -x cell is empty, harmlessly
+
+
+def test_semantic_dedup_singleton_cells_keep_everything(spark):
+    """One doc per cell: the per-cell self-join has no pairs, so every
+    row is kept with a NULL dup_of."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # orthogonal one-hot rows; centroids = the rows themselves
+    vecs = [[1.0 if j == i else 0.0 for j in range(4)] for i in range(4)]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.5,
+        centroids=_semdedup_centroids(spark, vecs),
+    ).collect()
+    assert len(out) == 4
+    assert all(r.is_kept and r.dup_of is None for r in out)
+    assert sorted(r.cell for r in out) == [0, 1, 2, 3]
+
+
+def test_semantic_dedup_all_identical_embeddings(spark):
+    """All-identical embeddings: cosine 1.0 everywhere, one cell — the
+    lowest id survives and every other row's dup_of is that id (the
+    pessimistic-transitive greedy rule's fixed point)."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[0.6, 0.8]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.id: r for r in semantic_dedup(df, "vec_id", "embedding", threshold=0.9).collect()}
+    assert len(out) == 5
+    assert out[0].is_kept and out[0].dup_of is None
+    for i in range(1, 5):
+        assert not out[i].is_kept and out[i].dup_of == 0

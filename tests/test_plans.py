@@ -488,3 +488,72 @@ def test_q8_q19_shapes_broadcast_all_dims(spark, sf_dir):
     assert not plan_report(df19)["sort_merge_join"]
     pf = " ".join(pushed_filters(df19))
     assert "l_quantity" in pf or "l_partkey" in pf
+
+
+def test_pq_encode_broadcasts_codebook(spark, sf_dir):
+    """PQ encoding joins every (vector, subspace) slice against the
+    codebook — the codebook (n_subspaces x n_codes rows) must
+    broadcast; shuffling the corpus against a kilobyte relation is the
+    classic 100 TB anti-pattern. Python never appears: the subspace
+    slice + argmin is pure codegen over higher-order functions."""
+    df = QUERIES["sim_pq_encode"].fn(spark, sf_dir)
+    r = plan_report(df)
+    assert r["broadcast_hash_join"]
+    assert not r["cartesian"]
+    assert not r["rowbased_python_udf"]
+    assert r["exchanges"] <= 2, f"{r['exchanges']} exchanges"
+
+
+def test_ivfpq_candidate_join_carries_codes_not_vectors(spark, sf_dir):
+    """IVF-PQ ANN: centroids and codebook broadcast; the candidate
+    join ships (id, cell, codes) only, so the exchange budget is fixed
+    and the corpus' raw vectors never enter a shuffle. The probe-cell
+    expansion is a broadcast nested loop over (queries x nprobe) —
+    bounded — but a true cartesian over the corpus is forbidden."""
+    df = QUERIES["sim_ivfpq_topk"].fn(spark, sf_dir)
+    r = plan_report(df)
+    assert r["broadcast_hash_join"]
+    assert not r["cartesian"]
+    assert r["exchanges"] <= 5, f"{r['exchanges']} exchanges"
+
+
+def test_semdedup_self_join_is_cell_bounded(spark, sf_dir):
+    """SemDeDup: centroid assignment broadcasts the centroids, and the
+    near-dup self-join is keyed by cell — cost bounded by the largest
+    cell, never all-pairs. No cartesian product may appear and the
+    exchange count stays fixed as the corpus grows."""
+    df = QUERIES["dedup_semantic_semdedup"].fn(spark, sf_dir)
+    r = plan_report(df)
+    assert not r["cartesian"]
+    assert r["exchanges"] <= 6, f"{r['exchanges']} exchanges"
+
+
+def test_hampel_window_stays_partitioned(spark, sf_dir):
+    """The Hampel filter is one stacked window pass per instrument:
+    exactly one exchange and never a global single-partition sort."""
+    df = QUERIES["window_hampel_outliers"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_point_in_time_scd2_join_shape(spark, sf_dir):
+    """The as-of SCD2 probe must plan as a broadcast range join with
+    pushed validity filters — a sort-merge over the fact side against
+    the small dimension history, or any nested re-scan, would dominate
+    at scale."""
+    df = QUERIES["join_point_in_time_scd2"].fn(spark, sf_dir)
+    r = plan_report(df)
+    assert r["broadcast_hash_join"] or r["broadcast_nested_loop"]
+    assert not r["cartesian"]
+    assert r["exchanges"] <= 1, f"{r['exchanges']} exchanges"
+
+
+def test_time_travel_reads_manifest_file_list(spark, sf_dir):
+    """Manifest time travel scans exactly the pinned file list as a
+    plain parquet scan — no Python in the read path and a bounded
+    exchange count (the version-diff aggregation)."""
+    df = QUERIES["ops_time_travel_versions"].fn(spark, sf_dir)
+    r = plan_report(df)
+    assert not r["rowbased_python_udf"]
+    assert not r["cartesian"]
+    assert r["exchanges"] <= 2, f"{r['exchanges']} exchanges"
