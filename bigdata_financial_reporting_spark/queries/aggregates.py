@@ -1769,3 +1769,459 @@ def agg_crosstab_stat(spark, sf_dir):
         "event_type_dow",
         *[F.col(str(d)).cast("long").alias(str(d)) for d in range(1, 8)],
     )
+
+
+@register(
+    "tpch_q6_shape",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+    category="aggregates",
+)
+def tpch_q6_shape(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): the canonical
+    scan-dominated query — every predicate (date window, discount
+    band, quantity cap) must reach the parquet scan as a pushed
+    filter, and the single global aggregate is one map-side-combined
+    pass with a 1-row shuffle. At 100 TB this query IS the scan; the
+    plan with anything between the scan and the partial agg is wrong.
+    Ref parity: extends the engine beyond the reference's single-table
+    pipeline (controller/script.py:22-100)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_shape",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    category="aggregates",
+)
+def tpch_q9_shape(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year). The
+    fixture has no partsupp table, so supply cost is proxied as 10% of
+    p_retailprice — the SHAPE is what matters: a fact table joined to
+    three broadcastable dims plus orders, with the part-name LIKE
+    filter applied on the dim BEFORE the join so the broadcast carries
+    only matching parts and the fact rows for other parts die at the
+    join, not in a post-join filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+    )
+
+
+@register(
+    "tpch_q11_shape",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS value
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey < 13
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value FROM val
+    WHERE value > (SELECT 0.0005 * sum(value) FROM val)
+    """,
+    category="aggregates",
+)
+def tpch_q11_shape(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): per-part
+    value with a GLOBAL-fraction threshold — the signature is the
+    scalar subquery over the same aggregate, which must plan as ONE
+    computation of the per-part aggregate feeding both sides (the
+    per-part frame reused, the 1-row total broadcast into the filter),
+    never two scans of lineitem. The threshold compares against
+    already-rounded per-part values so both engines filter the
+    identical set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("value")
+        )
+    )
+    total = val.agg((F.sum("value") * F.lit(0.0005)).alias("__thr"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("__thr"))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "tpch_q12_shape",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    category="aggregates",
+)
+def tpch_q12_shape(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority counting; the fixture lacks
+    l_shipmode, so l_linestatus is the grouping dim): conditional
+    integer counting over the orders-lineitem join — the CASE sums are
+    exact integers so the result is bit-stable under any shuffle
+    order, and the date filter prunes lineitem at the scan before the
+    join shuffles anything."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_shape",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count
+    """,
+    category="aggregates",
+)
+def tpch_q13_shape(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): the
+    double aggregation — per-customer order counts through a LEFT
+    OUTER join (zero-order customers must survive as c_count=0), then
+    the distribution of those counts. The second groupBy's input is
+    one row per customer, so the distribution shuffle is
+    customer-bounded, and every value is an exact integer."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15_shape",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    category="aggregates",
+)
+def tpch_q15_shape(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): the revenue "view" computed
+    once and consumed twice — per-supplier quarterly revenue, its max
+    (a broadcast 1-row aggregate), and the equality filter returning
+    the argmax supplier(s). The equality compares ROUNDED revenues, so
+    both engines pick the identical winner even though the raw double
+    sums carry order noise below the rounding grain."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q18_shape",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 160
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, round(sum(l.l_quantity), 4) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    """,
+    category="aggregates",
+)
+def tpch_q18_shape(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the HAVING subquery
+    becomes a left-semi join from orders onto the big-order keys — the
+    qualifying key set is aggregated FIRST (map-side combined, keys
+    only in the shuffle) so the three-way join runs over the filtered
+    orders, not the whole table. l_quantity is integral-valued, so the
+    HAVING threshold and final sums are exact under any merge order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 160)
+        .select("l_orderkey")
+    )
+    o_big = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+    return (
+        c.join(o_big, c.c_custkey == o_big.o_custkey)
+        .join(li, o_big.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+@register(
+    "tpch_q20_shape",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%bolt%'
+        AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+      GROUP BY l.l_suppkey
+      HAVING sum(l.l_quantity) > 50
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM shipped)
+    """,
+    category="aggregates",
+)
+def tpch_q20_shape(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with significant shipments of
+    pattern-matched parts; the fixture lacks partsupp, so the
+    excess-stock correlation becomes a shipped-quantity threshold):
+    a nested aggregate reduced to a supplier-key set, consumed as a
+    left-semi join against the supplier dim — the fact table
+    contributes only grouped keys to the final join, and the part
+    filter broadcasts before any lineitem row moves."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        # shipped is bounded by the supplier count (grouped keys after
+        # HAVING) — broadcast it; the static planner can't estimate an
+        # aggregate's output and would fall back to sort-merge
+        s.join(F.broadcast(shipped), s.s_suppkey == shipped.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@register(
+    "tpch_q21_shape",
+    oracle="""
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+    category="aggregates",
+)
+def tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting; "late" is
+    shipped >90 days after order date since the fixture lacks
+    commit/receipt dates): the EXISTS/NOT-EXISTS pair on the fact
+    table becomes a left-semi join (another supplier on the order)
+    plus a left-anti join (no OTHER supplier was late on it) — both
+    keyed on the order key, so the quadratic-looking correlation is
+    two hash joins over keys, never a per-row re-scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    late_others = l1.select(
+        F.col("l_orderkey").alias("a_key"), F.col("l_suppkey").alias("a_supp")
+    )
+    waited = (
+        l1.join(
+            others,
+            (l1.l_orderkey == others.o_key)
+            & (l1.l_suppkey != others.o_supp),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == late_others.a_key)
+            & (F.col("l_suppkey") != late_others.a_supp),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), waited.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_shape",
+    oracle="""
+    WITH bal AS (
+      SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents,
+             count(*) AS cnt
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+           round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+             AS totacctbal
+    FROM customer c, bal
+    WHERE c.c_nationkey IN (0,1,2,3,4,5,6)
+      AND CAST(round(c.c_acctbal * 100) AS BIGINT) * bal.cnt > bal.cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= '1999-01-01')
+    GROUP BY c.c_nationkey
+    """,
+    category="aggregates",
+)
+def tpch_q22_shape(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity — lapsed high-balance
+    customers; every fixture customer has SOME order, so "no orders"
+    is scoped to the recent window): the above-average-balance
+    comparison is done in EXACT integer cents — balance*cnt > total
+    cents — instead of comparing against a float average, so the
+    selected set is bit-identical across engines and layouts (the
+    float-avg form can flip a boundary customer between engines). The
+    anti join on recent orders ships only customer keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(cents).alias("__cents"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+    )
+    return (
+        c.filter(F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(bal))
+        .filter(cents * F.col("__cnt") > F.col("__cents"))
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(cents) / 100.0, 2).alias("totacctbal"),
+        )
+    )

@@ -266,6 +266,20 @@ DEFER_NEW: frozenset[str] = frozenset(
         "dedup_semantic_semdedup",
         "sim_pq_encode",
         "sim_ivfpq_topk",
+        # round-6 additions: the remaining 10 TPC-H shapes (full 22-
+        # query suite) — queued behind the 35-key backlog + recheck,
+        # which together leave ~14 free slots in the ~50-key budget,
+        # so these can still land a driver row this round
+        "tpch_q6_shape",
+        "tpch_q9_shape",
+        "tpch_q11_shape",
+        "tpch_q12_shape",
+        "tpch_q13_shape",
+        "tpch_q15_shape",
+        "tpch_q18_shape",
+        "tpch_q20_shape",
+        "tpch_q21_shape",
+        "tpch_q22_shape",
     }
 )
 
