@@ -280,6 +280,10 @@ DEFER_NEW: frozenset[str] = frozenset(
         "tpch_q20_shape",
         "tpch_q21_shape",
         "tpch_q22_shape",
+        "src_xml_roundtrip",
+        "fn_interval_family",
+        "sql_group_by_all",
+        "text_bpe_merge_step",
     }
 )
 

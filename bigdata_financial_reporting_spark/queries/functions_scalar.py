@@ -847,3 +847,49 @@ def fn_bitwise_family(spark, sf_dir):
         k.bitwiseAND(F.lit(4095)).cast("long").alias("lo12"),
         k.bitwiseOR(F.lit(1)).cast("long").alias("odd1"),
     )
+
+
+@register(
+    "fn_interval_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mstart,
+           last_day(CAST(o_orderdate AS DATE)) AS mend,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS woy,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+                AS INT) AS days_to_y2k
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    category="functions",
+)
+def fn_interval_family(spark, sf_dir):
+    """Date/interval arithmetic family: day and month interval
+    addition (add_months clamps to month end, matching DuckDB's
+    month-interval semantics), month truncation, last_day, quarter,
+    day-of-week (Spark's 1=Sunday convention; DuckDB's 0=Sunday is
+    shifted in the oracle), ISO week-of-year, and signed day
+    differences. All pure codegen date expressions — on a date-
+    partitioned lake these are the functions partition expressions and
+    retention predicates are made of."""
+    d = F.to_date("o_orderdate")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.date_add(d, 30).alias("plus30"),
+            F.add_months(d, 2).alias("plus2m"),
+            F.trunc(d, "month").alias("mstart"),
+            F.last_day(d).alias("mend"),
+            F.quarter(d).alias("q"),
+            F.dayofweek(d).alias("dow"),
+            F.weekofyear(d).alias("woy"),
+            F.datediff(F.lit("2000-01-01").cast("date"), d).alias(
+                "days_to_y2k"
+            ),
+        )
+    )

@@ -2248,3 +2248,81 @@ def text_zipf_fit(spark, sf_dir):
         F.count(F.lit(1)).alias("vocab"),
         F.sum("f").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "text_bpe_merge_step",
+    oracle="""
+    WITH words AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    pos AS (
+      SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
+      FROM words
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INT), 1) AS sym_a,
+             substr(word, CAST(i AS INT) + 1, 1) AS sym_b,
+             sum(freq) AS cnt
+      FROM pos GROUP BY 1, 2
+    )
+    SELECT sym_a, sym_b, CAST(cnt AS BIGINT) AS merge_count
+    FROM pairs ORDER BY merge_count DESC, sym_a, sym_b LIMIT 20
+    """,
+    category="text",
+)
+def text_bpe_merge_step(spark, sf_dir):
+    """One BPE-training merge step, distributed: the pair-counting
+    pass tokenizer induction (Sennrich et al. 2016) iterates — count
+    adjacent symbol pairs across the corpus weighted by word
+    frequency, take the top merges. The expensive corpus scan
+    collapses to the per-WORD frequency table first (groupBy combines
+    map-side), so pair explosion runs over distinct words — corpus
+    growth only changes frequencies, not the exploded row count.
+    Counts are exact integers (order-independent); the top-20 cut is
+    a total order (count desc, then pair), so both engines pick an
+    identical merge list. Full BPE = this step iterated with the
+    chosen merge applied; the per-step dataflow is what has to scale."""
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pos = words.filter(F.length("word") >= 2).select(
+        "word",
+        "freq",
+        # sequence(1, 0) would generate a DESCENDING [1, 0] in Spark,
+        # so single-char words are filtered out above (they have no
+        # pairs; DuckDB's generate_series(1, 0) is empty)
+        F.explode(
+            F.sequence(F.lit(1), F.length("word") - 1)
+        ).alias("i"),
+    )
+    pairs = (
+        pos.select(
+            F.expr("substring(word, i, 1)").alias("sym_a"),
+            F.expr("substring(word, i + 1, 1)").alias("sym_b"),
+            "freq",
+        )
+        .groupBy("sym_a", "sym_b")
+        .agg(F.sum("freq").alias("merge_count"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.orderBy(
+            F.col("merge_count").desc(), F.col("sym_a"), F.col("sym_b")
+        )
+    )
+    return (
+        pairs.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= 20)
+        .select("sym_a", "sym_b", "merge_count")
+    )

@@ -592,3 +592,35 @@ def union_by_name_missing(spark, sf_dir):
         F.col("o_totalprice").alias("price"),
     )
     return c.unionByName(o, allowMissingColumns=True)
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT r_name, n.n_name, count(*) AS n_sup, round(sum(s_acctbal), 4) AS bal
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY ALL
+    """,
+    category="relational",
+)
+def sql_group_by_all(spark, sf_dir):
+    """Spark 4 / modern-SQL GROUP BY ALL: every non-aggregate select
+    item becomes a grouping key implicitly — the ergonomic form
+    analysts actually write, and identical semantics in DuckDB. Runs
+    through spark.sql over temp views so the SQL surface itself (not a
+    DataFrame translation) is what's exercised."""
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("v_region")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    return spark.sql(
+        """
+        SELECT r_name, n.n_name, count(*) AS n_sup,
+               round(sum(s_acctbal), 4) AS bal
+        FROM v_region r
+        JOIN v_nation n ON r.r_regionkey = n.n_regionkey
+        JOIN v_supplier s ON s.s_nationkey = n.n_nationkey
+        GROUP BY ALL
+        """
+    )

@@ -484,3 +484,35 @@ def src_file_metadata_column(spark, sf_dir):
             "one_file_per_partition"
         ),
     )
+
+
+@register(
+    "src_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    category="sources",
+)
+def src_xml_roundtrip(spark, sf_dir):
+    """XML sink + scan via Spark 4's built-in xml data source (rowTag
+    records): the interchange format enterprise feeds still arrive in.
+    DuckDB cannot read XML, so — as for ORC — the oracle checks the
+    roundtripped CONTENT against the parquet ground truth. The read
+    back uses an explicit schema: XML stores text, and schema
+    inference would widen every numeric to bigint or string."""
+    n = load_table(spark, sf_dir, "nation")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="bdfr_xml_"), "nation_xml")
+    (
+        n.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(tmp)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .load(tmp)
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey")

@@ -557,3 +557,24 @@ def test_time_travel_reads_manifest_file_list(spark, sf_dir):
     assert not r["rowbased_python_udf"]
     assert not r["cartesian"]
     assert r["exchanges"] <= 2, f"{r['exchanges']} exchanges"
+
+
+def test_round6_tpch_shapes_posture(spark, sf_dir):
+    """Round-6 shapes: Q6 is the scan — every predicate must be a
+    pushed filter feeding one 1-row aggregate exchange; Q9/Q12/Q20
+    broadcast every dim with a single fact shuffle; the BPE merge step
+    is pure codegen (no Python) with its pair explosion bounded by the
+    distinct-word table, never the corpus."""
+    r6 = plan_report(QUERIES["tpch_q6_shape"].fn(spark, sf_dir))
+    assert r6["exchanges"] == 1 and not r6["cartesian"]
+    assert len(r6["pushed_filters"]) >= 4  # date x2, discount band, qty
+    for name in ("tpch_q9_shape", "tpch_q12_shape", "tpch_q20_shape"):
+        r = plan_report(QUERIES[name].fn(spark, sf_dir))
+        assert r["broadcast_hash_join"], name
+        assert not r["sort_merge_join"], name
+        assert not r["cartesian"], name
+        assert r["exchanges"] <= 1, (name, r["exchanges"])
+    bpe = QUERIES["text_bpe_merge_step"].fn(spark, sf_dir)
+    rb = plan_report(bpe)
+    assert not rb["rowbased_python_udf"] and "MapInPandas" not in physical_plan(bpe)
+    assert rb["exchanges"] <= 2
