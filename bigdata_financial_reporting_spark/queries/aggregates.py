@@ -1866,7 +1866,7 @@ def tpch_q9_shape(spark, sf_dir):
       GROUP BY l.l_partkey
     )
     SELECT l_partkey, value FROM val
-    WHERE value > (SELECT 0.0005 * sum(value) FROM val)
+    WHERE value > (SELECT 1.4 * avg(value) FROM val)
     """,
     category="aggregates",
 )
@@ -1875,10 +1875,13 @@ def tpch_q11_shape(spark, sf_dir):
     value with a GLOBAL-fraction threshold — the signature is the
     scalar subquery over the same aggregate, which must plan as ONE
     computation of the per-part aggregate feeding both sides (the
-    per-part frame reused, the 1-row total broadcast into the filter),
-    never two scans of lineitem. The threshold compares against
-    already-rounded per-part values so both engines filter the
-    identical set."""
+    per-part frame reused, the 1-row threshold broadcast into the
+    filter), never two scans of lineitem. The threshold is a MULTIPLE
+    OF THE AVERAGE part value (1.4x) rather than a fraction of the
+    total, so the query stays selective and nonvacuous at every scale
+    factor (a fixed fraction of total goes vacuous as the part count
+    grows — verified at the 10x corpus); the compared values are the
+    already-rounded per-part sums."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
     val = (
@@ -1890,7 +1893,7 @@ def tpch_q11_shape(spark, sf_dir):
             ).alias("value")
         )
     )
-    total = val.agg((F.sum("value") * F.lit(0.0005)).alias("__thr"))
+    total = val.agg((F.avg("value") * F.lit(1.4)).alias("__thr"))
     return (
         val.join(F.broadcast(total))
         .filter(F.col("value") > F.col("__thr"))
