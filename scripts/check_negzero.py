@@ -59,15 +59,16 @@ def scan_dir(sf_dir: str) -> dict:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
-        elif os.path.isdir(os.path.join(sf_dir, t)):
-            # 10x staging writes multi-file table directories
+        if os.path.isdir(path):
+            # 10x staging writes multi-file table DIRECTORIES named
+            # <table>.parquet/part-*.parquet
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{os.path.join(sf_dir, t)}/*.parquet')"
+                f"read_parquet('{path}/*.parquet')"
+            )
+        elif os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
     hits: dict[str, list] = {}
     checked = 0

@@ -138,6 +138,42 @@ def test_oracle_match(spec, spark, ddb, sf_dir):
     assert not mism, f"{spec.name}: {len(mism)} mismatched rows; first 3: {mism[:3]}"
 
 
+def test_negzero_sweep_catches_the_round5_covariance_oracle(ddb):
+    """Proof the strictness upgrade detects the exact bug it was built
+    for (round-5 verdict item 2 'Done' criterion): the ROUND-5 form of
+    the emb_covariance_matrix oracle — final round(double, 6) — emits
+    an IEEE -0.0 cell at sf0.01 (DuckDB's C++ round preserves the sign
+    of zero), which the sweep must flag; the current BIGINT micro-unit
+    form must scan clean."""
+    round5_oracle = """
+    WITH x AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    p AS (
+      SELECT a.pos AS pos_i, b.pos AS pos_j,
+             sum(a.xq * b.xq) AS sxy, sum(a.xq) AS sx, sum(b.xq) AS sy,
+             count(*) AS n
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY a.pos, b.pos
+    )
+    SELECT pos_i, pos_j,
+           round(CAST(sxy * n - sx * sy AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) / 1e12, 6) AS cov, n
+    FROM p
+    """
+    old_rows = ddb.execute(round5_oracle).fetchall()
+    assert _negzero_cells(old_rows), (
+        "the round-5 oracle form no longer reproduces a -0.0 cell — "
+        "if the fixture changed, re-derive this regression's witness"
+    )
+    new_rows = ddb.execute(
+        QUERIES["emb_covariance_matrix"].oracle
+    ).fetchall()
+    assert not _negzero_cells(new_rows)
+
+
 def test_canon_is_driver_strict():
     """The canon must never again erase the divergences the driver
     hashes (round-5 verdict item 2): signed zero, sub-6dp float noise,
