@@ -559,3 +559,92 @@ def test_semantic_dedup_all_identical_embeddings(spark):
     assert out[0].is_kept and out[0].dup_of is None
     for i in range(1, 5):
         assert not out[i].is_kept and out[i].dup_of == 0
+
+
+def test_lsh_neutral_planes_cover_ragged_dims(spark):
+    """ADVICE round 5: the neutral-plane frame used to enumerate
+    positions from an unordered limit(1) sample — with non-uniform
+    vector lengths, which positions survived was nondeterministic and
+    a short sample truncated every signature. Positions now come from
+    max(size(vec)): every row hashes over its OWN positions, reruns
+    are bit-identical, and each query's rank-1 hit is itself."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        lsh_bucket_topk,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.5, -0.25]),
+        Row(vec_id=1, embedding=[0.2, -0.8, 0.4, 0.9, -0.1]),
+        Row(vec_id=2, embedding=[-0.6, 0.3]),
+        Row(vec_id=3, embedding=[0.9, 0.1, 0.2, -0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in lsh_bucket_topk(
+                df, df, "vec_id", "vec_id", n_planes=4, k=4,
+                n_tables=2, neutral_planes=True,
+            ).collect()
+        )
+
+    first, second = run(), run()
+    assert first == second, "ragged-dim LSH bucketing must be rerun-stable"
+    rank1 = {r[0]: r[1] for r in first if r[3] == 1}
+    assert rank1 == {0: 0, 1: 1, 2: 2, 3: 3}, (
+        "every query must find itself at rank 1 (same signature by "
+        "construction)"
+    )
+
+
+def test_covariance_chunk_adapts_to_magnitude(spark, tmp_path):
+    """ADVICE round 5: the exact-int64 Gram chunk assumed unit-scale
+    components; components ~12 would overflow a fixed 65536-row slice
+    silently. The slice now derives from the observed magnitude —
+    moderate magnitudes stay EXACT (verified against the DuckDB oracle
+    on the same data), and magnitudes past the 1-row bound fail
+    loudly instead of wrapping."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    spec = QUERIES["emb_covariance_matrix"]
+
+    # moderate magnitude (~±12): exact vs oracle
+    rng = np.random.default_rng(7)
+    vecs = (rng.random((50, 64)) * 24 - 12).round(6)
+    mod_dir = str(tmp_path / "mod")
+    os.makedirs(mod_dir)
+    spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[float(x) for x in v], label=0)
+            for i, v in enumerate(vecs)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(os.path.join(mod_dir, "embeddings.parquet"))
+    s_rows = sorted(tuple(r) for r in spec.fn(spark, mod_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(mod_dir, 'embeddings.parquet')}/*.parquet')"
+    )
+    d_rows = sorted(con.execute(spec.oracle).fetchall())
+    assert s_rows == d_rows, "moderate-magnitude Gram must stay exact"
+
+    # extreme magnitude (~±4000): must refuse, never wrap
+    big_dir = str(tmp_path / "big")
+    os.makedirs(big_dir)
+    spark.createDataFrame(
+        [Row(vec_id=i, embedding=[4000.0 + i] * 64, label=0) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(os.path.join(big_dir, "embeddings.parquet"))
+    with pytest.raises(Exception, match="exact-int64 Gram bound"):
+        spec.fn(spark, big_dir).collect()

@@ -404,3 +404,74 @@ def test_manifest_double_compaction_conflict_raises(spark, sf_dir, tmp_path):
             table, base_files=[], base_version=v1,
         )
     assert read_version(spark, table, v2).count() == 10
+
+
+def test_manifest_base_resolved_before_staging_write(spark, sf_dir, tmp_path):
+    """ADVICE round 5: base_version must be resolved BEFORE the slow
+    staging write. Resolved after, a commit landing mid-write becomes
+    the 'base', the drop set is computed against the WINNER's snapshot
+    and no collision fires — a silent history rewrite. This test lands
+    a concurrent commit from inside the staging write itself (a UDF
+    side effect) and asserts the interloper's file survives into the
+    loser's merged manifest."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_financial_reporting_spark.operators.manifest import (
+        commit_version,
+        files_of,
+        latest_version,
+    )
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    table = os.path.join(str(tmp_path), "midwrite")
+    n = load_table(spark, sf_dir, "nation")
+    v1 = commit_version(n.filter(F.col("n_nationkey") < 5), table)
+    base = files_of(table, v1)
+    dummy = os.path.join(table, "interloper.parquet")
+
+    def interlope(x):
+        # executed on an executor DURING the loser's staging write;
+        # idempotent under task retries (O_EXCL, losers pass)
+        try:
+            with open(os.path.join(table, "manifest-v2.json"), "x") as fh:
+                json.dump({"version": 2, "files": sorted(base) + [dummy]}, fh)
+        except FileExistsError:
+            pass
+        return x
+
+    udf = F.udf(interlope, "int")
+    loser_df = n.filter(F.col("n_nationkey") >= 20).withColumn(
+        "n_nationkey", udf("n_nationkey")
+    )
+    v = commit_version(loser_df, table, base_files=base)
+    assert v == 3, "loser must collide with the mid-write commit and re-resolve"
+    assert dummy in files_of(table, v), (
+        "interloper's file silently dropped — base was resolved after "
+        "the staging write"
+    )
+    assert latest_version(table) == 3
+
+
+def test_publish_manifest_is_atomic_and_single_winner(tmp_path):
+    """The manifest must never be visible before its bytes are
+    complete (ADVICE round 5: open('x') + json.dump exposes an empty
+    file to a concurrently-merging loser). The hard-link publish keeps
+    the O_EXCL single-winner point: second publish of the same version
+    returns False, the winner's content is intact, and no temp files
+    are left behind."""
+    import os
+
+    from bigdata_financial_reporting_spark.operators.manifest import (
+        _publish_manifest,
+        files_of,
+    )
+
+    d = str(tmp_path / "atomic")
+    os.makedirs(d)
+    assert _publish_manifest(d, 1, ["a.parquet"]) is True
+    assert _publish_manifest(d, 1, ["b.parquet"]) is False
+    assert files_of(d, 1) == ["a.parquet"]
+    assert not [f for f in os.listdir(d) if f.startswith(".manifest-")]
