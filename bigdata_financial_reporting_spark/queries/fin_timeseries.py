@@ -113,12 +113,17 @@ def fin_vwap(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING)
     )
+    -- '+ 0' after each round: DuckDB's C++ round preserves the sign
+    -- of zero (round(-1e-9, 6) -> -0.0) while Spark's BigDecimal
+    -- round cannot emit -0.0; one such cell fails the driver's value
+    -- hash (the emb_covariance_matrix r05 failure class — the 10x
+    -- -0.0 sweep caught two here). IEEE: -0.0 + 0 = +0.0.
     SELECT user_id,
            count(*) AS n_events,
            round(arg_max(equity, epoch_us(ts)::HUGEINT * 10000000 + event_id), 6)
-             AS final_equity,
-           round(max(peak), 6) AS peak_equity,
-           round(max(peak - equity), 6) AS max_drawdown
+             + 0 AS final_equity,
+           round(max(peak), 6) + 0 AS peak_equity,
+           round(max(peak - equity), 6) + 0 AS max_drawdown
     FROM curve
     GROUP BY user_id
     """,

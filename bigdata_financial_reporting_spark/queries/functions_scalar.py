@@ -853,10 +853,13 @@ def fn_bitwise_family(spark, sf_dir):
     "fn_interval_family",
     oracle="""
     SELECT o_orderkey,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
-           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mstart,
-           last_day(CAST(o_orderdate AS DATE)) AS mend,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')
+             AS plus30,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d')
+             AS plus2m,
+           strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS mstart,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS mend,
            CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q,
            CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
            CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS woy,
@@ -874,17 +877,21 @@ def fn_interval_family(spark, sf_dir):
     shifted in the oracle), ISO week-of-year, and signed day
     differences. All pure codegen date expressions — on a date-
     partitioned lake these are the functions partition expressions and
-    retention predicates are made of."""
+    retention predicates are made of. Date outputs render as
+    yyyy-MM-dd STRINGS on both sides (the fn_date precedent): pandas
+    materializes a Spark date as datetime.date (object kind) but a
+    DuckDB DATE as datetime64, and the driver hashes the typed
+    rendering."""
     d = F.to_date("o_orderdate")
     return (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 2000)
         .select(
             "o_orderkey",
-            F.date_add(d, 30).alias("plus30"),
-            F.add_months(d, 2).alias("plus2m"),
-            F.trunc(d, "month").alias("mstart"),
-            F.last_day(d).alias("mend"),
+            F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+            F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus2m"),
+            F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("mstart"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("mend"),
             F.quarter(d).alias("q"),
             F.dayofweek(d).alias("dow"),
             F.weekofyear(d).alias("woy"),

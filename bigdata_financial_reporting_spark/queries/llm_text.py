@@ -1304,7 +1304,10 @@ def mix_apply_sample(spark, sf_dir):
     keyed AS (
       SELECT source, doc_id, n_chars, ln(u) / n_chars AS k FROM u
     )
-    SELECT source, doc_id, n_chars, round(k, 6) AS sample_key,
+    -- '+ 0' normalizes DuckDB's signed zero: k <= 0 by construction
+    -- (ln of u in (0,1]), so a tiny-negative key rounds to -0.0 in
+    -- DuckDB but +0.0 in Spark — caught by the 10x -0.0 sweep
+    SELECT source, doc_id, n_chars, round(k, 6) + 0 AS sample_key,
            CAST(row_number() OVER (PARTITION BY source
                                    ORDER BY k DESC, doc_id) AS INT) AS rank
     FROM keyed

@@ -55,6 +55,30 @@ def _is_negzero(v) -> bool:
     return False
 
 
+#: per-oracle wall cap. A handful of oracles are deliberately
+#: quadratic at fixture scale (all-pairs cosine / n-gram Jaccard
+#: ground truths); at the 10x corpus they would take the sweep's wall
+#: clock from seconds to hours for zero additional -0.0 surface (their
+#: hits, if any, would already show at the smaller SFs). Interrupted
+#: oracles are recorded under __timeouts__ so the skip is visible,
+#: never silent.
+PER_QUERY_SECONDS = 30.0
+
+
+def _execute_capped(con, sql):
+    import threading
+
+    timer = threading.Timer(PER_QUERY_SECONDS, con.interrupt)
+    timer.start()
+    try:
+        res = con.execute(sql)
+        cols = [d[0] for d in res.description]
+        rows = res.fetchall()
+        return cols, rows
+    finally:
+        timer.cancel()
+
+
 def scan_dir(sf_dir: str) -> dict:
     con = duckdb.connect()
     for t in TABLES:
@@ -76,9 +100,10 @@ def scan_dir(sf_dir: str) -> dict:
         if spec.oracle is None:
             continue
         try:
-            res = con.execute(spec.oracle)
-            cols = [d[0] for d in res.description]
-            rows = res.fetchall()
+            cols, rows = _execute_capped(con, spec.oracle)
+        except duckdb.InterruptException:
+            hits.setdefault("__timeouts__", []).append(name)
+            continue
         except Exception as e:  # fixture-dependent oracle (e.g. needs files)
             hits.setdefault("__errors__", []).append(f"{name}: {e}")
             continue
@@ -101,9 +126,17 @@ def main() -> int:
     bad = False
     for d in dirs:
         r = scan_dir(d)
-        real = {k: v for k, v in r["hits"].items() if k != "__errors__"}
+        real = {
+            k: v
+            for k, v in r["hits"].items()
+            if k not in ("__errors__", "__timeouts__")
+        }
         report[d] = r
-        print(f"{d}: {r['checked']} oracles scanned, {len(real)} with -0.0")
+        nto = len(r["hits"].get("__timeouts__", []))
+        print(
+            f"{d}: {r['checked']} oracles scanned, {len(real)} with -0.0"
+            + (f", {nto} capped at {PER_QUERY_SECONDS:.0f}s" if nto else "")
+        )
         for k, v in real.items():
             print(f"  HIT {k}: {v[:2]}")
             bad = True
