@@ -55,6 +55,10 @@ HEADLINE = [
     "text_tfidf",                 # explode→double agg→join
     "rollup_timeseries",          # multi-granularity time rollup cascade
     "skew_salted_agg",            # two-phase salted aggregation
+    # round-6 additions (first benched r6 — no prior-round baseline)
+    "tpch_q6_shape",              # pure scan: all predicates pushed
+    "tpch_q18_shape",             # semi join on pre-aggregated keys
+    "text_bpe_merge_step",        # vocabulary-bounded pair counting
 ]
 
 
