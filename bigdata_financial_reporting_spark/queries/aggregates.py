@@ -2228,3 +2228,279 @@ def tpch_q22_shape(spark, sf_dir):
             F.round(F.sum(cents) / 100.0, 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "stat_spearman_corr",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS grp,
+             2 * rank() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity)
+               + count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+               - 1 AS rx2,
+             2 * rank() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice)
+               + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+               - 1 AS ry2
+      FROM lineitem
+    ),
+    s AS (
+      SELECT grp, count(*) AS n,
+             sum(rx2) AS sx, sum(ry2) AS sy, sum(rx2 * ry2) AS sxy,
+             sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy
+      FROM r GROUP BY grp
+    )
+    SELECT grp, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0 AS rho
+    FROM s
+    """,
+    category="aggregates",
+)
+def stat_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation per group (quantity vs price), with
+    correct AVERAGE ranks under ties: avg_rank*2 = 2*min_rank +
+    tie_count - 1 is an exact INTEGER, so every moment (n, Σr, Σr²,
+    Σrxry) is an exact integer sum — order-independent across any
+    shuffle — and rho derives at the very end from one fixed double
+    expression mirrored verbatim in the oracle (the
+    emb_covariance_matrix discipline). The rank windows sort within
+    each group only; '+ 0' in the oracle normalizes DuckDB's -0.0 for
+    a tiny-negative rho."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = F.col("l_returnflag")
+    rx2 = (
+        F.lit(2) * F.rank().over(Window.partitionBy(g).orderBy("l_quantity"))
+        + F.count(F.lit(1)).over(Window.partitionBy(g, F.col("l_quantity")))
+        - 1
+    )
+    ry2 = (
+        F.lit(2)
+        * F.rank().over(Window.partitionBy(g).orderBy("l_extendedprice"))
+        + F.count(F.lit(1)).over(
+            Window.partitionBy(g, F.col("l_extendedprice"))
+        )
+        - 1
+    )
+    r = li.select(
+        g.alias("grp"),
+        rx2.cast("long").alias("rx2"),
+        ry2.cast("long").alias("ry2"),
+    )
+    s = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "grp", "n", F.round(num / F.sqrt(dx * dy), 6).alias("rho")
+    )
+
+
+@register(
+    "stat_mann_whitney_u",
+    oracle="""
+    WITH cells AS (
+      SELECT value,
+             count(*) FILTER (event_type = 'click') AS c1,
+             count(*) FILTER (event_type = 'view') AS c2,
+             count(*) AS t
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY value
+    ),
+    runs AS (
+      SELECT c1, c2, t,
+             sum(t) OVER (ORDER BY value
+                          ROWS UNBOUNDED PRECEDING) AS run_t
+      FROM cells
+    ),
+    ties AS (
+      SELECT sum(CAST(t * t * t - t AS BIGINT)) AS tie3 FROM cells
+    ),
+    s AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2,
+             sum(c1 * (2 * run_t - t + 1)) AS r1_2
+      FROM runs
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           round((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                  - CAST(n1 * n2 AS DOUBLE) / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                        * (CAST(n1 + n2 + 1 AS DOUBLE)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * CAST(n1 + n2 - 1 AS DOUBLE)))), 6)
+             + 0 AS z
+    FROM s, ties
+    """,
+    category="aggregates",
+)
+def stat_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing click vs view
+    values — the nonparametric two-sample location test, the
+    distribution-free sibling of agg_welch_ttest. Doubled average
+    ranks keep every rank sum an exact integer under ties: for a
+    distinct value with cumulative count C before it and tie count t,
+    avg_rank*2 = 2C + t + 1, so R1*2 = Σ c1·(2·run_t − t + 1) needs
+    only the per-DISTINCT-VALUE count table plus a running sum. That
+    running sum goes through ``global_running_sum`` — the same
+    range-partitioned two-phase cumulative sum agg_ks_twosample uses —
+    so there is NO row-level global sort: the only unpartitioned
+    window runs over the per-partition offset table. U is emitted as
+    u1_x2 = 2·U (exact integer); the tie-corrected z is one fixed
+    double expression over exact integers, mirrored in the oracle."""
+    from bigdata_financial_reporting_spark.operators.global_window import (
+        global_running_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    cells = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "c2"
+        ),
+        F.count(F.lit(1)).alias("t"),
+    )
+    runs = global_running_sum(cells, ["value"], ["t"])
+    s = runs.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("run_t") - F.col("t") + 1)
+        ).alias("r1_2"),
+        F.sum(
+            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("long")
+        ).alias("tie3"),
+    )
+    j = s
+    u1_x2 = (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).cast("long")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    z = (
+        u1_x2.cast("double") / 2
+        - (F.col("n1") * F.col("n2")).cast("double") / 2
+    ) / F.sqrt(
+        n1d * n2d / 12.0
+        * (
+            (F.col("n1") + F.col("n2") + 1).cast("double")
+            - F.col("tie3").cast("double") / (nd * (nd - 1))
+        )
+    )
+    return j.select(
+        "n1", "n2", u1_x2.alias("u1_x2"), F.round(z, 6).alias("z")
+    )
+
+
+@register(
+    "stat_anova_f",
+    oracle="""
+    WITH q AS (
+      SELECT event_type AS grp,
+             CAST(round(value * 1000000) AS BIGINT) AS xq
+      FROM events
+    ),
+    g AS (
+      SELECT grp, count(*) AS n, sum(xq) AS s, sum(xq * xq) AS qq
+      FROM q GROUP BY grp
+    ),
+    terms AS (
+      SELECT count(*) AS k, sum(n) AS nt, sum(s) AS st,
+             list_aggregate(list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                                 ORDER BY grp), 'sum') AS bsum,
+             list_aggregate(list(CAST(qq AS DOUBLE) ORDER BY grp), 'sum')
+               AS qsum
+      FROM g
+    )
+    SELECT CAST(k AS INT) AS k, CAST(nt AS BIGINT) AS nt,
+           round(((bsum - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+                  / (k - 1))
+                 / ((qsum - bsum) / (nt - k)) / 1.0, 6) AS f_stat
+    FROM terms
+    """,
+    category="aggregates",
+)
+def stat_anova_f(spark, sf_dir):
+    """One-way ANOVA F statistic across the five event types: are the
+    group means distinguishable? Values micro-quantize to exact
+    integers, so every per-group moment (n, Σx, Σx²) is an exact
+    integer; the cross-group combination of the five per-group double
+    terms folds in FIXED group order on both engines (array_sort +
+    F.aggregate ↔ list(... ORDER BY grp) + list_aggregate) — the one
+    place float addition happens is over an ordered 5-element list,
+    never a shuffle. F = (SSB/(k-1)) / (SSW/(N-k)) derives at the end
+    from one mirrored expression."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 1000000).cast("long").alias("xq"),
+    )
+    g = q.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("s"),
+        F.sum(
+            (F.col("xq") * F.col("xq")).cast("decimal(38,0)")
+        ).alias("qq"),
+    )
+    terms = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "grp",
+                            (
+                                F.col("s").cast("double")
+                                * F.col("s").cast("double")
+                                / F.col("n")
+                            ).alias("b"),
+                        )
+                    )
+                ),
+                lambda x: x["b"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("bsum"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("grp", F.col("qq").cast("double").alias("qd"))
+                    )
+                ),
+                lambda x: x["qd"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("qsum"),
+    )
+    std = F.col("st").cast("double")
+    ntd = F.col("nt").cast("double")
+    f = (
+        (F.col("bsum") - std * std / F.col("nt"))
+        / (F.col("k") - 1)
+    ) / ((F.col("qsum") - F.col("bsum")) / (F.col("nt") - F.col("k")))
+    return terms.select(
+        F.col("k").cast("int").alias("k"),
+        "nt",
+        F.round(f / 1.0, 6).alias("f_stat"),
+    )

@@ -284,6 +284,20 @@ DEFER_NEW: frozenset[str] = frozenset(
         "fn_interval_family",
         "sql_group_by_all",
         "text_bpe_merge_step",
+        # round-6 second batch (beyond the ~50-key r6 window — these
+        # front the r7 rotation once CORRECTNESS_r06 lands)
+        "sql_named_parameters",
+        "sql_execute_immediate",
+        "stat_spearman_corr",
+        "stat_mann_whitney_u",
+        "stat_anova_f",
+        "ts_seasonal_decompose",
+        "text_flesch_readability",
+        "text_html_strip",
+        "ops_delete_update_cow",
+        "ops_partition_skew_report",
+        "mix_domain_rebalance",
+        "emb_pca_power_iteration",
     }
 )
 

@@ -2329,3 +2329,195 @@ def text_bpe_merge_step(spark, sf_dir):
         .filter(F.col("__rn") <= 20)
         .select("sym_a", "sym_b", "merge_count")
     )
+
+
+@register(
+    "text_flesch_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      FROM documents
+    )
+    SELECT doc_id, CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(syllables AS BIGINT) AS syllables,
+           round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                 - 84.6 * (CAST(syllables AS DOUBLE) / words), 4) + 0
+             AS flesch
+    FROM m WHERE words > 0
+    """,
+    category="text",
+)
+def text_flesch_readability(spark, sf_dir):
+    """Flesch reading-ease per document — the classic readability
+    quality signal (Kincaid et al. 1975), with the standard
+    vowel-group syllable heuristic: syllables ≈ [aeiouy]+ runs,
+    sentences ≈ [.!?]+ runs (floored at 1), words = [a-z]+ runs. All
+    three are exact integer regexp counts (pure codegen, one map-only
+    pass, no shuffle at all), and the score is one fixed double
+    expression over them — bit-identical across engines and layouts.
+    '+ 0' guards the rare near-zero score rounding to DuckDB's -0.0."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0))
+    sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+    )
+    m = d.select(
+        "doc_id",
+        words.cast("long").alias("words"),
+        sentences.cast("long").alias("sentences"),
+        syllables.cast("long").alias("syllables"),
+    ).filter(F.col("words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("words").cast("double") / F.col("sentences"))
+        - F.lit(84.6)
+        * (F.col("syllables").cast("double") / F.col("words"))
+    )
+    return m.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(flesch, 4).alias("flesch"),
+    )
+
+
+@register(
+    "text_html_strip",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             '<p>' || replace(text, chr(10), '</p><p>') || '</p>' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT)
+             AS n_tags,
+           CAST(length(trim(regexp_replace(
+                  regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                  '\\s+', ' ', 'g'))) AS BIGINT) AS stripped_len,
+           substr(trim(regexp_replace(
+                  regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                  '\\s+', ' ', 'g')), 1, 40) AS head
+    FROM h
+    """,
+    category="text",
+)
+def text_html_strip(spark, sf_dir):
+    """HTML tag stripping — the first cleanup stage of every
+    web-scrape ingestion pipeline. The fixture text is plain, so the
+    markup is constructed deterministically (paragraph tags around
+    newline-split text) and then stripped back: tags → space,
+    whitespace squeezed, trimmed. Tag count, cleaned length, and the
+    cleaned head prove the strip; everything is string codegen in one
+    map-only pass — at 100 TB this runs at scan speed with zero
+    shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<p>"),
+        F.regexp_replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+        F.lit("</p>"),
+    )
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(html, F.lit("<[^>]+>"), F.lit(" ")),
+            F.lit("\\s+"),
+            F.lit(" "),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(html, F.lit("<[^>]+>"), 0))
+        .cast("long")
+        .alias("n_tags"),
+        F.length(stripped).cast("long").alias("stripped_len"),
+        F.substring(stripped, 1, 40).alias("head"),
+    )
+
+
+@register(
+    "mix_domain_rebalance",
+    oracle="""
+    WITH sized AS (
+      SELECT source, count(*) AS n_before FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_before) // count(*) AS BIGINT) AS per_domain
+      FROM sized
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('rebal:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT s.source, s.n_before,
+           least(s.n_before, t.per_domain) AS quota,
+           (SELECT count(*) FROM ranked r
+            WHERE r.source = s.source
+              AND r.rn <= least(s.n_before, t.per_domain)) AS n_kept,
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM ranked r
+            WHERE r.source = s.source
+              AND r.rn <= least(s.n_before, t.per_domain)) AS id_checksum
+    FROM sized s, tot t
+    """,
+    category="text",
+)
+def mix_domain_rebalance(spark, sf_dir):
+    """Domain rebalancing for a training mix: every source is capped
+    at an equal share (total/k docs), with the kept subset chosen by a
+    salted-md5 ranking — membership is a pure function of doc_id, so
+    the SAME documents are selected on any cluster, any partitioning,
+    any rerun (no RNG state to ship). This is the downsampling half of
+    mix_temperature_sample's reweighting: where temperature adjusts
+    probabilities, rebalance enforces hard caps. The rank window sorts
+    within each source only; id_checksum (exact integer sum of kept
+    ids) proves the selected SET matches, not just its size."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    tot = sized.agg(
+        (F.sum("n_before") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("per_domain")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("rebal:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = d.select(
+        "source", "doc_id", F.row_number().over(w).alias("rn")
+    )
+    kept = (
+        ranked.join(F.broadcast(sized), "source")
+        .join(F.broadcast(tot))
+        .filter(F.col("rn") <= F.least(F.col("n_before"), F.col("per_domain")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+    return (
+        sized.join(F.broadcast(tot))
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            F.least(F.col("n_before"), F.col("per_domain")).alias("quota"),
+            "n_kept",
+            "id_checksum",
+        )
+    )

@@ -502,3 +502,132 @@ def ops_time_travel_versions(spark, sf_dir):
         ).select("version", "n_rows", "acctbal_sum")
 
     return summary(v1).unionByName(summary(v2))
+
+
+@register(
+    "ops_delete_update_cow",
+    oracle="""
+    WITH v1 AS (SELECT * FROM nation),
+    v2 AS (SELECT * FROM v1 WHERE n_nationkey % 3 <> 0),
+    v3 AS (
+      SELECT n_nationkey,
+             CASE WHEN n_regionkey = 2 THEN n_name || '_EU' ELSE n_name END
+               AS n_name,
+             n_regionkey
+      FROM v2
+    )
+    SELECT 1 AS version, (SELECT count(*) FROM v1) AS n_rows,
+           (SELECT count(*) FROM v1 WHERE n_name LIKE '%\\_EU' ESCAPE '\\')
+             AS n_updated,
+           (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM v1) AS key_sum
+    UNION ALL
+    SELECT 2, (SELECT count(*) FROM v2),
+           (SELECT count(*) FROM v2 WHERE n_name LIKE '%\\_EU' ESCAPE '\\'),
+           (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM v2)
+    UNION ALL
+    SELECT 3, (SELECT count(*) FROM v3),
+           (SELECT count(*) FROM v3 WHERE n_name LIKE '%\\_EU' ESCAPE '\\'),
+           (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM v3)
+    """,
+    category="ops",
+)
+def ops_delete_update_cow(spark, sf_dir):
+    """Copy-on-write DELETE and UPDATE on the manifest table — the two
+    mutations a plain-parquet lake cannot do in place, expressed as
+    Delta/Iceberg do: DELETE commits a rewrite containing only the
+    surviving rows (v2), UPDATE commits a rewrite with the transformed
+    rows (v3); v1's files and manifest are untouched, so readers
+    pinned to any version keep a consistent snapshot and the mutation
+    history is queryable. Each version is then read back AS OF its
+    manifest and summarized. At scale the rewrite would target only
+    the files containing hit rows (base_files keeps the rest) — the
+    engine-side mechanics are identical."""
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_financial_reporting_spark.operators.manifest import (
+        commit_version,
+        read_version,
+    )
+
+    n = load_table(spark, sf_dir, "nation")
+    table_dir = os.path.join(
+        tempfile.gettempdir(), "bdfr_scratch", "cow_nation"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    commit_version(n, table_dir)
+    # DELETE ... WHERE n_nationkey % 3 = 0  (copy-on-write rewrite)
+    deleted = read_version(spark, table_dir, 1).filter(
+        F.col("n_nationkey") % 3 != 0
+    )
+    commit_version(deleted, table_dir)
+    # UPDATE ... SET n_name = n_name || '_EU' WHERE n_regionkey = 2
+    updated = read_version(spark, table_dir, 2).withColumn(
+        "n_name",
+        F.when(
+            F.col("n_regionkey") == 2, F.concat(F.col("n_name"), F.lit("_EU"))
+        ).otherwise(F.col("n_name")),
+    )
+    commit_version(updated, table_dir)
+
+    def summary(version: int):
+        df = read_version(spark, table_dir, version)
+        return df.agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("n_name").endswith("_EU"), 1)).alias(
+                "n_updated"
+            ),
+            F.sum("n_nationkey").alias("key_sum"),
+        ).select("version", "n_rows", "n_updated", "key_sum")
+
+    return summary(1).unionAll(summary(2)).unionAll(summary(3))
+
+
+@register(
+    "ops_partition_skew_report",
+    oracle="""
+    WITH p AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             count(DISTINCT l_orderkey) AS n_orders,
+             CAST(round(sum(l_quantity), 0) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT max(n_rows) AS mx, sum(n_rows) AS s, count(*) AS k FROM p)
+    SELECT p.l_returnflag, p.l_linestatus, p.n_rows, p.n_orders, p.qty,
+           round(CAST(t.mx AS DOUBLE) * t.k / t.s, 6) AS skew_factor
+    FROM p, tot t
+    """,
+    category="ops",
+)
+def ops_partition_skew_report(spark, sf_dir):
+    """Partition-skew diagnostic over the table's natural partition
+    key (returnflag x linestatus): per-partition row/order/quantity
+    profile plus the global skew factor max/avg — the number that
+    predicts straggler tasks before a backfill is launched. The
+    profile is one map-side-combined aggregate; the skew factor joins
+    a broadcast 1-row total. At 100 TB this is the report that decides
+    whether a partition column needs salting before it burns a
+    cluster-day."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 0).cast("long").alias("qty"),
+    )
+    tot = p.agg(
+        F.max("n_rows").alias("mx"),
+        F.sum("n_rows").alias("s"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return p.join(F.broadcast(tot)).select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        "n_orders",
+        "qty",
+        F.round(
+            F.col("mx").cast("double") * F.col("k") / F.col("s"), 6
+        ).alias("skew_factor"),
+    )

@@ -624,3 +624,66 @@ def sql_group_by_all(spark, sf_dir):
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "sql_named_parameters",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    WHERE n_chars > 300 AND source <> 'src1'
+    GROUP BY lang
+    """,
+    category="relational",
+)
+def sql_named_parameters(spark, sf_dir):
+    """Spark 3.4+/4 parameterized SQL: named parameter markers
+    (:min_chars, :skip) bound through spark.sql(..., args=...) — the
+    injection-safe surface programs should use instead of f-string SQL.
+    Parameters are bound as typed literals in the plan, so Catalyst
+    constant-folds them and the parquet scan still receives the pushed
+    n_chars filter (identical plan to the literal form)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "v_docs_param"
+    )
+    return spark.sql(
+        """
+        SELECT lang, count(*) AS n, max(n_chars) AS max_chars
+        FROM v_docs_param
+        WHERE n_chars > :min_chars AND source <> :skip
+        GROUP BY lang
+        """,
+        args={"min_chars": 300, "skip": "src1"},
+    )
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    category="relational",
+)
+def sql_execute_immediate(spark, sf_dir):
+    """Spark 4 EXECUTE IMMEDIATE: dynamic SQL runs a query held in a
+    session VARIABLE — the building block of metadata-driven pipelines
+    (the statement text itself may come from a config table), and the
+    variable form sidesteps quote-escaping inside a string literal.
+    The inner query plans exactly like its static form: same pushed
+    filter, same single aggregate exchange."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_orders_dyn"
+    )
+    stmt = (
+        "SELECT o_orderpriority, count(*) AS n, "
+        "round(sum(o_totalprice), 4) AS total "
+        "FROM v_orders_dyn WHERE o_orderstatus = 'F' "
+        "GROUP BY o_orderpriority"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE dyn_stmt STRING")
+    spark.sql("SET VAR dyn_stmt = :s", args={"s": stmt})
+    return spark.sql("EXECUTE IMMEDIATE dyn_stmt")

@@ -547,69 +547,15 @@ def sim_embedding_outliers(spark, sf_dir):
     )
 
 
-@register(
-    "emb_covariance_matrix",
-    oracle="""
-    WITH x AS (
-      SELECT vec_id, i - 1 AS pos,
-             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
-               AS xq
-      FROM embeddings, generate_series(1, 64) g(i)
-    ),
-    p AS (
-      SELECT a.pos AS pos_i, b.pos AS pos_j,
-             sum(a.xq * b.xq) AS sxy,
-             sum(a.xq) AS sx, sum(b.xq) AS sy,
-             count(*) AS n
-      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
-      GROUP BY a.pos, b.pos
-    ),
-    q AS (
-      SELECT pos_i, pos_j, n,
-             sxy * n - sx * sy AS num,
-             CAST(n AS HUGEINT) * (n - 1) * 1000000 AS den
-      FROM p
-    )
-    SELECT pos_i, pos_j,
-           CAST(CASE WHEN num < 0
-                     THEN -((2 * (-num) + den) // (2 * den))
-                     ELSE (2 * num + den) // (2 * den)
-                END AS BIGINT) AS cov_u,
-           n
-    FROM q
-    """,
-    category="similarity",
-)
-def emb_covariance_matrix(spark, sf_dir):
-    """Distributed covariance matrix of the embedding columns (upper
-    triangle, 64x65/2 = 2080 entries) — the input to PCA whitening and
-    the classic distributed-linear-algebra pattern: each partition
-    computes its LOCAL Gram sums with one vectorized numpy X^T X
-    (mapInPandas, Arrow batches), emitting 2080 partial rows; a single
-    keyed aggregation merges partials into exact global sums. The
-    shuffle carries #partitions x 2080 rows — independent of corpus
-    size — so the operator scales to any row count; only the dimension
-    d^2 term matters.
-
-    Determinism (the round-4 driver failure): double partial sums merge
-    in shuffle order, and float addition is not associative, so entries
-    near a 6-dp rounding boundary flipped between runs. Fixed with the
-    sim_random_projection pattern — components micro-quantize to exact
-    integers (round(x*1e6), Spark-side so both engines share HALF_UP),
-    the Gram partials are exact int64, and the merge accumulates
-    decimal(38,0) (order-independent).
-
-    Rendering (the round-5 driver failure): even with exact sums, a
-    final round(double, 6) disagrees on SIGNED ZERO — DuckDB's round is
-    C++ std::round (round(-1e-9, 6) -> -0.0) while Spark's F.round goes
-    through BigDecimal, which cannot represent -0.0 -> +0.0; one such
-    cell fails the driver's value hash. So NO double ever enters the
-    output: both engines emit the covariance as exact BIGINT micro-units
-    cov_u = round_half_away((Sxy*n - Sx*Sy) / (n*(n-1)*1e6)), computed
-    with pure-integer arithmetic — sign(num) * ((2|num| + den) div
-    (2 den)) — where integer zero has no sign. Precision headroom:
-    |num| <= ~2e12 * n^2 stays inside decimal(38,0)/HUGEINT up to
-    n ~ 1e12 rows."""
+def _exact_gram_moments(spark, sf_dir):
+    """Upper-triangle exact Gram moments of the micro-quantized
+    embedding matrix: (i, j, sxy, sx, sy, n) with sxy/sx/sy exact
+    decimal(38,0) sums and i <= j — the distributed-linear-algebra
+    primitive shared by emb_covariance_matrix and
+    emb_pca_power_iteration. One mapInPandas Gram pass whose
+    shuffle carries #partitions x 2080 partial rows
+    (corpus-size-independent), merged by an order-independent
+    decimal aggregation."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "embeddings").select(
@@ -675,12 +621,78 @@ def emb_covariance_matrix(spark, sf_dir):
     partials = d.mapInPandas(
         partial_gram, schema="i int, j int, sxy long, sx long, sy long, n long"
     )
-    merged = partials.groupBy("i", "j").agg(
+    return partials.groupBy("i", "j").agg(
         F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"),
         F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx"),
         F.sum(F.col("sy").cast("decimal(38,0)")).alias("sy"),
         F.sum("n").alias("n"),
     )
+
+
+@register(
+    "emb_covariance_matrix",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xq
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    p AS (
+      SELECT a.pos AS pos_i, b.pos AS pos_j,
+             sum(a.xq * b.xq) AS sxy,
+             sum(a.xq) AS sx, sum(b.xq) AS sy,
+             count(*) AS n
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY a.pos, b.pos
+    ),
+    q AS (
+      SELECT pos_i, pos_j, n,
+             sxy * n - sx * sy AS num,
+             CAST(n AS HUGEINT) * (n - 1) * 1000000 AS den
+      FROM p
+    )
+    SELECT pos_i, pos_j,
+           CAST(CASE WHEN num < 0
+                     THEN -((2 * (-num) + den) // (2 * den))
+                     ELSE (2 * num + den) // (2 * den)
+                END AS BIGINT) AS cov_u,
+           n
+    FROM q
+    """,
+    category="similarity",
+)
+def emb_covariance_matrix(spark, sf_dir):
+    """Distributed covariance matrix of the embedding columns (upper
+    triangle, 64x65/2 = 2080 entries) — the input to PCA whitening and
+    the classic distributed-linear-algebra pattern: each partition
+    computes its LOCAL Gram sums with one vectorized numpy X^T X
+    (mapInPandas, Arrow batches), emitting 2080 partial rows; a single
+    keyed aggregation merges partials into exact global sums. The
+    shuffle carries #partitions x 2080 rows — independent of corpus
+    size — so the operator scales to any row count; only the dimension
+    d^2 term matters.
+
+    Determinism (the round-4 driver failure): double partial sums merge
+    in shuffle order, and float addition is not associative, so entries
+    near a 6-dp rounding boundary flipped between runs. Fixed with the
+    sim_random_projection pattern — components micro-quantize to exact
+    integers (round(x*1e6), Spark-side so both engines share HALF_UP),
+    the Gram partials are exact int64, and the merge accumulates
+    decimal(38,0) (order-independent).
+
+    Rendering (the round-5 driver failure): even with exact sums, a
+    final round(double, 6) disagrees on SIGNED ZERO — DuckDB's round is
+    C++ std::round (round(-1e-9, 6) -> -0.0) while Spark's F.round goes
+    through BigDecimal, which cannot represent -0.0 -> +0.0; one such
+    cell fails the driver's value hash. So NO double ever enters the
+    output: both engines emit the covariance as exact BIGINT micro-units
+    cov_u = round_half_away((Sxy*n - Sx*Sy) / (n*(n-1)*1e6)), computed
+    with pure-integer arithmetic — sign(num) * ((2|num| + den) div
+    (2 den)) — where integer zero has no sign. Precision headroom:
+    |num| <= ~2e12 * n^2 stays inside decimal(38,0)/HUGEINT up to
+    n ~ 1e12 rows."""
+    merged = _exact_gram_moments(spark, sf_dir)
     num = F.col("sxy") * F.col("n") - F.col("sx") * F.col("sy")
     den = (
         F.col("n").cast("decimal(38,0)")
@@ -962,4 +974,92 @@ def sim_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(
         q, e, "vec_id", "vec_id",
         n_centroids=16, n_probe=4, n_subspaces=8, n_codes=16, k=10,
+    )
+
+
+@register(
+    "emb_pca_power_iteration",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xq
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    p AS (
+      SELECT a.pos AS i, b.pos AS j,
+             sum(a.xq * b.xq) AS sxy, sum(a.xq) AS sx, sum(b.xq) AS sy,
+             count(*) AS n
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY a.pos, b.pos
+    ),
+    up AS (SELECT i, j, sxy * n - sx * sy AS num FROM p),
+    sym AS (
+      SELECT i, j, num FROM up
+      UNION ALL
+      SELECT j, i, num FROM up WHERE i <> j
+    ),
+    v1 AS (SELECT i, sum(num) AS v1 FROM sym GROUP BY i),
+    t AS (
+      SELECT s.i, s.j, CAST(s.num AS DOUBLE) * CAST(v.v1 AS DOUBLE) AS term
+      FROM sym s JOIN v1 v ON v.i = s.j
+    ),
+    v2 AS (
+      SELECT i, list_aggregate(list(term ORDER BY j), 'sum') AS v2
+      FROM t GROUP BY i
+    )
+    SELECT v1.i AS pos,
+           round(CAST(v1.v1 AS DOUBLE) / 1e12, 6) + 0 AS v1_s,
+           round(v2.v2 / 1e30, 6) + 0 AS v2_s
+    FROM v1 JOIN v2 USING (i)
+    """,
+    category="similarity",
+)
+def emb_pca_power_iteration(spark, sf_dir):
+    """Two unrolled power-method iterations toward the top principal
+    component of the embedding covariance — the building block of
+    distributed PCA/whitening. The covariance numerator matrix M
+    (exact integers from _exact_gram_moments) stays d x d =
+    model-sized, so each iteration is a broadcast-scale matrix-vector
+    product, never a corpus pass: v1 = M·1 is an exact decimal sum per
+    row; v2 = M·v1 folds its 64 per-row terms in FIXED j order
+    (array_sort + F.aggregate ↔ list(... ORDER BY j) +
+    list_aggregate), so the only float additions happen in an ordered
+    64-element fold — bit-identical across engines and layouts.
+    Outputs are scaled by the quantization powers (1e12 / 1e30);
+    '+ 0' guards tiny-negative components rounding to DuckDB's -0.0.
+    Normalization and further iterations multiply the same broadcast
+    matrix — per-iteration cost is O(d^2), independent of row count."""
+    merged = _exact_gram_moments(spark, sf_dir)
+    num = (F.col("sxy") * F.col("n") - F.col("sx") * F.col("sy")).alias("num")
+    up = merged.select("i", "j", num)
+    sym = up.union(
+        up.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "num"
+        )
+    )
+    v1 = sym.groupBy("i").agg(F.sum("num").alias("v1"))
+    terms = sym.join(
+        F.broadcast(v1.select(F.col("i").alias("j"), F.col("v1"))), "j"
+    ).select(
+        "i",
+        "j",
+        (F.col("num").cast("double") * F.col("v1").cast("double")).alias(
+            "term"
+        ),
+    )
+    v2 = terms.groupBy("i").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "term"))),
+                lambda x: x["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("v2")
+    )
+    return v1.join(v2, "i").select(
+        F.col("i").alias("pos"),
+        F.round(F.col("v1").cast("double") / F.lit(1e12), 6).alias("v1_s"),
+        F.round(F.col("v2") / F.lit(1e30), 6).alias("v2_s"),
     )

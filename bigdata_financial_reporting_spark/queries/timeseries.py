@@ -616,3 +616,88 @@ def ts_theil_sen_slope(spark, sf_dir):
         F.round(F.percentile(slope, F.lit(0.5)), 6).alias("ts_slope"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             dayofweek(CAST(ts AS DATE)) AS phase,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    seas AS (
+      SELECT phase, sum(cnt) AS ps, count(*) AS pn FROM daily GROUP BY phase
+    ),
+    grand AS (
+      SELECT sum(cnt) AS gs, count(*) AS gn FROM daily
+    ),
+    tr AS (
+      SELECT day, phase, cnt,
+             sum(cnt) OVER w AS tsum, count(*) OVER w AS tn
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT strftime(t.day, '%Y-%m-%d') AS day, CAST(t.cnt AS BIGINT) AS cnt,
+           round(CAST(s.ps AS DOUBLE) / s.pn
+                 - CAST(g.gs AS DOUBLE) / g.gn, 6) + 0 AS seasonal,
+           round(CAST(t.tsum AS DOUBLE) / t.tn, 6) AS trend,
+           round(CAST(t.cnt AS DOUBLE)
+                 - CAST(t.tsum AS DOUBLE) / t.tn
+                 - (CAST(s.ps AS DOUBLE) / s.pn
+                    - CAST(g.gs AS DOUBLE) / g.gn), 6) + 0 AS residual
+    FROM tr t JOIN seas s ON t.phase = s.phase CROSS JOIN grand g
+    """,
+    category="timeseries",
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of the daily event-count
+    series: seasonal = day-of-week mean minus grand mean, trend =
+    7-day centered moving average, residual = actual − trend −
+    seasonal — the classical-decomposition baseline every
+    anomaly-detection pipeline starts from. Every mean is an
+    exact-integer sum divided once at the end (no float crosses a
+    shuffle); the trend frame is a ROWS window over the day-grained
+    aggregate, so its cost is bounded by #days, not events. The
+    single unpartitioned trend window runs over the DAILY table
+    (corpus-size-independent); '+ 0' guards DuckDB's −0.0 on
+    near-zero seasonal/residual cells."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.dayofweek(F.to_date("ts")).alias("phase"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    seas = daily.groupBy("phase").agg(
+        F.sum("cnt").alias("ps"), F.count(F.lit(1)).alias("pn")
+    )
+    grand = daily.agg(
+        F.sum("cnt").alias("gs"), F.count(F.lit(1)).alias("gn")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "phase",
+        "cnt",
+        F.sum("cnt").over(w).alias("tsum"),
+        F.count(F.lit(1)).over(w).alias("tn"),
+    )
+    seasonal = F.col("ps").cast("double") / F.col("pn") - F.col("gs").cast(
+        "double"
+    ) / F.col("gn")
+    trend = F.col("tsum").cast("double") / F.col("tn")
+    return (
+        tr.join(F.broadcast(seas), "phase")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(trend, 6).alias("trend"),
+            F.round(
+                F.col("cnt").cast("double") - trend - seasonal, 6
+            ).alias("residual"),
+        )
+    )
