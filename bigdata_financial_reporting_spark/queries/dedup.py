@@ -551,3 +551,119 @@ def dedup_semantic_semdedup(spark, sf_dir):
     return semantic_dedup(
         e, "vec_id", "embedding", n_clusters=16, threshold=0.35
     )
+
+
+@register(
+    "dedup_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, doc_id // 2 AS base_id, source,
+             unnest([
+               'HTTPS://WWW.' || source || '.COM:443/Docs/'
+                 || CAST(doc_id // 2 AS VARCHAR) || '/?utm_source=a&id=7#top',
+               'https://www.' || source || '.com/docs/'
+                 || CAST(doc_id // 2 AS VARCHAR) || '?id=7',
+               'https://www.' || source || '.com/docs/'
+                 || CAST(doc_id // 2 AS VARCHAR)
+                 || '/index.html?utm_campaign=b&id=7'
+             ]) AS url
+      FROM documents WHERE doc_id < 100
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             (
+               WITH s AS (
+                 SELECT rtrim(
+                          regexp_replace(
+                            replace(string_split(
+                              string_split(lower(url), '#')[1], '?')[1],
+                              ':443/', '/'),
+                            '/index\\.html$', ''),
+                          '/') AS path,
+                        list_sort(list_filter(
+                          string_split(
+                            coalesce(string_split(
+                              string_split(lower(url), '#')[1], '?')[2], ''),
+                            '&'),
+                          p -> p <> '' AND NOT p LIKE 'utm\\_%' ESCAPE '\\'))
+                          AS params
+               )
+               SELECT path || CASE WHEN len(params) > 0
+                                   THEN '?' || array_to_string(params, '&')
+                                   ELSE '' END
+               FROM s
+             ) AS curl
+      FROM raw
+    )
+    SELECT curl AS canonical, count(*) AS n_raw,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS keeper_doc
+    FROM canon GROUP BY curl
+    """,
+    category="dedup",
+)
+def dedup_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + exact dedup — the first dedup stage of
+    any web-crawl pipeline: scheme/host lowercasing, default-port
+    strip, fragment drop, /index.html collapse, trailing-slash trim,
+    and QUERY-PARAM normalization done properly (split, drop utm_*
+    tracking params, sort alphabetically, reassemble) — naive
+    regex-only stripping breaks on '?utm_x=1&id=7'. Three styled
+    variants per synthetic URL (the fixture has no URL column)
+    collapse to one canonical form shared across a doc pair, and the
+    group keeps the lowest doc id. Everything is codegen string/array
+    HOFs — no UDF, no shuffle beyond the final canonical groupBy whose
+    key is the deduped string."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    base = (F.col("doc_id") / 2).cast("long").cast("string")
+    variants = F.array(
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit(".COM:443/Docs/"),
+            base, F.lit("/?utm_source=a&id=7#top"),
+        ),
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".com/docs/"),
+            base, F.lit("?id=7"),
+        ),
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".com/docs/"),
+            base, F.lit("/index.html?utm_campaign=b&id=7"),
+        ),
+    )
+    raw = d.select("doc_id", F.explode(variants).alias("url"))
+    no_frag = F.element_at(F.split(F.lower("url"), "#"), 1)
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.replace(
+                F.element_at(F.split(no_frag, "\\?"), 1),
+                F.lit(":443/"),
+                F.lit("/"),
+            ),
+            F.lit("/index\\.html$"),
+            F.lit(""),
+        ),
+        F.lit("/+$"),
+        F.lit(""),
+    )
+    query = F.coalesce(F.element_at(F.split(no_frag, "\\?"), 2), F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    canonical = F.concat(
+        path,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        raw.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+    )

@@ -298,6 +298,10 @@ DEFER_NEW: frozenset[str] = frozenset(
         "ops_partition_skew_report",
         "mix_domain_rebalance",
         "emb_pca_power_iteration",
+        "udf_udtf_arrow",
+        "src_compressed_roundtrip",
+        "ops_snapshot_expiry",
+        "dedup_url_canonicalize",
     }
 )
 

@@ -631,3 +631,74 @@ def ops_partition_skew_report(spark, sf_dir):
             F.col("mx").cast("double") * F.col("k") / F.col("s"), 6
         ).alias("skew_factor"),
     )
+
+
+@register(
+    "ops_snapshot_expiry",
+    oracle="""
+    WITH v1 AS (SELECT * FROM nation WHERE n_nationkey < 10),
+    v2 AS (SELECT * FROM nation WHERE n_nationkey < 20),
+    v3 AS (SELECT * FROM nation)
+    SELECT 1 AS version, TRUE AS expired,
+           CAST(NULL AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 2, FALSE, (SELECT count(*) FROM v2)
+    UNION ALL
+    SELECT 3, FALSE, (SELECT count(*) FROM v3)
+    """,
+    category="ops",
+)
+def ops_snapshot_expiry(spark, sf_dir):
+    """Snapshot expiry (retention) on the manifest table: keep the
+    newest N versions, expire the rest — Iceberg's expire_snapshots /
+    Delta's VACUUM boundary, reduced to its manifest essence. Expiry
+    deletes only MANIFESTS (the version pointer); data files shared
+    with surviving versions stay because younger manifests still list
+    them (v2 here keeps v1's files alive through the logical append
+    chain). The report reads back every surviving version and marks
+    expired ones with a NULL row count — pinned readers of an expired
+    version fail loudly instead of silently seeing other data."""
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_financial_reporting_spark.operators.manifest import (
+        _manifest_path,
+        commit_version,
+        files_of,
+        latest_version,
+        read_version,
+    )
+
+    n = load_table(spark, sf_dir, "nation")
+    table_dir = os.path.join(
+        tempfile.gettempdir(), "bdfr_scratch", "expiry_nation"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    v1 = commit_version(n.filter(F.col("n_nationkey") < 10), table_dir)
+    v2 = commit_version(
+        n.filter((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)),
+        table_dir,
+        base_files=files_of(table_dir, v1),
+    )
+    commit_version(
+        n.filter(F.col("n_nationkey") >= 20),
+        table_dir,
+        base_files=files_of(table_dir, v2),
+    )
+    # retention: keep the newest 2 versions, expire older manifests
+    keep = 2
+    latest = latest_version(table_dir)
+    for v in range(1, latest - keep + 1):
+        os.remove(_manifest_path(table_dir, v))
+
+    rows = []
+    for v in range(1, latest + 1):
+        if os.path.exists(_manifest_path(table_dir, v)):
+            cnt = read_version(spark, table_dir, v).count()
+            rows.append((v, False, cnt))
+        else:
+            rows.append((v, True, None))
+    return spark.createDataFrame(
+        rows, "version int, expired boolean, n_rows long"
+    )

@@ -516,3 +516,54 @@ def src_xml_roundtrip(spark, sf_dir):
         .load(tmp)
     )
     return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "src_compressed_roundtrip",
+    oracle="""
+    SELECT 'zstd' AS codec, count(*) AS n,
+           CAST(sum(p_size) AS BIGINT) AS size_sum
+    FROM part
+    UNION ALL
+    SELECT 'gzip', count(*), CAST(sum(p_size) AS BIGINT) FROM part
+    """,
+    category="sources",
+)
+def src_compressed_roundtrip(spark, sf_dir):
+    """Compression-codec roundtrips: the same table written as
+    zstd parquet and gzip CSV, read back, and summarized — codec
+    choice is a first-order cost lever at 100 TB (zstd parquet is the
+    default lake posture; gzip CSV the interchange fallback) and the
+    read path must be transparent to it. Content equality against the
+    uncompressed ground truth is the whole check."""
+    p = load_table(spark, sf_dir, "part")
+    base = tempfile.mkdtemp(prefix="bdfr_codec_")
+    zpath = os.path.join(base, "part_zstd")
+    p.write.mode("overwrite").option("compression", "zstd").parquet(zpath)
+    gpath = os.path.join(base, "part_gzip_csv")
+    (
+        p.select("p_partkey", "p_size")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", "gzip")
+        .csv(gpath)
+    )
+    z = (
+        spark.read.parquet(zpath)
+        .agg(
+            F.lit("zstd").alias("codec"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_size").alias("size_sum"),
+        )
+        .select("codec", "n", "size_sum")
+    )
+    g = (
+        read_csv(spark, gpath, schema="p_partkey long, p_size int")
+        .agg(
+            F.lit("gzip").alias("codec"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_size").alias("size_sum"),
+        )
+        .select("codec", "n", "size_sum")
+    )
+    return z.unionAll(g)

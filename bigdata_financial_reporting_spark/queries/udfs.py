@@ -332,3 +332,48 @@ def udf_map_in_arrow(spark, sf_dir):
     return emb.select("vec_id", "embedding").mapInArrow(
         norms, schema="vec_id long, l2_norm double, dim long"
     )
+
+
+@register(
+    "udf_udtf_arrow",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+'))
+               AS word
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, word, CAST(length(word) AS INT) AS wlen
+    FROM tok WHERE word <> '' AND length(word) >= 8
+    """,
+    category="udfs",
+)
+def udf_udtf_arrow(spark, sf_dir):
+    """Arrow-optimized Python UDTF (Spark 4 ``useArrow=True``): the
+    same table-function surface as udf_python_udtf, but rows cross the
+    JVM<->Python boundary as Arrow batches instead of pickled rows —
+    the throughput mode a production UDTF should run in. The function
+    emits each long word of a document; output equals the pure-SQL
+    explode, proving the Arrow serialization path changes nothing but
+    the transport."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    from bigdata_financial_reporting_spark.sources.catalog import register_views
+
+    @udtf(returnType="doc_id bigint, word string, wlen int", useArrow=True)
+    class LongWords:
+        def eval(self, doc_id: int, text: str):
+            for w in re.split(r"[^a-z]+", (text or "").lower()):
+                if len(w) >= 8:
+                    yield (doc_id, w, len(w))
+
+    spark.udtf.register("long_words_arrow", LongWords)
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.word, s.wlen
+        FROM documents d, LATERAL long_words_arrow(d.doc_id, d.text) s
+        WHERE d.doc_id < 50
+        """
+    )
