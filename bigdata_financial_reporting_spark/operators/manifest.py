@@ -40,17 +40,23 @@ def _publish_manifest(table_dir: str, version: int, files: list[str]) -> bool:
     either materializes the full content or fails with FileExistsError,
     preserving the O_EXCL single-winner commit point."""
     tmp = os.path.join(table_dir, f".manifest-{uuid.uuid4().hex[:12]}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": files}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
     try:
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": files}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.link(tmp, _manifest_path(table_dir, version))
         return True
     except FileExistsError:
         return False
     finally:
-        os.unlink(tmp)
+        # One try/finally spans BOTH the write and the link: a failed
+        # json.dump/fsync (disk full, I/O error) must not strand the
+        # uuid-named temp file next to the manifests forever.
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def latest_version(table_dir: str) -> int:

@@ -2291,17 +2291,27 @@ def stat_spearman_corr(spark, sf_dir):
         rx2.cast("long").alias("rx2"),
         ry2.cast("long").alias("ry2"),
     )
+    # Every moment sum AND every product of moments runs in
+    # decimal(38,0): at 2M rows/group (the 10x corpus) Σrx2² ≈ 1e19
+    # already exceeds 2^63, and sx*sx ≈ 1.6e25 far exceeds it — with
+    # ANSI off a LongType pipeline wraps silently while DuckDB's
+    # HUGEINT stays exact (observed: rho off by 6x at 10x before this).
+    # decimal(38,0) matches HUGEINT's exact range (~1.7e38), which
+    # holds past 1e12 rows per group. Per-row rx2*ry2 ≤ 4n² needs the
+    # decimal cast BEFORE the multiply for n beyond ~1.5e9.
+    dec = "decimal(38,0)"
     s = r.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("rx2").alias("sx"),
-        F.sum("ry2").alias("sy"),
-        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
-        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
-        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2").cast(dec)).alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).alias("sy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2").cast(dec) * F.col("ry2")).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nD = F.col("n").cast(dec)
+    num = (nD * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nD * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nD * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     return s.select(
         "grp", "n", F.round(num / F.sqrt(dx * dy), 6).alias("rho")
     )
@@ -2377,18 +2387,26 @@ def stat_mann_whitney_u(spark, sf_dir):
         F.count(F.lit(1)).alias("t"),
     )
     runs = global_running_sum(cells, ["value"], ["t"])
+    # The rank-sum and tie moments run in decimal(38,0): r1_2 grows as
+    # ~2N² and tie3 as Σt³, both past 2^63 once N reaches the low
+    # billions — the Spearman overflow class (silent wrap with ANSI
+    # off, exact HUGEINT in the DuckDB oracle). The decimal cast sits
+    # BEFORE the per-row products so they never form in LongType.
+    dec = "decimal(38,0)"
     s = runs.agg(
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
         F.sum(
-            F.col("c1") * (2 * F.col("run_t") - F.col("t") + 1)
+            F.col("c1").cast(dec)
+            * (2 * F.col("run_t") - F.col("t") + 1)
         ).alias("r1_2"),
         F.sum(
-            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("long")
+            F.col("t").cast(dec) * F.col("t") * F.col("t") - F.col("t")
         ).alias("tie3"),
     )
-    j = s
-    u1_x2 = (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).cast("long")
+    u1_x2 = (
+        F.col("r1_2") - F.col("n1").cast(dec) * (F.col("n1") + 1)
+    ).cast("long")
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
     nd = (F.col("n1") + F.col("n2")).cast("double")
@@ -2402,7 +2420,7 @@ def stat_mann_whitney_u(spark, sf_dir):
             - F.col("tie3").cast("double") / (nd * (nd - 1))
         )
     )
-    return j.select(
+    return s.select(
         "n1", "n2", u1_x2.alias("u1_x2"), F.round(z, 6).alias("z")
     )
 
@@ -2450,11 +2468,14 @@ def stat_anova_f(spark, sf_dir):
         F.col("event_type").alias("grp"),
         F.round(F.col("value") * 1000000).cast("long").alias("xq"),
     )
+    # Both moment sums in decimal(38,0) (Σxq ≈ 5e8·N wraps int64 past
+    # N ≈ 2e10 rows; Σxq² much sooner), and the cast sits BEFORE the
+    # square so the per-row product never forms in LongType.
     g = q.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xq").alias("s"),
+        F.sum(F.col("xq").cast("decimal(38,0)")).alias("s"),
         F.sum(
-            (F.col("xq") * F.col("xq")).cast("decimal(38,0)")
+            F.col("xq").cast("decimal(38,0)") * F.col("xq")
         ).alias("qq"),
     )
     terms = g.agg(

@@ -68,15 +68,31 @@ PER_QUERY_SECONDS = 30.0
 def _execute_capped(con, sql):
     import threading
 
-    timer = threading.Timer(PER_QUERY_SECONDS, con.interrupt)
+    # The timer may fire in the gap between fetchall() returning and
+    # cancel(), leaving a pending interrupt that would abort the NEXT
+    # oracle. Track firing, join the callback so `fired` is definitive,
+    # and drain any stale interrupt with a throwaway statement.
+    fired = []
+
+    def _interrupt():
+        fired.append(True)
+        con.interrupt()
+
+    timer = threading.Timer(PER_QUERY_SECONDS, _interrupt)
     timer.start()
     try:
         res = con.execute(sql)
         cols = [d[0] for d in res.description]
         rows = res.fetchall()
-        return cols, rows
     finally:
         timer.cancel()
+        timer.join()
+        if fired:
+            try:
+                con.execute("SELECT 1").fetchall()
+            except duckdb.InterruptException:
+                pass
+    return cols, rows
 
 
 def scan_dir(sf_dir: str) -> dict:

@@ -121,6 +121,58 @@ def test_spearman_bounds_and_synthetic_monotone(spark, sf_dir):
     assert abs(s["rho"] - 1.0) < 1e-12
 
 
+def test_spearman_moments_survive_int64_overflow(spark, tmp_path):
+    """Regression (found at the 10x corpus): with ~2M rows in a group,
+    Σrx2² ≈ 1e19 > 2^63 — the LongType moment SUMS (not just the later
+    products, which wrap from ~100k rows) overflowed silently with
+    ANSI off, and rho came out ~6x off while the DuckDB oracle
+    (HUGEINT) stayed exact. Drive the PRODUCTION registry function on
+    a synthetic 2M-row lineitem and hash-compare against the oracle on
+    the same parquet — plus exact endpoints for the monotone /
+    anti-monotone halves."""
+    import duckdb
+
+    n = 1_000_000
+    li = (
+        spark.range(1, 2 * n + 1)
+        .selectExpr(
+            "id AS l_orderkey",
+            "id AS l_partkey",
+            "id AS l_suppkey",
+            "CAST(1 AS INT) AS l_linenumber",
+            "CAST(id AS DOUBLE) AS l_quantity",
+            # group A: y = x (rho exactly 1); group R: y = -x (exactly -1)
+            "CASE WHEN id <= 1000000 THEN CAST(id AS DOUBLE) "
+            "ELSE CAST(-id AS DOUBLE) END AS l_extendedprice",
+            "CAST(0.0 AS DOUBLE) AS l_discount",
+            "CAST(0.0 AS DOUBLE) AS l_tax",
+            "CASE WHEN id <= 1000000 THEN 'A' ELSE 'R' END AS l_returnflag",
+            "'O' AS l_linestatus",
+            "CAST('2024-01-01' AS TIMESTAMP) AS l_shipdate",
+        )
+    )
+    d = str(tmp_path)
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    rows = {
+        r["grp"]: r
+        for r in QUERIES["stat_spearman_corr"].fn(spark, d).collect()
+    }
+    assert rows["A"]["rho"] == 1.0 and rows["A"]["n"] == n
+    assert rows["R"]["rho"] == -1.0 and rows["R"]["n"] == n
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{d}/lineitem.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(QUERIES["stat_spearman_corr"].oracle).fetchall()
+    )
+    got = sorted((r["grp"], r["n"], r["rho"]) for r in rows.values())
+    assert got == oracle
+
+
 def test_mann_whitney_identity_and_bounds(spark, sf_dir):
     """U is bounded by n1*n2; identical samples give z == 0 exactly
     (the rank sums split evenly by symmetry)."""
