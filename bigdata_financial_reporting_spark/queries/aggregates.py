@@ -2210,10 +2210,16 @@ def tpch_q22_shape(spark, sf_dir):
         F.col("o_orderdate") >= "1999-01-01"
     )
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    # The global cents total and the balance*count comparison run in
+    # decimal(38,0): with ANSI off a LongType Σcents / product wraps
+    # silently past ~1e13 customers while the DuckDB oracle stays
+    # exact (HUGEINT sum) or raises loudly — the Spearman overflow
+    # class.
+    centsD = cents.cast("decimal(38,0)")
     bal = (
         c.filter(F.col("c_acctbal") > 0)
         .agg(
-            F.sum(cents).alias("__cents"),
+            F.sum(centsD).alias("__cents"),
             F.count(F.lit(1)).alias("__cnt"),
         )
     )
@@ -2221,11 +2227,11 @@ def tpch_q22_shape(spark, sf_dir):
         c.filter(F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .join(F.broadcast(bal))
-        .filter(cents * F.col("__cnt") > F.col("__cents"))
+        .filter(centsD * F.col("__cnt") > F.col("__cents"))
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(cents) / 100.0, 2).alias("totacctbal"),
+            F.round(F.sum(centsD) / 100.0, 2).alias("totacctbal"),
         )
     )
 

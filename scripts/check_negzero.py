@@ -65,8 +65,11 @@ def _is_negzero(v) -> bool:
 PER_QUERY_SECONDS = 30.0
 
 
-def _execute_capped(con, sql):
+def _execute_capped(con, sql, seconds: float = None):
     import threading
+
+    if seconds is None:
+        seconds = PER_QUERY_SECONDS
 
     # The timer may fire in the gap between fetchall() returning and
     # cancel(), leaving a pending interrupt that would abort the NEXT
@@ -78,7 +81,7 @@ def _execute_capped(con, sql):
         fired.append(True)
         con.interrupt()
 
-    timer = threading.Timer(PER_QUERY_SECONDS, _interrupt)
+    timer = threading.Timer(seconds, _interrupt)
     timer.start()
     try:
         res = con.execute(sql)
