@@ -48,38 +48,66 @@ def agg_global(spark, sf_dir):
 @register(
     "tpch_q1",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity) AS BIGINT) AS qty_i,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_p,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_p
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(sum(qty_i) AS DOUBLE) AS sum_qty,
+           CAST(sum(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(sum(price_c * (100 - disc_p)) AS DOUBLE) / 10000.0
+             AS sum_disc_price,
+           CAST(sum(price_c * (100 - disc_p) * (100 + tax_p)) AS DOUBLE)
+             / 1000000.0 AS sum_charge,
+           CAST(sum(qty_i) AS DOUBLE) / count(*) AS avg_qty,
+           (CAST(sum(price_c) AS DOUBLE) / 100.0) / count(*) AS avg_price,
+           (CAST(sum(disc_p) AS DOUBLE) / 100.0) / count(*) AS avg_disc,
            count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     """,
     category="aggregates",
 )
 def tpch_q1(spark, sf_dir):
     """TPC-H Q1 pricing summary — the classic partial+final hash agg;
-    map-side combine means the shuffle carries 6 groups, not 600k rows."""
+    map-side combine means the shuffle carries 6 groups, not 600k rows.
+
+    Money columns are exact 2-decimal values stored as doubles, so all
+    sums run in EXACT integer cents (decimal(38,0) merge — the fixture's
+    doubles are within 1e-9 of integral cents, and a float sum's
+    partition-merge order would otherwise leak into the 4th decimal at
+    the 10x corpus: ~9e-3 accumulated ulp error on a 4.5e10 group sum).
+    Rendering is one fixed integer->double conversion per column,
+    bit-identical across engines; no final round() is needed at all."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_i = F.round(F.col("l_quantity")).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_p = F.round(F.col("l_discount") * 100).cast("long")
+    tax_p = F.round(F.col("l_tax") * 100).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= "2001-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(dec(qty_i)).cast("double").alias("sum_qty"),
+            (F.sum(dec(price_c)).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(dec(price_c * (100 - disc_p))).cast("double") / 10000.0).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(dec(price_c * (100 - disc_p) * (100 + tax_p))).cast("double")
+                / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum(dec(qty_i)).cast("double") / n).alias("avg_qty"),
+            ((F.sum(dec(price_c)).cast("double") / 100.0) / n).alias("avg_price"),
+            ((F.sum(dec(disc_p)).cast("double") / 100.0) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
