@@ -1,0 +1,100 @@
+"""Exact (order-independent) float aggregation helpers.
+
+The engine's correctness bar is cross-engine BITWISE float equality
+under arbitrary partitioning (the external driver value-hashes rendered
+cells).  A raw ``F.sum`` over doubles is merge-order-dependent: Spark's
+partial/final aggregation and DuckDB's single-node sum agree to the
+last ulp at small scale and drift apart as row counts grow — at the
+10x staged corpus (~6M lineitem rows) the drift crosses ``round(x, 4)``
+boundaries and flips rendered cells (round-6 at-scale findings:
+agg_grouping_sets, fin_vwap, rollup_timeseries, stream_sliding_window,
+udf_pandas_grouped_agg).
+
+The house discipline (first applied to tpch_q1, round 6): quantize each
+value to exact integer micro-units BEFORE the aggregation, sum in
+``decimal(38,0)`` (order-independent, exact to ~1.7e38 like DuckDB's
+HUGEINT), and derive the final double with ONE fixed conversion mirrored
+verbatim in the oracle.  ``decimal(38,0)`` and not ``long`` because
+ANSI-off Spark wraps int64 silently while DuckDB promotes to HUGEINT —
+the round-6 Spearman moment-sum bug.
+
+Fixture values are continuous doubles, so quantization is lossy in the
+6th decimal; that is fine — BOTH engines quantize identically (their
+``round`` is half-away-from-zero on the same input double), so the
+compared quantity is exactly defined and scale-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: default quantization: micro-units (6 fractional decimal digits)
+MICRO = 1_000_000
+
+
+def micro_units(col: Column, scale: int = MICRO) -> Column:
+    """``col`` as exact integer units of 1/scale, in decimal(38,0).
+
+    The per-row product ``col * scale`` and its rounding are
+    deterministic (no order dependence); the decimal cast makes every
+    downstream sum exact and order-independent.
+    """
+    return F.round(col * F.lit(float(scale))).cast("long").cast("decimal(38,0)")
+
+
+def exact_sum(col: Column, scale: int = MICRO) -> Column:
+    """Order-independent sum of doubles: quantize -> exact decimal sum
+    -> one final int->double conversion.  Mirror in DuckDB with
+    :func:`duck_sum`."""
+    return F.sum(micro_units(col, scale)).cast("double") / F.lit(float(scale))
+
+
+def spark_half_div(num_sql: str, den_sql: str) -> str:
+    """Spark-SQL fragment: round-half-away-from-zero integer division
+    of exact integer/decimal expressions (``div`` is integral divide).
+
+    Why not ``F.round(x, d)`` on the float quotient: a quotient of
+    quantized integers frequently lands EXACTLY on a d-digit half, and
+    there Spark (BigDecimal HALF_UP on the shortest decimal repr) and
+    DuckDB (std::round on the float product x*10^d) disagree —
+    measured 134/4000 divergences on 4dp halves, 28/4000 on 6dp
+    (round 7 probe; the round-6 at-scale reds for fin_vwap /
+    rollup_timeseries / udf_pandas_grouped_agg were exactly this).
+    Integer half-away division has no float anywhere; integer zero has
+    no sign (the round-5 -0.0 class cannot recur)."""
+    n, d = f"({num_sql})", f"({den_sql})"
+    return (
+        f"(case when {n} < 0 then -((2 * (-{n}) + {d}) div (2 * {d}))"
+        f" else (2 * {n} + {d}) div (2 * {d}) end)"
+    )
+
+
+def duck_half_div(num_sql: str, den_sql: str) -> str:
+    """DuckDB mirror of :func:`spark_half_div` (``//`` on HUGEINT)."""
+    n, d = f"({num_sql})", f"({den_sql})"
+    return (
+        f"(CASE WHEN {n} < 0 THEN -((2 * (-{n}) + {d}) // (2 * {d}))"
+        f" ELSE (2 * {n} + {d}) // (2 * {d}) END)"
+    )
+
+
+def py_half_div(num: int, den: int) -> int:
+    """Python mirror of :func:`spark_half_div` (arbitrary-precision
+    ints; ``den`` must be positive)."""
+    if num < 0:
+        return -((2 * (-num) + den) // (2 * den))
+    return (2 * num + den) // (2 * den)
+
+
+def duck_units(expr: str, scale: int = MICRO) -> str:
+    """DuckDB fragment mirroring :func:`micro_units` (sum promotes to
+    HUGEINT, exact like decimal(38,0))."""
+    return f"CAST(round(({expr}) * {float(scale)}) AS BIGINT)"
+
+
+def duck_sum(expr: str, scale: int = MICRO) -> str:
+    """DuckDB fragment mirroring :func:`exact_sum` bitwise."""
+    return f"(CAST(sum({duck_units(expr, scale)}) AS DOUBLE) / {float(scale)})"
+
+

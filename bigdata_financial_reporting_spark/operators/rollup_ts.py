@@ -36,31 +36,45 @@ def timeseries_rollup(
     keys: list[str],
     value_col: str,
     granularities: list[str],
+    quantize: int | None = None,
 ) -> DataFrame:
     """Aggregates of ``value_col`` per (granularity bucket, keys).
 
     Returns columns: ``granularity, bucket_start, *keys, n, v_sum,
     v_min, v_max, v_avg``. Exact at every level (cascade re-aggregates
     partial sums/counts, never averages of averages).
+
+    ``quantize``: when set (e.g. 1_000_000 for micro-units), ``v_sum``
+    accumulates exact integer units in decimal(38,0) and converts to
+    double ONCE at the end — order-independent, so the cascaded sum is
+    bit-identical to a direct sum over raw rows at any scale. Raw
+    double sums are merge-order-dependent and drift at ~1e6+ rows per
+    bucket (round-6 at-scale red). min/max are order-safe either way.
     """
     unknown = [g for g in granularities if g not in _TRUNC]
     if unknown:
         raise ValueError(f"unknown granularities {unknown}; pick from {_ORDER}")
     gs = sorted(granularities, key=_ORDER.index)
 
+    v = F.col(value_col)
+    if quantize is not None:
+        v_in = F.round(v * F.lit(float(quantize))).cast("long").cast("decimal(38,0)")
+    else:
+        v_in = v
     finest = gs[0]
     level = (
         df.select(
             F.date_trunc(_TRUNC[finest], F.col(ts_col)).alias("bucket_start"),
             *[F.col(k) for k in keys],
-            F.col(value_col).alias("__v"),
+            v_in.alias("__v"),
+            v.alias("__vraw"),
         )
         .groupBy("bucket_start", *keys)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("__v").alias("v_sum"),
-            F.min("__v").alias("v_min"),
-            F.max("__v").alias("v_max"),
+            F.min("__vraw").alias("v_min"),
+            F.max("__vraw").alias("v_max"),
         )
     )
     out = level.select(F.lit(finest).alias("granularity"), "*")
@@ -85,4 +99,13 @@ def timeseries_rollup(
         )
         out = out.unionByName(nxt.select(F.lit(g).alias("granularity"), "*"))
         prev = nxt
+    if quantize is not None:
+        # keep the exact integer units alongside the double rendering:
+        # callers that emit rounded-resolution cells must derive them
+        # from v_sum_units with integer half-away division (a float
+        # round() of a quantized-derived value diverges cross-engine
+        # on exact decimal halves — see functions/exact.py)
+        out = out.withColumn("v_sum_units", F.col("v_sum")).withColumn(
+            "v_sum", F.col("v_sum").cast("double") / F.lit(float(quantize))
+        )
     return out.withColumn("v_avg", F.col("v_sum") / F.col("n"))

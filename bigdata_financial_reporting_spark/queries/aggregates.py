@@ -530,7 +530,9 @@ def agg_cube(spark, sf_dir):
 @register(
     "agg_grouping_sets",
     oracle="""
-    SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 4) AS rev
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS rev
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -538,13 +540,21 @@ def agg_cube(spark, sf_dir):
 )
 def agg_grouping_sets(spark, sf_dir):
     """SQL-path grouping sets (no DataFrame equivalent — this is the
-    spark.sql surface working over registered views)."""
+    spark.sql surface working over registered views).
+
+    Revenue sums run in EXACT integer cents (decimal(38,0) — the
+    grouping-sets grand-total row sums the whole table, where a raw
+    double sum's partition-merge order drifts past the 4th decimal at
+    the 10x corpus; round-6 at-scale red). One fixed int->double
+    conversion renders the result, bit-identical across engines."""
     from bigdata_financial_reporting_spark.sources.catalog import register_views
 
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 4) AS rev
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS rev
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """

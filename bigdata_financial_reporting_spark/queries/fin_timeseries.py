@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from bigdata_financial_reporting_spark.functions.exact import duck_half_div, spark_half_div
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 
@@ -70,29 +71,63 @@ def fin_ohlc_bars(spark, sf_dir):
 @register(
     "fin_vwap",
     oracle="""
+    WITH c AS (
+      SELECT l_partkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_quantity) AS BIGINT) AS qty_i
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_partkey,
+             sum(price_c * qty_i) AS notional_cq,
+             sum(qty_i) AS vol_i,
+             count(*) AS n_trades
+      FROM c GROUP BY l_partkey
+    )
     SELECT l_partkey,
-           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS vwap,
-           round(sum(l_quantity), 6) AS volume,
-           count(*) AS n_trades
-    FROM lineitem
-    GROUP BY l_partkey
-    """,
+           CAST({q} AS DOUBLE) / 1000000.0 AS vwap,
+           CAST(vol_i AS DOUBLE) AS volume,
+           n_trades
+    FROM s
+    """.format(q=duck_half_div("notional_cq * 10000", "vol_i")),
     category="finance",
 )
 def fin_vwap(spark, sf_dir):
     """Volume-weighted average price per instrument, treating lineitem
     as a trade blotter (extendedprice = notional-ish price, quantity =
     size). Pure hash aggregation with map-side partial sums — the
-    textbook one-shuffle rollup."""
+    textbook one-shuffle rollup.
+
+    Notional sums run in EXACT integer (cents x integral qty) in
+    decimal(38,0): a raw double sum's merge order drifted 18/20000
+    cells past the 6th decimal at the 10x corpus (round-6 at-scale
+    red). The 6dp vwap then renders via pure-integer half-away
+    division (see functions/exact.py: a float round() of the quotient
+    lands on exact 6dp halves, where the engines' round() disagree) —
+    no double forms until the single final conversion, mirrored
+    verbatim in the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_partkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
-            / F.sum("l_quantity"),
-            6,
-        ).alias("vwap"),
-        F.round(F.sum("l_quantity"), 6).alias("volume"),
-        F.count(F.lit(1)).alias("n_trades"),
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty_i = F.round(F.col("l_quantity")).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(dec(price_c * qty_i)).alias("notional_cq"),
+            F.sum(dec(qty_i)).alias("vol_i"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            "l_partkey",
+            (
+                F.expr(spark_half_div("notional_cq * 10000", "vol_i")).cast(
+                    "double"
+                )
+                / 1000000.0
+            ).alias("vwap"),
+            F.col("vol_i").cast("double").alias("volume"),
+            "n_trades",
+        )
     )
 
 

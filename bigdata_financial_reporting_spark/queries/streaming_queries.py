@@ -14,6 +14,13 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
+from bigdata_financial_reporting_spark.functions.exact import (
+    duck_half_div,
+    duck_sum,
+    exact_sum,
+    micro_units,
+    spark_half_div,
+)
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 from bigdata_financial_reporting_spark.streaming.runner import (
@@ -28,10 +35,10 @@ from bigdata_financial_reporting_spark.streaming.runner import (
     SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 4) AS value_sum
+           {vs} AS value_sum
     FROM events
     GROUP BY 1, 2
-    """,
+    """.format(vs=duck_sum("value", 10_000)),
     category="streaming",
 )
 def stream_tumbling_window(spark, sf_dir):
@@ -40,7 +47,14 @@ def stream_tumbling_window(spark, sf_dir):
     agg = (
         s.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # exact sum at the OUTPUT resolution (1e-4): quantize, sum
+            # in decimal(38,0), render with one division and NO float
+            # round — a round() over a quantized sum lands on exact
+            # 4dp halves ~1% of cells, where the engines disagree
+            exact_sum(F.col("value"), 10_000).alias("value_sum"),
+        )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
             "event_type",
@@ -65,10 +79,15 @@ def stream_tumbling_window(spark, sf_dir):
       SELECT b - INTERVAL 30 MINUTE AS win_start, ts, value FROM buckets
     )
     SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
-           count(*) AS n, round(avg(value), 6) AS value_avg
+           count(*) AS n,
+           CAST({q} AS DOUBLE) / 1000000.0 AS value_avg
     FROM slides
     GROUP BY 1
-    """,
+    """.format(
+        q=duck_half_div(
+            "sum(CAST(round(value * 1000000.0) AS BIGINT))", "count(*)"
+        )
+    ),
     category="streaming",
 )
 def stream_sliding_window(spark, sf_dir):
@@ -78,11 +97,20 @@ def stream_sliding_window(spark, sf_dir):
     agg = (
         s.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "30 minutes"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("value_avg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # round-6 at-scale red: the 6dp average renders via pure-
+            # integer half-away division of the exact micro-unit sum —
+            # F.round on the float quotient diverges on exact halves
+            F.sum(micro_units(F.col("value"))).alias("v_units"),
+        )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
             "n",
-            "value_avg",
+            (
+                F.expr(spark_half_div("v_units", "n")).cast("double")
+                / 1000000.0
+            ).alias("value_avg"),
         )
     )
     return run_available_now(agg, output_mode="complete")
@@ -108,10 +136,10 @@ def stream_sliding_window(spark, sf_dir):
     SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            count(*) AS n_events,
-           round(sum(value), 4) AS value_sum
+           {vs} AS value_sum
     FROM sessions
     GROUP BY user_id, session_id
-    """,
+    """.format(vs=duck_sum("value", 10_000)),
     category="streaming",
 )
 def stream_session_window(spark, sf_dir):
@@ -122,7 +150,10 @@ def stream_session_window(spark, sf_dir):
     agg = (
         s.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), 10_000).alias("value_sum"),
+        )
         .select(
             "user_id",
             F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -157,10 +188,10 @@ def stream_dedup_watermark(spark, sf_dir):
 @register(
     "stream_stateful_counters",
     oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS value_sum,
+    SELECT user_id, count(*) AS n_events, {vs} AS value_sum,
            round(max(value), 6) AS value_max
     FROM events GROUP BY user_id
-    """,
+    """.format(vs=duck_sum("value", 10_000)),
     category="streaming",
 )
 def stream_stateful_counters(spark, sf_dir):
@@ -174,39 +205,52 @@ def stream_stateful_counters(spark, sf_dir):
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
-        n, s, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        # the running sum is EXACT integer 1e-4 units (Python-int
+        # accumulation — arbitrary precision, no int64 wrap, no float
+        # merge order across micro-batches); the double renders once
+        # at the end, Spark-side, mirroring the oracle
+        n, s_micro, mx = state.get if state.exists else (0, 0, float("-inf"))
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            # v_micro was quantized JVM-side (F.round — half-away like
+            # DuckDB); Python-int accumulation is arbitrary-precision
+            s_micro += int(pdf["v_micro"].sum())
             mx = max(mx, float(pdf["value"].max()))
-        state.update((n, s, mx))
+        state.update((n, s_micro, mx))
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "value_sum": [round(s, 4)],
-                "value_max": [round(mx, 6)],
+                "sum_micro": [s_micro],
+                "value_max": [mx],
             }
         )
 
-    s = events_stream(spark, sf_dir)
+    s = events_stream(spark, sf_dir).withColumn(
+        "v_micro", F.round(F.col("value") * 10000.0).cast("long")
+    )
     out = (
         s.groupBy("user_id")
         .applyInPandasWithState(
             update,
-            outputStructType="user_id long, n_events long, value_sum double, value_max double",
-            stateStructType="n long, s double, mx double",
+            outputStructType="user_id long, n_events long, sum_micro long, value_max double",
+            stateStructType="n long, s_micro long, mx double",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
     result = run_available_now(out, output_mode="update")
     # update-mode emits one row per key per batch; keep the final state
-    # (max n_events per user = last emission)
+    # (max n_events per user = last emission). value_sum renders from
+    # the exact 1e-4-unit integer with one division and NO float round.
     from bigdata_financial_reporting_spark.operators.topk import top_k_per_group
 
-    return top_k_per_group(
-        result, ["user_id"], [F.col("n_events").desc()], 1
+    final = top_k_per_group(result, ["user_id"], [F.col("n_events").desc()], 1)
+    return final.select(
+        "user_id",
+        "n_events",
+        (F.col("sum_micro").cast("double") / 10000.0).alias("value_sum"),
+        F.round("value_max", 6).alias("value_max"),
     )
 
 
@@ -261,11 +305,11 @@ def stream_stream_join(spark, sf_dir):
 @register(
     "stream_foreach_batch_sink",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 4) AS value_sum
+    SELECT event_type, count(*) AS n, {vs} AS value_sum
     FROM events
     WHERE value > 100
     GROUP BY event_type
-    """,
+    """.format(vs=duck_sum("value", 10_000)),
     category="streaming",
 )
 def stream_foreach_batch_sink(spark, sf_dir):
@@ -293,7 +337,7 @@ def stream_foreach_batch_sink(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
+            exact_sum(F.col("value"), 10_000).alias("value_sum"),
         )
     )
 
@@ -333,12 +377,12 @@ def stream_rate_source(spark, sf_dir):
 @register(
     "stream_static_join",
     oracle="""
-    SELECT n_name, count(*) AS n_events, round(sum(value), 4) AS value_sum
+    SELECT n_name, count(*) AS n_events, {vs} AS value_sum
     FROM events
     JOIN customer ON user_id = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
-    """,
+    """.format(vs=duck_sum("value", 10_000)),
     category="streaming",
 )
 def stream_static_join(spark, sf_dir):
@@ -354,7 +398,8 @@ def stream_static_join(spark, sf_dir):
     )
     joined = s.join(dim, s.user_id == dim.c_custkey)
     agg = joined.groupBy("n_name").agg(
-        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum")
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value"), 10_000).alias("value_sum"),
     )
     return run_available_now(agg, output_mode="complete")
 

@@ -68,25 +68,52 @@ def udf_pandas_scalar(spark, sf_dir):
 @register(
     "udf_pandas_grouped_agg",
     oracle="""
+    WITH s AS (
+      -- epoch_us // 1e6: integer FLOOR seconds, matching Spark's
+      -- unix_timestamp truncation (CAST(epoch(ts) AS BIGINT) would
+      -- ROUND the sub-second fraction and skew the weights)
+      SELECT user_id,
+             sum(CAST(round(value * 1000000.0) AS BIGINT)
+                 * (epoch_us(ts) // 1000000)) AS num,
+             sum(epoch_us(ts) // 1000000) AS den
+      FROM events GROUP BY user_id
+    )
     SELECT user_id,
-           round(sum(value * epoch(ts)) / sum(epoch(ts)), 6) AS weighted_avg
-    FROM events GROUP BY user_id
+           CAST(CASE WHEN num < 0
+                     THEN -((2 * (-num) + den) // (2 * den))
+                     ELSE (2 * num + den) // (2 * den)
+                END AS DOUBLE) / 1000000.0 AS weighted_avg
+    FROM s
     """,
     category="udfs",
 )
 def udf_pandas_grouped_agg(spark, sf_dir):
     """Grouped-aggregate pandas UDF (UDAF): per-group arrays in, scalar
-    out. Shuffles once on the group key like any hash agg."""
+    out. Shuffles once on the group key like any hash agg.
+
+    The weighted sum runs in EXACT integers: value quantizes to
+    micro-units JVM-side (half-away round, matching DuckDB), and the
+    UDF accumulates Python ints (arbitrary precision — v_micro*epoch
+    ~1.7e17 per row would wrap an int64 partial at ~50 rows/group).
+    A raw pandas float sum's order diverged from DuckDB in 10/15000
+    cells at the 10x corpus (round-6 at-scale red), and a float
+    round() of the quotient diverges on exact 6dp halves — so the 6dp
+    result renders via pure-integer half-away division
+    (functions/exact.py) with one final int->double conversion,
+    mirrored verbatim in the oracle."""
+    from bigdata_financial_reporting_spark.functions.exact import py_half_div
 
     @pandas_udf("double")
-    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
-        return float((v * w).sum() / w.sum())
+    def weighted_avg(v_micro: pd.Series, w: pd.Series) -> float:
+        num = sum(int(a) * int(b) for a, b in zip(v_micro.tolist(), w.tolist()))
+        den = sum(int(b) for b in w.tolist())
+        return float(py_half_div(num, den)) / 1000000.0
 
     e = load_table(spark, sf_dir, "events").withColumn(
-        "w", F.unix_timestamp("ts").cast("double")
-    )
+        "v_micro", F.round(F.col("value") * 1000000.0).cast("long")
+    ).withColumn("w", F.unix_timestamp("ts"))
     return e.groupBy("user_id").agg(
-        F.round(weighted_avg(F.col("value"), F.col("w")), 6).alias("weighted_avg")
+        weighted_avg(F.col("v_micro"), F.col("w")).alias("weighted_avg")
     )
 
 

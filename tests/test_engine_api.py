@@ -126,3 +126,17 @@ def test_observe_collects_metrics_without_second_pass(spark, sf_dir):
     assert got["n_rows"] >= n_out > 0
     assert got["null_keys"] == 0
     assert got["price_sum"] > 0
+
+
+def test_try_arithmetic_null_path_exists_at_test_sf(spark, sf_dir):
+    """Round-6 advisory item 5: fn_try_arithmetic's central behavior is
+    NULL on division by zero, so the fixture slice must actually
+    CONTAIN zero divisors at every driver scale — an all-non-NULL
+    safe_div column would green-light the key without ever exercising
+    the try_divide path. Pins >= 1 NULL and >= 1 non-NULL safe_div."""
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["fn_try_arithmetic"].fn(spark, sf_dir).collect()
+    nulls = sum(1 for r in rows if r["safe_div"] is None)
+    assert nulls >= 1, "no zero-divisor row in the slice: NULL path untested"
+    assert nulls < len(rows), "all-NULL safe_div: the happy path is untested"
