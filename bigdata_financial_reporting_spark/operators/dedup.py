@@ -25,6 +25,44 @@ from bigdata_financial_reporting_spark.operators.cache import track
 from bigdata_financial_reporting_spark.operators.text import shingle_rows
 
 
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for crawl dedup (pure codegen string/
+    array HOFs — no UDF): lowercase, drop the #fragment, strip the
+    default :443 port, collapse a trailing /index.html, trim trailing
+    slashes, and normalize the query string properly — split params,
+    drop utm_* tracking params, sort the rest alphabetically,
+    reassemble. Properties pinned by tests/test_training_ops.py:
+    idempotence (canonical_url(canonical_url(u)) == canonical_url(u))
+    and utm/param-order invariance."""
+    no_frag = F.element_at(F.split(F.lower(url), "#"), 1)
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.replace(
+                F.element_at(F.split(no_frag, "\\?"), 1),
+                F.lit(":443/"),
+                F.lit("/"),
+            ),
+            F.lit("/index\\.html$"),
+            F.lit(""),
+        ),
+        F.lit("/+$"),
+        F.lit(""),
+    )
+    query = F.coalesce(F.element_at(F.split(no_frag, "\\?"), 2), F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    return F.concat(
+        path,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        ).otherwise(F.lit("")),
+    )
+
+
 def normalized_text_hash(text: Column | str) -> Column:
     """sha256 of lowercased, trimmed text — the exact-dedup identity."""
     c = F.col(text) if isinstance(text, str) else text

@@ -1,0 +1,208 @@
+"""The ONE shared fetch + canonicalization path for every oracle
+harness (round-6 verdict item 2).
+
+Three harnesses used to fetch results three different ways —
+tests/test_oracle.py via ``collect()``/``fetchall()``,
+scripts/gen_local_correctness.py via ``toPandas()``/``.df()`` (both
+NULL->NaN), and scripts/gen_scale_correctness.py via ``toPandas()``
+vs ``fetchall()`` — the last one ASYMMETRIC (Spark NULL doubles became
+NaN, DuckDB NULLs stayed None), which manufactured a false at-scale
+red for ``fn_try_arithmetic``, the key whose entire purpose is
+emitting NULLs. Everything now goes through this module:
+
+- :func:`fetch_spark` / :func:`fetch_duck` — raw row tuples from
+  ``collect()`` and ``fetchall()``: NULL is ``None`` on both sides,
+  NaN stays a float NaN on both sides, no pandas coercion anywhere.
+- :func:`canon_value` / :func:`canon_rows` — the driver-strict canon
+  (bitwise IEEE doubles, exact decimal value strings, -0.0 kept
+  distinct), previously defined in tests/test_oracle.py, which now
+  imports it from here.
+- :func:`col_kinds` — per-column Python-type kinds from the raw rows
+  (the typed-rendering parity the pandas dtype check approximated,
+  without pandas' int+NULL -> float coercion).
+- :func:`provenance` — git SHA + wall timestamp for every emitted
+  artifact, so a stale artifact is mechanically detectable (round-6
+  verdict item 6: the crashed-sweep confusion cost the adjudication
+  an hour).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+import struct
+import subprocess
+import time
+from pathlib import Path
+
+
+def canon_value(v):
+    """Canonicalize one cell so Spark and DuckDB renderings compare equal.
+
+    DRIVER-STRICT (round-5 verdict item 2): the external driver
+    value-hashes rendered cells, so it distinguishes -0.0 from +0.0 and
+    any last-bit float divergence. Floats compare BITWISE (struct.pack
+    of the IEEE double, which also uniquely separates -0.0); decimals
+    compare on their exact value string. Any key whose engines disagree
+    at this strictness is a latent driver hash failure and must be
+    fixed in the KEY, never here."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return ("f", struct.pack("<d", v).hex())
+    if isinstance(v, decimal.Decimal):
+        if v.is_nan():
+            return "NaN"
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        if s == "-0":
+            s = "0"  # integer-valued decimal zero has no meaningful sign
+        return ("dec", s)
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_value(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, dt.timedelta):
+        return v.total_seconds()
+    return v
+
+
+def canon_rows(cols, rows):
+    """Sort columns by name, canonicalize cells, return sorted multiset."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def fetch_spark(df):
+    """(cols, rows) from a Spark DataFrame — ``collect()``, never
+    ``toPandas()`` (pandas renders NULL doubles as NaN and coerces
+    int+NULL columns to float, diverging from the DuckDB side)."""
+    return df.columns, [tuple(r) for r in df.collect()]
+
+
+def fetch_duck(con, sql):
+    """(cols, rows) from DuckDB — ``fetchall()``, never ``.df()``."""
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    return cols, res.fetchall()
+
+
+def _cell_kind(v):
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, dt.datetime):  # before date: datetime IS-A date
+        return "timestamp"
+    if isinstance(v, dt.date):
+        return "date"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, bytes):
+        return "bytes"
+    if isinstance(v, (list, tuple)):
+        return "list"
+    return type(v).__name__
+
+
+def col_kinds(cols, rows):
+    """column name -> kind of its first non-None cell (None if the
+    whole column is NULL — compared leniently by :func:`compare_entry`)."""
+    kinds = {c: None for c in cols}
+    remaining = set(cols)
+    for row in rows:
+        for i, c in enumerate(cols):
+            if c in remaining and row[i] is not None:
+                kinds[c] = _cell_kind(row[i])
+                remaining.discard(c)
+        if not remaining:
+            break
+    return kinds
+
+
+def compare_entry(s_cols, s_rows, d_cols, d_rows):
+    """The per-query comparison record shared by the local and at-scale
+    sweeps (mirrors the driver's t2 checks)."""
+    sk, dk = col_kinds(s_cols, s_rows), col_kinds(d_cols, d_rows)
+    kinds_ok = all(
+        sk[c] == dk[c] or sk[c] is None or dk[c] is None
+        for c in sk
+        if c in dk
+    )
+    return {
+        "rows_match": len(s_rows) == len(d_rows),
+        "schema_match": sorted(s_cols) == sorted(d_cols),
+        "values_match": canon_rows(s_cols, s_rows) == canon_rows(d_cols, d_rows),
+        "kind_match": kinds_ok,
+    }
+
+
+def entry_green(entry: dict) -> bool:
+    return bool(
+        entry.get("rows_match")
+        and entry.get("schema_match")
+        and entry.get("values_match")
+        and entry.get("kind_match", True)
+    )
+
+
+#: exception reprs that mean the local JVM died — the sweep must ABORT,
+#: not record hundreds of bogus per-key errors in a "completed"
+#: artifact (round-6 verdict item 2: the committed crashed sweep)
+_FATAL_MARKERS = (
+    "ConnectionRefused",
+    "Py4JNetworkError",
+    "Answer from Java side is empty",
+    "JavaPackage",
+    "Broken pipe",
+)
+
+
+def is_jvm_death(exc: BaseException) -> bool:
+    text = f"{type(exc).__name__}: {exc}"
+    return any(m in text for m in _FATAL_MARKERS)
+
+
+def provenance() -> dict:
+    """git SHA + wall timestamp stamped into every evidence artifact."""
+    root = Path(__file__).resolve().parents[1]
+    try:
+        sha = (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=root,
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or "unknown"
+        )
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=root,
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+        )
+    except Exception:
+        sha, dirty = "unknown", False
+    return {
+        "git_sha": sha,
+        "git_dirty": dirty,
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+    }

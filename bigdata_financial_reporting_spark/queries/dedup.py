@@ -630,34 +630,12 @@ def dedup_url_canonicalize(spark, sf_dir):
             base, F.lit("/index.html?utm_campaign=b&id=7"),
         ),
     )
+    from bigdata_financial_reporting_spark.operators.dedup import (
+        canonical_url,
+    )
+
     raw = d.select("doc_id", F.explode(variants).alias("url"))
-    no_frag = F.element_at(F.split(F.lower("url"), "#"), 1)
-    path = F.regexp_replace(
-        F.regexp_replace(
-            F.replace(
-                F.element_at(F.split(no_frag, "\\?"), 1),
-                F.lit(":443/"),
-                F.lit("/"),
-            ),
-            F.lit("/index\\.html$"),
-            F.lit(""),
-        ),
-        F.lit("/+$"),
-        F.lit(""),
-    )
-    query = F.coalesce(F.element_at(F.split(no_frag, "\\?"), 2), F.lit(""))
-    params = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (p != "") & ~p.startswith("utm_"),
-        )
-    )
-    canonical = F.concat(
-        path,
-        F.when(
-            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
-        ).otherwise(F.lit("")),
-    )
+    canonical = canonical_url(F.col("url"))
     return (
         raw.select("doc_id", canonical.alias("canonical"))
         .groupBy("canonical")

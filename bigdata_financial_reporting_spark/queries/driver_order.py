@@ -35,97 +35,124 @@ from pathlib import Path
 
 from bigdata_financial_reporting_spark.queries.registry import QUERIES
 
-# Union of CORRECTNESS_r01..r05 keys (235) — fallback only; the live
+# Union of CORRECTNESS_r01..r06 keys (284) — fallback only; the live
 # set below re-reads every CORRECTNESS_r*.json so later rounds are
-# picked up automatically. Regenerated round 6 from the artifacts.
+# picked up automatically. Regenerated round 7 from the artifacts.
 _STATIC_SEEN: frozenset[str] = frozenset(
     {
         "agg_approx_count_distinct", "agg_approx_quantiles",
         "agg_benford_digits", "agg_bitmap_distinct",
-        "agg_chi2_independence", "agg_collect_sorted", "agg_corr_covar",
-        "agg_count_distinct", "agg_countmin_heavy_hitters",
-        "agg_crosstab_stat", "agg_cube", "agg_equidepth_histogram",
+        "agg_bool_bitwise", "agg_chi2_independence",
+        "agg_collect_sorted", "agg_corr_covar", "agg_count_distinct",
+        "agg_countmin_heavy_hitters", "agg_crosstab_stat", "agg_cube",
+        "agg_equidepth_histogram", "agg_filtered_conditional",
         "agg_gini_coefficient", "agg_global", "agg_grouping_sets",
-        "agg_histogram", "agg_hll_sketch_mergeable", "agg_ks_twosample",
-        "agg_median_percentile", "agg_min_by_max_by", "agg_pivot",
+        "agg_histogram", "agg_hll_sketch_mergeable",
+        "agg_ks_twosample", "agg_median_percentile",
+        "agg_min_by_max_by", "agg_mode_per_group", "agg_pivot",
         "agg_regression_family", "agg_rollup", "agg_stats",
         "agg_subsample_ci", "agg_unpivot", "agg_weighted_median",
-        "agg_welch_ttest", "boolean_combinators", "case_when_coalesce",
-        "cast_types", "dedup_clusters", "dedup_embedding_cosine",
-        "dedup_exact", "dedup_exact_groups", "dedup_incremental",
-        "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_survivor_quality", "dedup_winnow_pairs", "derived_column",
-        "distinct_pairs", "dropdup_keys_pinned", "emb_covariance_matrix",
+        "agg_welch_ttest", "batch_length_buckets",
+        "boolean_combinators", "case_when_coalesce", "cast_types",
+        "dedup_bloom_prefilter", "dedup_chunk_lines", "dedup_clusters",
+        "dedup_embedding_cosine", "dedup_exact", "dedup_exact_groups",
+        "dedup_incremental", "dedup_minhash_pairs",
+        "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_survivor_quality", "dedup_winnow_pairs",
+        "derived_column", "distinct_pairs", "dropdup_keys_pinned",
+        "emb_covariance_matrix", "emb_pca_power_iteration",
         "filter_in_like_null", "filter_range", "fin_beta_market",
         "fin_bollinger_bands", "fin_drawdown", "fin_ema_window",
         "fin_gapfill_interpolate", "fin_hhi_concentration",
         "fin_ohlc_bars", "fin_return_corr_pairs", "fin_rsi_window",
         "fin_sharpe_by_instrument", "fin_var_expected_shortfall",
-        "fin_vwap", "fn_array", "fn_array_explode", "fn_collated_groupby",
-        "fn_date", "fn_decimal_money", "fn_explode_outer", "fn_hash",
-        "fn_json", "fn_map", "fn_math", "fn_nondeterministic_ids",
-        "fn_string", "fn_struct", "fn_variant_json", "intersect_except",
+        "fin_vwap", "fn_array", "fn_array_explode",
+        "fn_bitwise_family", "fn_collated_groupby", "fn_date",
+        "fn_decimal_money", "fn_exists_forall_filterpos",
+        "fn_explode_outer", "fn_hash", "fn_higher_order_maps",
+        "fn_json", "fn_listagg_within_group", "fn_map", "fn_math",
+        "fn_nondeterministic_ids", "fn_regex_family", "fn_string",
+        "fn_struct", "fn_try_arithmetic", "fn_url_parse",
+        "fn_variant_json", "fn_xml_xpath", "intersect_except",
         "join_anti", "join_asof", "join_broadcast_dims", "join_cross",
         "join_full_outer", "join_fuzzy_levenshtein", "join_inner",
         "join_interval_containment", "join_interval_overlap",
         "join_lateral_topn", "join_left_outer", "join_null_safe",
-        "join_point_in_time_scd2", "join_range_banded", "join_right_outer",
-        "join_self", "join_semi", "join_theta", "limit_offset",
-        "mix_apply_sample", "mix_temperature_sample",
-        "mm_ahash_dedup_groups", "mm_audio_rms_windows",
-        "mm_base64_roundtrip", "mm_binary_metadata", "mm_decode_features",
-        "mm_decode_wav", "mm_frame_extract", "mm_frame_sampling",
-        "mm_resize_ppm", "null_fill_drop", "ops_cdc_apply",
-        "ops_compact_roundtrip", "ops_incremental_rollup_refresh",
-        "ops_scd2_build", "ops_table_profile", "ops_time_travel_versions",
-        "ops_upsert_roundtrip", "ops_validate_quality",
-        "ops_zorder_layout", "pipeline_pretrain_end2end",
-        "quality_filter_reasons", "ref_avg_daily_return",
-        "ref_daily_returns", "ref_daily_returns_scalable",
-        "ref_per_user_returns", "ref_report_bundle", "rename_drop",
-        "rollup_timeseries", "sample_seeded", "sample_stratified",
-        "select_prune", "sim_centroid_per_label", "sim_cosine_topk",
+        "join_point_in_time_scd2", "join_range_banded",
+        "join_right_outer", "join_self", "join_semi", "join_theta",
+        "limit_offset", "mix_apply_sample", "mix_domain_rebalance",
+        "mix_temperature_sample", "mm_ahash_dedup_groups",
+        "mm_audio_rms_windows", "mm_base64_roundtrip",
+        "mm_binary_metadata", "mm_decode_features", "mm_decode_wav",
+        "mm_frame_extract", "mm_frame_sampling", "mm_resize_ppm",
+        "null_fill_drop", "ops_cdc_apply", "ops_compact_roundtrip",
+        "ops_delete_update_cow", "ops_incremental_rollup_refresh",
+        "ops_partition_skew_report", "ops_scd2_build",
+        "ops_snapshot_expiry", "ops_table_profile",
+        "ops_time_travel_versions", "ops_upsert_roundtrip",
+        "ops_validate_quality", "ops_zorder_layout",
+        "pipeline_pretrain_end2end", "quality_filter_reasons",
+        "ref_avg_daily_return", "ref_daily_returns",
+        "ref_daily_returns_scalable", "ref_per_user_returns",
+        "ref_report_bundle", "rename_drop", "rollup_timeseries",
+        "sample_per_stratum_topk", "sample_seeded",
+        "sample_stratified", "sample_weighted_topk", "select_prune",
+        "sim_centroid_per_label", "sim_cosine_topk",
         "sim_cosine_topk_vectorized", "sim_embedding_outliers",
         "sim_euclidean_topk", "sim_ivf_topk", "sim_ivf_trained_topk",
-        "sim_lsh_topk", "sim_maxdot_topk", "sim_pairwise_matrix",
-        "sim_quantize_int8", "sim_random_projection", "skew_salted_agg",
-        "skew_salted_join", "sort_multi_key_limit", "split_contamination",
-        "split_train_test", "sql_pipe_syntax", "sql_recursive_cte_spine",
-        "sql_session_variables", "src_bucketed_colocated_join",
+        "sim_ivfpq_topk", "sim_lsh_topk", "sim_maxdot_topk",
+        "sim_pairwise_matrix", "sim_pq_encode", "sim_quantize_int8",
+        "sim_random_projection", "skew_salted_agg", "skew_salted_join",
+        "sort_multi_key_limit", "split_contamination", "split_kfold",
+        "split_train_test", "sql_execute_immediate",
+        "sql_group_by_all", "sql_named_parameters", "sql_pipe_syntax",
+        "sql_recursive_cte_spine", "sql_session_variables",
+        "src_bucketed_colocated_join", "src_compressed_roundtrip",
         "src_csv_corrupt_handling", "src_csv_roundtrip",
-        "src_file_metadata_column", "src_in_memory", "src_json_roundtrip",
-        "src_orc_roundtrip", "src_parquet_partitioned_roundtrip",
-        "src_parquet_scan", "src_python_datasource",
-        "src_schema_evolution_merge", "src_single_csv_sink",
-        "src_split_export_roundtrip", "src_text_lines_roundtrip",
+        "src_file_metadata_column", "src_in_memory",
+        "src_json_roundtrip", "src_orc_roundtrip",
+        "src_parquet_partitioned_roundtrip", "src_parquet_scan",
+        "src_python_datasource", "src_schema_evolution_merge",
+        "src_single_csv_sink", "src_split_export_roundtrip",
+        "src_text_lines_roundtrip", "src_xml_roundtrip",
         "stream_content_dedup", "stream_dedup_watermark",
         "stream_foreach_batch_sink", "stream_rate_source",
         "stream_session_window", "stream_sliding_window",
         "stream_stateful_counters", "stream_static_join",
         "stream_stream_join", "stream_tumbling_window",
-        "text_bigram_logprob", "text_bigrams", "text_collocations_pmi",
+        "text_bigram_logprob", "text_bigrams", "text_bpe_merge_step",
+        "text_chunk_overlap", "text_collocations_pmi",
         "text_distinctive_ngrams", "text_fingerprint",
-        "text_global_shuffle", "text_keywords_tfidf_topk",
-        "text_lang_slice", "text_langid", "text_normalize_stem",
-        "text_pack_sequences", "text_pagerank_keywords",
-        "text_quality_logreg", "text_quality_score", "text_redact",
-        "text_repetition_score", "text_source_overlap", "text_tfidf",
-        "text_token_count_bpe", "text_token_counts", "text_token_entropy",
-        "text_tokenize", "text_top_shingles", "text_unigram_logprob",
-        "text_vocab_coverage", "text_winnow_fingerprint", "text_zipf_fit",
-        "topk_per_group", "tpch_q1", "tpch_q3_shape", "tpch_q5_shape",
-        "ts_autocorrelation", "ts_calendar_features",
+        "text_flesch_readability", "text_global_shuffle",
+        "text_html_strip", "text_keywords_tfidf_topk",
+        "text_lang_slice", "text_langid", "text_length_band_filter",
+        "text_normalize_stem", "text_pack_sequences",
+        "text_pagerank_keywords", "text_quality_logreg",
+        "text_quality_score", "text_redact", "text_repetition_score",
+        "text_source_overlap", "text_tfidf", "text_token_count_bpe",
+        "text_token_counts", "text_token_entropy", "text_tokenize",
+        "text_top_shingles", "text_unigram_logprob",
+        "text_vocab_coverage", "text_winnow_fingerprint",
+        "text_zipf_fit", "topk_per_group", "tpch_q1", "tpch_q10_shape",
+        "tpch_q14_shape", "tpch_q16_shape", "tpch_q17_shape",
+        "tpch_q19_shape", "tpch_q2_shape", "tpch_q3_shape",
+        "tpch_q4_shape", "tpch_q5_shape", "tpch_q7_shape",
+        "tpch_q8_shape", "ts_autocorrelation", "ts_calendar_features",
         "ts_changepoint_cusum", "ts_cohort_retention",
         "ts_event_rate_anomaly", "ts_forward_fill", "ts_funnel",
         "ts_inter_event_gaps", "ts_mann_kendall_trend",
-        "ts_minmax_downsample", "ts_sessionize", "ts_snapshot_diff",
-        "ts_theil_sen_slope", "udf_apply_in_pandas",
-        "udf_arrow_optimized_scalar", "udf_map_in_arrow",
-        "udf_map_in_pandas", "udf_pandas_grouped_agg", "udf_pandas_scalar",
+        "ts_minmax_downsample", "ts_seasonal_decompose",
+        "ts_sessionize", "ts_snapshot_diff", "ts_theil_sen_slope",
+        "udf_apply_in_pandas", "udf_arrow_optimized_scalar",
+        "udf_map_in_arrow", "udf_map_in_pandas",
+        "udf_pandas_grouped_agg", "udf_pandas_scalar",
         "udf_python_udtf", "udf_scalar_python", "udf_sql_function",
-        "udf_sql_registered", "union_all_distinct", "window_first_last",
-        "window_global_small", "window_hampel_outliers", "window_lag_lead",
-        "window_moving_avg", "window_range_frame", "window_ranks",
+        "udf_sql_registered", "udf_udtf_arrow", "union_all_distinct",
+        "union_by_name_missing", "window_distinct_count_frame",
+        "window_first_last", "window_global_small",
+        "window_hampel_outliers", "window_lag_lead",
+        "window_longest_streak", "window_moving_avg",
+        "window_ntile_quartiles", "window_range_frame", "window_ranks",
         "window_running_agg", "window_zscore_anomaly",
         "winsorize_by_group",
     }
@@ -151,12 +178,36 @@ def _seen_from_artifacts() -> frozenset[str]:
 DRIVER_SEEN: frozenset[str] = _seen_from_artifacts()
 
 # Keys whose latest driver row FAILED and have since been fixed.
-# Round 6: emb_covariance_matrix's r05 red row was ONE signed-zero
-# cell — DuckDB round() emits -0.0, Spark's BigDecimal round emits
-# +0.0 — now eliminated by emitting exact BIGINT micro-units from both
-# engines (no double ever enters the hashed output,
-# queries/similarity.py). Clear once green in a CORRECTNESS artifact.
-RECHECK_FIRST: tuple[str, ...] = ("emb_covariance_matrix",)
+# Round 7: EMPTY — emb_covariance_matrix went green in CORRECTNESS_r06
+# (the r05 signed-zero red, fixed with exact BIGINT micro-units);
+# keeping it here would burn export position 0 of the ~50-key budget
+# (round-6 verdict, "What's missing" item 3).
+RECHECK_FIRST: tuple[str, ...] = ()
+
+# The 16 keys that have NEVER received a driver row after six rounds
+# (driver truncates at ~50/round; these sat just past the r6 window).
+# They hold export positions 0-15 ahead of everything else, semdedup
+# first — it has waited two rounds (round-6 verdict item 3). Once
+# CORRECTNESS_r07 lands they appear in DRIVER_SEEN and this tuple
+# becomes inert (the ordering gate checks unseen-ness first).
+BACKLOG_R6: tuple[str, ...] = (
+    "dedup_semantic_semdedup",
+    "dedup_url_canonicalize",
+    "fn_interval_family",
+    "stat_spearman_corr",
+    "stat_mann_whitney_u",
+    "stat_anova_f",
+    "tpch_q6_shape",
+    "tpch_q9_shape",
+    "tpch_q11_shape",
+    "tpch_q12_shape",
+    "tpch_q13_shape",
+    "tpch_q15_shape",
+    "tpch_q18_shape",
+    "tpch_q20_shape",
+    "tpch_q21_shape",
+    "tpch_q22_shape",
+)
 
 # The 81 never-driver-checked keys (all round-4 additions), ranked by
 # driver-environment risk (round-4 verdict, "Next round" item 2). Two
@@ -335,6 +386,8 @@ def ordered_names() -> list[str]:
     reg_rank = {name: i for i, name in enumerate(QUERIES)}
     risk_rank = {name: i for i, name in enumerate(RISK_ORDER)}
 
+    backlog_rank = {name: i for i, name in enumerate(BACKLOG_R6)}
+
     def key(name: str):
         spec = QUERIES[name]
         if name in RECHECK_FIRST:
@@ -342,6 +395,11 @@ def ordered_names() -> list[str]:
             # expected evidence value)
             return (0, RECHECK_FIRST.index(name), 0)
         if name not in DRIVER_SEEN:
+            if name in backlog_rank:
+                # the starved r6 backlog outranks every other unseen
+                # key — one driver round clears it (then these become
+                # seen and the gate above short-circuits)
+                return (0.5, backlog_rank[name], 0)
             if name in risk_rank:
                 return (1, risk_rank[name], 0)
             # unseen but untriaged (registered after the risk pass):

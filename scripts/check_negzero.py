@@ -159,6 +159,9 @@ def main() -> int:
         for k, v in real.items():
             print(f"  HIT {k}: {v[:2]}")
             bad = True
+    from bigdata_financial_reporting_spark.oracle_compare import provenance
+
+    report["_provenance"] = provenance()
     out = os.path.join(REPO, "NEGZERO_SWEEP.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)

@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# End-of-round evidence gate (round-6 verdict item 2c): regenerate
+# every evidence artifact, REFUSE to commit any of them unless every
+# generator exits 0 — a crashed or red sweep can never be
+# snapshot-committed again. Each artifact embeds the git SHA it ran
+# against (oracle_compare.provenance), so staleness is mechanically
+# checkable.
+#
+# Usage (from the repo root, AFTER the last code change of the round):
+#   bash scripts/final_gate.sh            # regen + verify + commit
+#   SKIP_PYTEST=1 bash scripts/final_gate.sh   # artifacts only
+#
+# The 10x at-scale sweep takes ~30-60 min; stage /tmp/sf1x first with
+# scripts/gen_scale10x.py (idempotent).
+set -u
+cd "$(dirname "$0")/.."
+
+fail() { echo "FINAL GATE: REFUSING TO COMMIT — $1" >&2; exit 1; }
+
+if [ "${SKIP_PYTEST:-0}" != "1" ]; then
+  python -m pytest tests/ -q -x || fail "pytest red"
+fi
+
+python scripts/gen_local_correctness.py || fail "LOCAL_CORRECTNESS red or crashed (rc=$?)"
+python scripts/gen_stream_equiv.py || fail "STREAM_EQUIV failed"
+python scripts/gen_sim_recall.py || fail "SIM_RECALL failed"
+python scripts/check_negzero.py || fail "NEGZERO sweep found hits"
+python scripts/gen_scale_correctness.py || fail "SCALE_CORRECTNESS red/crashed (rc=$?) — artifact NOT trustworthy"
+python scripts/gen_plans_md.py || fail "PLANS.md regen failed"
+python scripts/gen_queries_md.py || fail "QUERIES.md regen failed"
+
+git add LOCAL_CORRECTNESS.json STREAM_EQUIV.json SIM_RECALL.json \
+        NEGZERO_SWEEP.json SCALE_CORRECTNESS.json PLANS.md QUERIES.md
+git commit -m "Final gate refresh: regenerated evidence artifacts (all generators rc=0)" \
+  || echo "FINAL GATE: nothing to commit (artifacts unchanged)"
+echo "FINAL GATE: all green"

@@ -4,20 +4,27 @@
 Why this exists: correctness divergence can be scale-dependent. The
 round-6 Spearman bug was invisible at sf0.01 and sf0.1's oracle tests
 (moments fit int64) and only wrapped at ~2M rows/group on the 10x
-corpus — rho came out ~6x off while every smaller-SF gate stayed
-green. Neither the external driver (sf0.01) nor LOCAL_CORRECTNESS
-(sf0.01) can see that class; this sweep closes the gap by running
+corpus; the round-6 at-scale reds (raw double sums crossing rounding
+boundaries at ~1M+ rows) were equally invisible below. This sweep runs
 EVERY oracle-paired registry key on Spark AND DuckDB at the staged
-scale and comparing with the same driver-strict canon the per-key
-tests use (bitwise floats after the query's own rounding, -0.0 ban,
-dtype-kind parity).
+scale through the ONE shared fetch path
+(``bigdata_financial_reporting_spark.oracle_compare``: collect +
+fetchall — the previous toPandas-vs-fetchall asymmetry rendered Spark
+NULL doubles as NaN and manufactured a false red for
+fn_try_arithmetic, the key whose purpose is emitting NULLs).
+
+Crash discipline (round-6 verdict item 2): a dead JVM is a FATAL
+harness error. The committed round-6 artifact recorded 280
+ConnectionRefusedError rows as if they were per-key results; now the
+first JVM-death exception aborts the run with rc=3 and NO artifact is
+written. The end-of-round gate (scripts/final_gate.sh) requires rc==0
+before committing the artifact, and the artifact embeds the git SHA it
+ran against.
 
 Both engines get a per-query wall cap: a handful of ground-truth
 oracles are deliberately quadratic (all-pairs cosine / Jaccard) and
 would take hours at 10x for no additional evidence — capped keys are
-recorded under timeouts, never skipped silently. The DuckDB cap
-reuses check_negzero's interrupt-with-drain; the Spark cap cancels
-the query's job group (interruptOnCancel) from a timer thread.
+recorded under timeouts, never skipped silently.
 
 Usage:
     python scripts/gen_scale_correctness.py             # /tmp/sf1x
@@ -38,13 +45,17 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import duckdb  # noqa: E402
-import numpy as np  # noqa: E402
 
+from bigdata_financial_reporting_spark.oracle_compare import (  # noqa: E402
+    compare_entry,
+    entry_green,
+    fetch_spark,
+    is_jvm_death,
+    provenance,
+)
 from bigdata_financial_reporting_spark.queries import QUERIES  # noqa: E402
 from bigdata_financial_reporting_spark.session import get_session  # noqa: E402
 from check_negzero import _execute_capped  # noqa: E402
-from test_dtype_parity import kind  # noqa: E402
-from test_oracle import canon_rows  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -62,8 +73,8 @@ class _SparkTimeout(Exception):
     pass
 
 
-def _spark_df_capped(spark, df, tag: str):
-    """df.toPandas() with a wall cap via job-group cancellation."""
+def _spark_rows_capped(spark, df, tag: str):
+    """fetch_spark() with a wall cap via job-group cancellation."""
     sc = spark.sparkContext
     sc.setJobGroup(tag, tag, interruptOnCancel=True)
     fired: list[bool] = []
@@ -75,9 +86,9 @@ def _spark_df_capped(spark, df, tag: str):
     timer = threading.Timer(PER_QUERY_SECONDS, _cancel)
     timer.start()
     try:
-        return df.toPandas()
+        return fetch_spark(df)
     except Exception as exc:
-        if fired:
+        if fired and not is_jvm_death(exc):
             raise _SparkTimeout(tag) from exc
         raise
     finally:
@@ -125,65 +136,45 @@ def main() -> int:
         t_q = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
-            sp = _spark_df_capped(spark, sdf, f"scale-{name}")
-            entry["spark_rows"] = len(sp)
+            s_cols, s_rows = _spark_rows_capped(spark, sdf, f"scale-{name}")
+            entry["spark_rows"] = len(s_rows)
             if spec.oracle is None:
                 entry["mode"] = "rows_only"
-                entry["non_empty"] = len(sp) > 0
+                entry["non_empty"] = len(s_rows) > 0
             else:
-                cols, rows = _execute_capped(
+                d_cols, rows = _execute_capped(
                     con, spec.oracle, seconds=PER_QUERY_SECONDS
                 )
-                import pandas as pd
-
-                dp = pd.DataFrame(rows, columns=cols)
                 entry["mode"] = "oracle"
-                entry["oracle_rows"] = len(dp)
-                entry["rows_match"] = len(sp) == len(dp)
-                entry["schema_match"] = sorted(sp.columns) == sorted(dp.columns)
-
-                def cell(v):
-                    return list(v) if isinstance(v, np.ndarray) else v
-
-                s_rows = [
-                    tuple(cell(x) for x in r)
-                    for r in sp.itertuples(index=False)
-                ]
-                d_rows = [
-                    tuple(cell(x) for x in r)
-                    for r in dp.itertuples(index=False)
-                ]
-                entry["values_match"] = canon_rows(
-                    list(sp.columns), s_rows
-                ) == canon_rows(list(dp.columns), d_rows)
-                # dtype-kind parity only when both sides are non-empty:
-                # a fetchall()-built frame has object dtypes on empty.
-                if len(sp) and len(dp):
-                    entry["dtype_kind_match"] = all(
-                        kind(sp[c]) == kind(dp[c]) for c in sp.columns
-                    )
+                entry["oracle_rows"] = len(rows)
+                entry.update(compare_entry(s_cols, s_rows, d_cols, rows))
         except _SparkTimeout:
             entry["timeout"] = "spark"
         except duckdb.InterruptException:
             entry["timeout"] = "duckdb"
-        except Exception as exc:  # one broken query must not void the run
+        except Exception as exc:
+            if is_jvm_death(exc):
+                # FATAL: the local JVM died. Recording per-key errors
+                # from a dead session produced the round-6 crashed
+                # artifact; abort loudly and write NOTHING instead.
+                print(
+                    f"FATAL: JVM death while running {name!r}: "
+                    f"{type(exc).__name__}: {exc}"[:400],
+                    file=sys.stderr,
+                )
+                return 3
+            # one genuinely broken query must not void the run
             entry["error"] = f"{type(exc).__name__}: {exc}"[:300]
         entry["sec"] = round(time.time() - t_q, 2)
         out[name] = entry
 
     oracle_keys = [n for n, e in out.items() if e.get("mode") == "oracle"]
-    green = [
-        n
-        for n in oracle_keys
-        if out[n].get("values_match")
-        and out[n].get("rows_match")
-        and out[n].get("schema_match")
-        and out[n].get("dtype_kind_match", True)
-    ]
+    green = [n for n in oracle_keys if entry_green(out[n])]
     red = [n for n in oracle_keys if n not in green]
     timeouts = [n for n, e in out.items() if "timeout" in e]
     errors = [n for n, e in out.items() if "error" in e]
     record = {
+        **provenance(),
         "sf_dir": sf_dir,
         "per_query_cap_sec": PER_QUERY_SECONDS,
         "n_queries": len(out),

@@ -317,6 +317,9 @@ def main() -> None:
 
     out["all_floors_met"] = all(_meets(v) for v in out["queries"].values())
     out["wall_sec"] = round(time.time() - t0, 1)
+    from bigdata_financial_reporting_spark.oracle_compare import provenance
+
+    out["_provenance"] = provenance()
 
     path = os.path.join(REPO, "SIM_RECALL.json")
     with open(path, "w") as f:

@@ -89,7 +89,10 @@ def main() -> None:
     )
     tail = [ln for ln in timing.stdout.strip().splitlines() if ln.strip()]
 
+    from bigdata_financial_reporting_spark.oracle_compare import provenance
+
     out = {
+        "_provenance": provenance(),
         "sf_dir": SF_DIR,
         "queries": queries,
         "all_equivalent": all(

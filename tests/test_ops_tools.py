@@ -475,3 +475,37 @@ def test_publish_manifest_is_atomic_and_single_winner(tmp_path):
     assert _publish_manifest(d, 1, ["b.parquet"]) is False
     assert files_of(d, 1) == ["a.parquet"]
     assert not [f for f in os.listdir(d) if f.startswith(".manifest-")]
+
+
+def test_cow_reader_pinned_version_survives_concurrent_commit(
+    spark, sf_dir, tmp_path
+):
+    """Round-6 advisory item 7: copy-on-write isolation — a reader
+    pinned to version v keeps seeing EXACTLY v's rows even while a
+    concurrent writer commits a DELETE rewrite on top. The pinned
+    read resolves its file list from v's manifest, so later commits
+    (which only add files + a new manifest) cannot perturb it."""
+    from bigdata_financial_reporting_spark.operators.manifest import (
+        commit_version,
+        read_version,
+    )
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "cow_iso")
+    n = load_table(spark, sf_dir, "nation")
+    v1 = commit_version(n, table_dir)
+    before = sorted(tuple(r) for r in read_version(spark, table_dir, v1).collect())
+
+    # concurrent COW DELETE: rewrite survivors as v2
+    survivors = read_version(spark, table_dir, v1).filter(
+        F.col("n_nationkey") % 2 == 0
+    )
+    v2 = commit_version(survivors, table_dir)
+    assert v2 == v1 + 1
+
+    after = sorted(tuple(r) for r in read_version(spark, table_dir, v1).collect())
+    assert after == before, "pinned v1 read changed under a concurrent commit"
+    got_v2 = read_version(spark, table_dir, v2).collect()
+    assert all(r["n_nationkey"] % 2 == 0 for r in got_v2)
+    assert len(got_v2) < len(before)

@@ -5,62 +5,22 @@ driver's t2 correctness gate."""
 
 from __future__ import annotations
 
-import datetime as dt
 import decimal
 import math
-import struct
 
 import pytest
 
+# The canon lives in the package now (round-6 verdict item 2: ONE
+# shared fetch + canonicalization path across test_oracle,
+# gen_local_correctness and gen_scale_correctness); re-exported here
+# because the evidence scripts historically import it from this module.
+from bigdata_financial_reporting_spark.oracle_compare import (  # noqa: F401
+    canon_rows,
+    canon_value,
+    fetch_duck,
+    fetch_spark,
+)
 from bigdata_financial_reporting_spark.queries import QUERIES
-
-
-def canon_value(v):
-    """Canonicalize one cell so Spark and DuckDB renderings compare equal.
-
-    DRIVER-STRICT (round-5 verdict item 2): the external driver
-    value-hashes rendered cells, so it distinguishes -0.0 from +0.0 and
-    any last-bit float divergence. The previous canon re-rounded to 6dp
-    and normalized signed zero — erasing exactly the divergence class
-    that cost emb_covariance_matrix two red driver rounds while staying
-    green locally. Floats now compare BITWISE (struct.pack of the IEEE
-    double, which also uniquely separates -0.0); decimals compare on
-    their exact value string. Any key whose engines disagree at this
-    strictness is a latent driver hash failure and must be fixed in the
-    KEY, never here."""
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return ("f", struct.pack("<d", v).hex())
-    if isinstance(v, decimal.Decimal):
-        if v.is_nan():
-            return "NaN"
-        s = format(v, "f")
-        if "." in s:
-            s = s.rstrip("0").rstrip(".")
-        if s == "-0":
-            s = "0"  # integer-valued decimal zero has no meaningful sign
-        return ("dec", s)
-    if isinstance(v, dt.datetime):
-        return v.isoformat()
-    if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(canon_value(x) for x in v)
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, dt.timedelta):
-        return v.total_seconds()
-    return v
-
-
-def canon_rows(cols, rows):
-    """Sort columns by name, canonicalize cells, return sorted multiset."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
 ORACLE_SPECS = [s for s in QUERIES.values() if s.oracle is not None]
@@ -110,12 +70,8 @@ def _negzero_cells(rows):
 def test_oracle_match(spec, spark, ddb, sf_dir):
     sdf = spec.fn(spark, sf_dir)
     assert_no_complex_output_types(sdf, spec.name)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
-
-    res = ddb.execute(spec.oracle)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    s_cols, s_rows = fetch_spark(sdf)
+    d_cols, d_rows = fetch_duck(ddb, spec.oracle)
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{spec.name}: column mismatch spark={s_cols} duckdb={d_cols}"

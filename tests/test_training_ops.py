@@ -303,3 +303,79 @@ def test_recursive_spine_is_gapless(spark, sf_dir):
     d0 = dt.date.fromisoformat(days[0])
     d1 = dt.date.fromisoformat(days[-1])
     assert len(set(days)) == (d1 - d0).days + 1 == len(days)
+
+
+def test_bpe_merge_step_matches_bruteforce_reference(spark, sf_dir):
+    """Round-6 advisory item 7: the distributed BPE pair-count step
+    (distinct-word explosion + exact integer counts + total-order
+    top-20) must agree with a single-node brute force over the same
+    corpus — the reference implementation a tokenizer trainer would
+    write (Sennrich et al. 2016, count pass)."""
+    import collections
+    import re
+
+    import duckdb
+
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    got = [
+        (r["sym_a"], r["sym_b"], r["merge_count"])
+        for r in QUERIES["text_bpe_merge_step"].fn(spark, sf_dir).collect()
+    ]
+
+    texts = [
+        t
+        for (t,) in duckdb.connect()
+        .execute(f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')")
+        .fetchall()
+    ]
+    freq: collections.Counter = collections.Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if w:
+                freq[w] += 1
+    pairs: collections.Counter = collections.Counter()
+    for w, f in freq.items():
+        for a, b in zip(w, w[1:]):
+            pairs[(a, b)] += f
+    want = [
+        (a, b, c)
+        for (a, b), c in sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:20]
+    ]
+    assert got == want
+
+
+def test_url_canonicalization_idempotent_and_order_invariant(spark):
+    """canonical_url is a closure: applying it twice equals applying it
+    once (a canonicalizer that keeps moving is not a dedup key), and
+    the result is invariant to query-param order and utm_* noise."""
+    from pyspark.sql import functions as F
+
+    from bigdata_financial_reporting_spark.operators.dedup import (
+        canonical_url,
+    )
+
+    urls = [
+        "HTTPS://WWW.Ex.COM:443/A/B/?b=2&a=1&utm_source=x#frag",
+        "https://www.ex.com/a/b?a=1&b=2",
+        "https://www.ex.com/a/b/index.html?utm_campaign=y&b=2&a=1",
+        "https://www.ex.com/a/b///",
+        "https://www.ex.com/a/b?utm_only=1",
+        "https://www.ex.com/plain",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+    canon = [r["c1"] for r in out]
+    # the first three are the same resource in different styles
+    assert canon[0] == canon[1] == canon[2] == "https://www.ex.com/a/b?a=1&b=2"
+    # trailing slashes collapse; utm-only query drops the '?' entirely
+    assert canon[3] == "https://www.ex.com/a/b"
+    assert canon[4] == "https://www.ex.com/a/b"
+    assert canon[5] == "https://www.ex.com/plain"
