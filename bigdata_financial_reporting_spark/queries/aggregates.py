@@ -2569,3 +2569,435 @@ def stat_anova_f(spark, sf_dir):
         "nt",
         F.round(f / 1.0, 6).alias("f_stat"),
     )
+
+
+@register(
+    "stat_kruskal_wallis",
+    oracle="""
+    WITH cells AS (
+      SELECT value, count(*) AS t FROM events GROUP BY value
+    ),
+    runs AS (
+      SELECT value, t,
+             sum(t) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS run_t
+      FROM cells
+    ),
+    gv AS (
+      SELECT event_type AS grp, value, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT grp, sum(c) AS n,
+             sum(CAST(c AS HUGEINT) * (2 * run_t - t + 1)) AS r2
+      FROM gv JOIN runs USING (value) GROUP BY grp
+    ),
+    ties AS (
+      SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie3 FROM cells
+    ),
+    terms AS (
+      SELECT count(*) AS k, sum(n) AS nt,
+             list_aggregate(list(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                                 / 4.0 / n ORDER BY grp), 'sum') AS ssum
+      FROM g
+    )
+    SELECT CAST(k AS INT) AS k, CAST(nt AS BIGINT) AS n,
+           round((12.0 / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) + 1.0))
+                  * ssum - 3.0 * (CAST(nt AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tie3 AS DOUBLE)
+                          / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                             * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE))), 6)
+             + 0 AS h
+    FROM terms, ties
+    """,
+    category="aggregates",
+)
+def stat_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across the five event types — the rank-based
+    (distribution-free) ANOVA, with the tie correction. No row-level
+    global sort: average ranks come from DISTINCT-VALUE cells (the
+    stat_mann_whitney_u plan) — midrank2 = 2*run_t - t + 1 is an exact
+    integer per cell, run_t from the range-partitioned
+    ``global_running_sum``. Every moment (n_g, rank sums, tie³) is an
+    exact decimal(38,0) integer; the five per-group double terms
+    R²/(4n) fold in FIXED group order on both engines (the
+    stat_anova_f pattern), and H derives from one mirrored
+    expression."""
+    from bigdata_financial_reporting_spark.operators.global_window import (
+        global_running_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("value").agg(F.count(F.lit(1)).alias("t"))
+    runs = global_running_sum(cells, ["value"], ["t"])
+    gv = ev.groupBy(F.col("event_type").alias("grp"), "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dec = "decimal(38,0)"
+    g = gv.join(runs, "value").groupBy("grp").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c").cast(dec) * (2 * F.col("run_t") - F.col("t") + 1)
+        ).alias("r2"),
+    )
+    tie3 = (
+        cells.agg(
+            F.sum(
+                F.col("t").cast(dec) * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie3")
+        )
+    )
+    terms = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "grp",
+                            (
+                                F.col("r2").cast("double")
+                                * F.col("r2").cast("double")
+                                / 4.0
+                                / F.col("n")
+                            ).alias("term"),
+                        )
+                    )
+                ),
+                lambda x: x["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("ssum"),
+    )
+    ntd = F.col("nt").cast("double")
+    h = (
+        12.0 / (ntd * (ntd + 1.0)) * F.col("ssum") - 3.0 * (ntd + 1.0)
+    ) / (
+        1.0 - F.col("tie3").cast("double") / (ntd * ntd * ntd - ntd)
+    )
+    return terms.crossJoin(F.broadcast(tie3)).select(
+        F.col("k").cast("int").alias("k"),
+        F.col("nt").cast("long").alias("n"),
+        F.round(h, 6).alias("h"),
+    )
+
+
+@register(
+    "stat_chisq_gof",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, count(*) AS obs FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT obs,
+             CAST(count(*) OVER () * obs - sum(obs) OVER () AS HUGEINT)
+               AS dev
+      FROM o
+    ),
+    t AS (
+      SELECT count(*) AS k, sum(obs) AS n, sum(dev * dev) AS num FROM d
+    )
+    SELECT CAST(k AS INT) AS k, CAST(n AS BIGINT) AS n,
+           CAST((2 * num * 1000000 + k * n) // (2 * (k * n)) AS BIGINT)
+             AS chi2_micro
+    FROM t
+    """,
+    category="aggregates",
+)
+def stat_chisq_gof(spark, sf_dir):
+    """Chi-squared goodness-of-fit of the event-type distribution
+    against uniform, computed ENTIRELY in integers: with E = N/k,
+    chi2 = sum (O - N/k)^2 / (N/k) = sum (k*O - N)^2 / (k*N) — the
+    numerator is an exact decimal(38,0) sum of squared integer
+    deviations, and the statistic renders as exact micro-units via
+    pure-integer half-away division (functions/exact.py). No float
+    forms anywhere, so the result is bit-identical at any scale."""
+    from bigdata_financial_reporting_spark.functions.exact import (
+        spark_half_div,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("obs"))
+    dec = "decimal(38,0)"
+    allw = Window.partitionBy()
+    dev = (
+        F.count(F.lit(1)).over(allw) * F.col("obs")
+        - F.sum("obs").over(allw)
+    ).cast(dec)
+    t = o.select(
+        F.col("obs"), dev.alias("dev")
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("obs").alias("n"),
+        F.sum(F.col("dev") * F.col("dev")).alias("num"),
+    )
+    return t.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.expr(spark_half_div("num * 1000000", "k * n"))
+        .cast("long")
+        .alias("chi2_micro"),
+    )
+
+
+@register(
+    "stat_cohens_d",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS xq
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(xq AS HUGEINT)) AS s,
+             sum(CAST(xq AS HUGEINT) * xq) AS q2
+      FROM q GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        max(CASE WHEN event_type = 'click' THEN CAST(s AS DOUBLE) END) AS s1,
+        max(CASE WHEN event_type = 'click' THEN CAST(q2 AS DOUBLE) END) AS q1,
+        max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+        max(CASE WHEN event_type = 'view' THEN CAST(s AS DOUBLE) END) AS s2,
+        max(CASE WHEN event_type = 'view' THEN CAST(q2 AS DOUBLE) END) AS q2d
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round((s1 / n1 - s2 / n2)
+                 / sqrt(((q1 - s1 * s1 / n1) + (q2d - s2 * s2 / n2))
+                        / (n1 + n2 - 2)) / 1000000.0 * 1000000.0, 6)
+             + 0 AS cohens_d
+    FROM w
+    """,
+    category="aggregates",
+)
+def stat_cohens_d(spark, sf_dir):
+    """Cohen's d effect size between the click and view value
+    distributions (pooled-variance standardized mean difference).
+    Values micro-quantize to exact integers so every moment (n, Σx,
+    Σx²) is exact and order-independent; the statistic derives at the
+    end from ONE fixed double expression mirrored verbatim (micro
+    units cancel in the ratio — the explicit /1e6*1e6 keeps the two
+    engines' expression trees identical)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    dec = "decimal(38,0)"
+    q = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("xq"),
+    )
+    g = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xq").cast(dec)).alias("s"),
+        F.sum(F.col("xq").cast(dec) * F.col("xq")).alias("q2"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))
+    w = g.agg(
+        pick("click", "n").alias("n1"),
+        pick("click", "s").cast("double").alias("s1"),
+        pick("click", "q2").cast("double").alias("q1"),
+        pick("view", "n").alias("n2"),
+        pick("view", "s").cast("double").alias("s2"),
+        pick("view", "q2").cast("double").alias("q2d"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    d = (
+        (F.col("s1") / n1d - F.col("s2") / n2d)
+        / F.sqrt(
+            (
+                (F.col("q1") - F.col("s1") * F.col("s1") / n1d)
+                + (F.col("q2d") - F.col("s2") * F.col("s2") / n2d)
+            )
+            / (n1d + n2d - 2)
+        )
+        / 1000000.0
+        * 1000000.0
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(d, 6).alias("cohens_d"),
+    )
+
+
+@register(
+    "stat_kendall_tau_b",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 30
+    ),
+    p AS (
+      SELECT a.user_id,
+             sum(CASE WHEN a.value < b.value THEN 1 ELSE 0 END) AS nc,
+             sum(CASE WHEN a.value > b.value THEN 1 ELSE 0 END) AS nd,
+             sum(CASE WHEN a.value = b.value THEN 1 ELSE 0 END) AS nty,
+             count(*) AS n0
+      FROM o a JOIN o b
+        ON a.user_id = b.user_id AND a.rn < b.rn
+      GROUP BY a.user_id
+    )
+    SELECT user_id, CAST(nc AS BIGINT) AS nc, CAST(nd AS BIGINT) AS nd,
+           round(CAST(nc - nd AS DOUBLE)
+                 / sqrt(CAST(n0 AS DOUBLE) * CAST(n0 - nty AS DOUBLE)), 6)
+             + 0 AS tau_b
+    FROM p
+    """,
+    category="aggregates",
+)
+def stat_kendall_tau_b(spark, sf_dir):
+    """Kendall tau-b per user between arrival order and value (is the
+    series trending?), tie-corrected on the value side (arrival rank
+    has no ties, so tau_b = (C-D)/sqrt(n0*(n0-T)) with T the tied-value
+    pairs). Pair counting is the O(n^2) self-join on a BOUNDED slice
+    (30 users) — the exact ground-truth form; at corpus scale the
+    per-key merge-sort inversion count replaces it, this key pins the
+    semantics. Counts are exact integers; only the final tau divides
+    (sqrt — irrational, so the 6dp rounding cannot sit on a decimal
+    half)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    o = ev.select("user_id", "value", rn.alias("rn"))
+    a = o.alias("a")
+    b = o.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.rn") < F.col("b.rn")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(
+            F.sum(
+                F.when(F.col("a.value") < F.col("b.value"), 1).otherwise(0)
+            ).alias("nc"),
+            F.sum(
+                F.when(F.col("a.value") > F.col("b.value"), 1).otherwise(0)
+            ).alias("nd"),
+            F.sum(
+                F.when(F.col("a.value") == F.col("b.value"), 1).otherwise(0)
+            ).alias("nty"),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+    tau = (F.col("nc") - F.col("nd")).cast("double") / F.sqrt(
+        F.col("n0").cast("double") * (F.col("n0") - F.col("nty")).cast("double")
+    )
+    return p.select(
+        "user_id",
+        F.col("nc").cast("long").alias("nc"),
+        F.col("nd").cast("long").alias("nd"),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+@register(
+    "stat_runs_test",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS xq
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(xq, 0.5) AS med FROM q
+      GROUP BY event_type
+    ),
+    sides AS (
+      SELECT q.event_type, ts, event_id,
+             CASE WHEN xq > med THEN 1 ELSE 0 END AS side
+      FROM q JOIN med USING (event_type)
+      WHERE xq <> med
+    ),
+    flagged AS (
+      SELECT event_type, side,
+             CASE WHEN lag(side) OVER w IS DISTINCT FROM side
+                  THEN 1 ELSE 0 END AS new_run
+      FROM sides
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT event_type,
+             sum(new_run) AS r,
+             sum(side) AS n1,
+             sum(1 - side) AS n2
+      FROM flagged GROUP BY event_type
+    )
+    SELECT event_type, CAST(r AS BIGINT) AS r,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round((CAST(r AS DOUBLE)
+                  - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                           * (n1 + n2 - 1.0))), 6) + 0 AS z
+    FROM s
+    """,
+    category="aggregates",
+)
+def stat_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test per event type: is the sequence of
+    above/below-median values random in time, or does it cluster?
+    Median comes from exact micro-int quantiles ((a+b)/2 of integers —
+    exact in double on both engines); median-equal rows drop (standard
+    practice, and it removes the one equality that could differ);
+    runs count via the gaps-and-islands lag flag ordered by
+    (ts, event_id). R, n1, n2 are exact integers; z's 6dp rounding
+    sits behind a sqrt (irrational — never on a decimal half). The
+    per-type window is a bounded partition here; at corpus scale the
+    flag + sum pair range-partitions like global_running_sum."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("long").alias("xq"),
+    )
+    med = q.groupBy("event_type").agg(
+        F.percentile("xq", F.lit(0.5)).alias("med")
+    )
+    sides = (
+        q.join(F.broadcast(med), "event_type")
+        .filter(F.col("xq") != F.col("med"))
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.when(F.col("xq") > F.col("med"), 1).otherwise(0).alias("side"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    flagged = sides.withColumn(
+        "new_run",
+        F.when(~F.lag("side").over(w).eqNullSafe(F.col("side")), 1).otherwise(
+            0
+        ),
+    )
+    s = flagged.groupBy("event_type").agg(
+        F.sum("new_run").alias("r"),
+        F.sum("side").alias("n1"),
+        F.sum(1 - F.col("side")).alias("n2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    mu = 2.0 * n1d * n2d / (n1d + n2d) + 1.0
+    sig = F.sqrt(
+        2.0
+        * n1d
+        * n2d
+        * (2.0 * n1d * n2d - n1d - n2d)
+        / ((F.col("n1") + F.col("n2")).cast("double") * (n1d + n2d) * (n1d + n2d - 1.0))
+    )
+    return s.select(
+        "event_type",
+        F.col("r").cast("long").alias("r"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round((F.col("r").cast("double") - mu) / sig, 6).alias("z"),
+    )

@@ -353,6 +353,18 @@ DEFER_NEW: frozenset[str] = frozenset(
         "src_compressed_roundtrip",
         "ops_snapshot_expiry",
         "dedup_url_canonicalize",
+        # round-7 additions: queue behind the 16-key BACKLOG_R6 (16 +
+        # ~30 new fits the ~50-key driver budget)
+        "quality_gopher_rules",
+        "mix_epoch_upsample",
+        "split_leakage_safe",
+        "text_charclass_profile",
+        "text_word_run_lengths",
+        "stat_kruskal_wallis",
+        "stat_chisq_gof",
+        "stat_cohens_d",
+        "stat_kendall_tau_b",
+        "stat_runs_test",
     }
 )
 

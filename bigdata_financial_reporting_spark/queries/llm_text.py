@@ -2521,3 +2521,348 @@ def mix_domain_rebalance(spark, sf_dir):
             "id_checksum",
         )
     )
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOK} AS tok FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(tok) AS n_words,
+             len(list_distinct(tok)) AS n_distinct,
+             list_aggregate(list_transform(tok, w -> length(w)), 'sum')
+               AS n_word_chars
+      FROM t
+    )
+    SELECT doc_id, n_words, n_distinct, n_word_chars,
+           n_words < 50 AS flag_short,
+           2 * n_distinct < n_words AS flag_low_diversity,
+           NOT (n_word_chars >= 4 * n_words AND n_word_chars <= 5 * n_words)
+             AS flag_wordlen_out,
+           (n_words >= 50 AND 2 * n_distinct >= n_words
+            AND n_word_chars >= 4 * n_words AND n_word_chars <= 5 * n_words)
+             AS keep
+    FROM m
+    """,
+    category="text",
+)
+def quality_gopher_rules(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1,
+    adapted to this fixture's value ranges): minimum word count,
+    type/token diversity floor, and a mean-word-length band — each
+    expressed as a pure INTEGER comparison (chars >= 4*words instead
+    of chars/words >= 4.0), so no float ratio ever forms and the flags
+    are bit-exact at any scale. One projection, no shuffle; the `keep`
+    column is the conjunctive filter a pretraining pipeline applies
+    before tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokenize(F.col("text"))
+    m = d.select(
+        "doc_id",
+        F.size(tok).alias("n_words"),
+        F.size(F.array_distinct(tok)).alias("n_distinct"),
+        F.aggregate(
+            F.transform(tok, lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_word_chars"),
+    )
+    w, dw, ch = F.col("n_words"), F.col("n_distinct"), F.col("n_word_chars")
+    wordlen_ok = (ch >= 4 * w) & (ch <= 5 * w)
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "n_word_chars",
+        (w < 50).alias("flag_short"),
+        (2 * dw < w).alias("flag_low_diversity"),
+        (~wordlen_ok).alias("flag_wordlen_out"),
+        ((w >= 50) & (2 * dw >= w) & wordlen_ok).alias("keep"),
+    )
+
+
+@register(
+    "mix_epoch_upsample",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, CAST(sum(len({_DUCK_TOK})) AS BIGINT) AS n_tokens,
+             count(*) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    e AS (
+      SELECT source, n_docs, n_tokens,
+             least(4.0, greatest(1.0,
+               sqrt(CAST(max(n_tokens) OVER () AS DOUBLE) / n_tokens)))
+               AS epochs
+      FROM t
+    ),
+    u AS (
+      SELECT d.doc_id, d.source,
+             CAST(concat('0x', substr(md5('epoch:' || CAST(d.doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) / 16777216.0 AS u
+      FROM documents d
+    ),
+    c AS (
+      SELECT u.source, e.n_docs, e.epochs,
+             CAST(floor(e.epochs) AS BIGINT)
+             + CASE WHEN u.u < e.epochs - floor(e.epochs) THEN 1 ELSE 0 END
+               AS copies
+      FROM u JOIN e ON u.source = e.source
+    )
+    SELECT source, n_docs,
+           CAST(sum(copies) AS BIGINT) AS n_copies,
+           round(epochs, 6) AS target_epochs,
+           CAST(sum(copies) AS DOUBLE) / n_docs AS realized_epochs
+    FROM c GROUP BY source, n_docs, epochs
+    """,
+    category="text",
+)
+def mix_epoch_upsample(spark, sf_dir):
+    """Dataset-mixing UPSAMPLING: low-resource sources repeat for
+    several epochs (sqrt inverse-token weighting, clipped to [1, 4] —
+    the multi-epoch mixing used when a domain is too small for its
+    target share). Integer copies come from floor(epochs); the
+    fractional epoch is realized per document by a deterministic
+    md5-uniform draw (salt 'epoch:', decorrelated from the sampling /
+    split salts) — reproducible across runs, engines and partitions,
+    no RNG state. The census per source verifies the plan; the same
+    copies column drives an explode(sequence(1, copies)) to actually
+    materialize the epochs. Stats and rates are source-dim sized and
+    broadcast; the corpus is scanned once."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(tokenize(F.col("text")))).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    allw = Window.partitionBy()
+    epochs = F.least(
+        F.lit(4.0),
+        F.greatest(
+            F.lit(1.0),
+            F.sqrt(
+                F.max("n_tokens").over(allw).cast("double") / F.col("n_tokens")
+            ),
+        ),
+    )
+    e = t.select("source", "n_docs", epochs.alias("epochs"))
+    u = d.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("epoch:"), F.col("doc_id").cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(16777216.0)
+        ).alias("u"),
+    )
+    copies = F.floor("epochs").cast("long") + F.when(
+        F.col("u") < F.col("epochs") - F.floor("epochs"), 1
+    ).otherwise(0)
+    return (
+        u.join(F.broadcast(e), "source")
+        .select("source", "n_docs", "epochs", copies.alias("copies"))
+        .groupBy("source", "n_docs", "epochs")
+        .agg(F.sum("copies").cast("long").alias("n_copies"))
+        .select(
+            "source",
+            "n_docs",
+            "n_copies",
+            F.round("epochs", 6).alias("target_epochs"),
+            (F.col("n_copies").cast("double") / F.col("n_docs")).alias(
+                "realized_epochs"
+            ),
+        )
+    )
+
+
+@register(
+    "split_leakage_safe",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents
+    ),
+    sides AS (
+      SELECT doc_id, fp,
+             CASE WHEN CAST(concat('0x', substr(md5('split:' || fp), 1, 6))
+                       AS BIGINT) / 16777216.0 < 0.8
+                  THEN 'train' ELSE 'holdout' END AS side
+      FROM fp
+    )
+    SELECT side,
+           count(*) AS n_docs,
+           count(DISTINCT fp) AS n_fps,
+           count(*) - count(DISTINCT fp) AS n_dup_docs
+    FROM sides GROUP BY side
+    """,
+    category="text",
+)
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/holdout split: the side is a deterministic
+    hash of the CONTENT fingerprint, not the doc id, so exact
+    duplicates land on the same side by construction — the
+    contamination class split_contamination measures cannot occur.
+    (An id-hashed split scatters copies of one document across both
+    sides; evaluating on the holdout then scores memorization.) The
+    census per side counts docs, distinct fingerprints, and the
+    duplicate docs that rode along with their fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""))
+    side = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), fp)), 1, 6), 16, 10
+        ).cast("long")
+        / F.lit(16777216.0)
+        < 0.8,
+        "train",
+    ).otherwise("holdout")
+    return (
+        d.select(fp.alias("fp"), side.alias("side"))
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_fps"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_docs"),
+        )
+    )
+
+
+@register(
+    "text_charclass_profile",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(sum(length(regexp_replace(props, '[^0-9]', '', 'g')) ) AS BIGINT)
+             AS n_digit_chars,
+           CAST(sum(length(regexp_replace(props, '[^a-z]', '', 'g')) ) AS BIGINT)
+             AS n_alpha_chars,
+           CAST(sum(length(props)
+                    - length(regexp_replace(props, '[^0-9]', '', 'g'))
+                    - length(regexp_replace(props, '[^a-z]', '', 'g'))) AS BIGINT)
+             AS n_other_chars,
+           CAST((2 * sum(length(regexp_replace(props, '[^0-9]', '', 'g'))) * 1000000
+                 + sum(length(props))) // (2 * sum(length(props))) AS BIGINT)
+             AS digit_ppm
+    FROM events
+    GROUP BY event_type
+    """,
+    category="text",
+)
+def text_charclass_profile(spark, sf_dir):
+    """Character-class profile of a semi-structured payload column
+    (events.props, a JSON blob): digit / alpha / other char counts per
+    event type — the cheap structural signal a crawl pipeline uses to
+    route payloads (numeric-heavy telemetry vs prose) before paying
+    for a parse. Counts are exact integers; the digit share renders as
+    ppm via pure-integer half-away division (functions/exact.py — no
+    float ratio, no rounding divergence)."""
+    from bigdata_financial_reporting_spark.functions.exact import (
+        spark_half_div,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    digits = F.length(F.regexp_replace("props", "[^0-9]", ""))
+    alpha = F.length(F.regexp_replace("props", "[^a-z]", ""))
+    total = F.length("props")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(digits).cast("long").alias("n_digit_chars"),
+        F.sum(alpha).cast("long").alias("n_alpha_chars"),
+        F.sum(total - digits - alpha).cast("long").alias("n_other_chars"),
+        F.sum(total).cast("long").alias("__n_total"),
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        "n_digit_chars",
+        "n_alpha_chars",
+        "n_other_chars",
+        F.expr(spark_half_div("n_digit_chars * 1000000", "__n_total"))
+        .cast("long")
+        .alias("digit_ppm"),
+    )
+
+
+@register(
+    "text_word_run_lengths",
+    oracle=f"""
+    WITH pos AS (
+      -- parallel unnests zip positionally in DuckDB (no WITH
+      -- ORDINALITY in this build)
+      SELECT doc_id, unnest(tok) AS word,
+             unnest(generate_series(1, len(tok))) AS i
+      FROM (SELECT doc_id, {_DUCK_TOK} AS tok FROM documents) d
+    ),
+    runs AS (
+      SELECT doc_id, word, i,
+             CASE WHEN lag(word) OVER w IS DISTINCT FROM word
+                  THEN 1 ELSE 0 END AS new_run
+      FROM pos
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    grp AS (
+      SELECT doc_id, word,
+             sum(new_run) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM runs
+    ),
+    lens AS (
+      SELECT doc_id, run_id, count(*) AS run_len
+      FROM grp GROUP BY doc_id, run_id
+    )
+    SELECT doc_id,
+           CAST(sum(run_len) AS BIGINT) AS n_words,
+           CAST(max(run_len) AS BIGINT) AS max_run,
+           CAST(count(*) FILTER (run_len >= 2) AS BIGINT) AS n_runs_ge2
+    FROM lens GROUP BY doc_id
+    """,
+    category="text",
+)
+def text_word_run_lengths(spark, sf_dir):
+    """Consecutive-word run lengths per document — the stutter signal
+    ('the the the') that n-gram repetition ratios miss because they
+    count global frequency, not adjacency. Classic gaps-and-islands:
+    posexplode -> new-run flag (lag) -> running-sum run id -> run
+    lengths -> per-doc max and count of runs >= 2. Windows partition
+    by doc only (bounded by document length); all outputs are exact
+    integers. A pretraining filter drops docs whose max_run exceeds a
+    threshold."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("i", "word")
+    )
+    w = W.partitionBy("doc_id").orderBy("i")
+    runs = pos.withColumn(
+        "new_run",
+        F.when(
+            ~F.lag("word").over(w).eqNullSafe(F.col("word")), 1
+        ).otherwise(0),
+    )
+    grp = runs.withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    lens = grp.groupBy("doc_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return lens.groupBy("doc_id").agg(
+        F.sum("run_len").cast("long").alias("n_words"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.sum(F.when(F.col("run_len") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_runs_ge2"),
+    )
