@@ -365,6 +365,24 @@ DEFER_NEW: frozenset[str] = frozenset(
         "stat_cohens_d",
         "stat_kendall_tau_b",
         "stat_runs_test",
+        "fin_macd_daily",
+        "fin_atr_14",
+        "fin_obv",
+        "fin_stochastic_k",
+        "fin_kurtosis_returns",
+        "ts_value_histogram2d",
+        "emb_kmeans_lloyd_step",
+        "emb_label_margin",
+        "sim_knn_graph_mutual",
+        "emb_dims_variance_topk",
+        "join_asof_tolerance",
+        "join_dim_snowflake",
+        "join_exists_agg",
+        "window_percent_rank_cume",
+        "window_nth_value_frames",
+        "window_gaps_islands",
+        "src_binaryfile_scan",
+        "ops_compaction_bins",
     }
 )
 

@@ -662,3 +662,376 @@ def fin_var_expected_shortfall(spark, sf_dir):
         F.round(F.avg(F.when(in_tail, F.col("value"))), 6).alias("es99"),
         F.sum(F.when(in_tail, 1).otherwise(0)).cast("long").alias("n_tail"),
     )
+
+
+# Shared DuckDB fragment: daily OHLC-ish bars per instrument (close by
+# the (ts, event_id) tie-break key, like fin_ohlc_bars).
+_DUCK_BARS = f"""
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             max(value) AS high, min(value) AS low,
+             arg_max(value, {_DUCK_TICK_KEY}) AS close,
+             count(*) AS n_ticks
+      FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "fin_macd_daily",
+    oracle=f"""
+    WITH bars AS ({_DUCK_BARS}),
+    o AS (
+      SELECT user_id, day, close,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM bars
+    ),
+    ema AS (
+      SELECT a.user_id, a.day, a.rn,
+             (2.0 / 13.0) * list_aggregate(
+               list(b.close * pow(1.0 - 2.0 / 13.0, a.rn - b.rn)
+                    ORDER BY b.rn DESC), 'sum')
+               / (1.0 - pow(1.0 - 2.0 / 13.0, least(a.rn, 26))) AS ema12,
+             (2.0 / 27.0) * list_aggregate(
+               list(b.close * pow(1.0 - 2.0 / 27.0, a.rn - b.rn)
+                    ORDER BY b.rn DESC), 'sum')
+               / (1.0 - pow(1.0 - 2.0 / 27.0, least(a.rn, 26))) AS ema26
+      FROM o a JOIN o b
+        ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 25 AND a.rn
+      GROUP BY a.user_id, a.day, a.rn
+    ),
+    m AS (SELECT user_id, day, rn, ema12 - ema26 AS macd FROM ema),
+    sig AS (
+      SELECT a.user_id, a.day, a.macd,
+             (2.0 / 10.0) * list_aggregate(
+               list(b.macd * pow(0.8, a.rn - b.rn)
+                    ORDER BY b.rn DESC), 'sum')
+               / (1.0 - pow(0.8, least(a.rn, 9))) AS signal
+      FROM m a JOIN m b
+        ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 8 AND a.rn
+      GROUP BY a.user_id, a.day, a.rn, a.macd
+    )
+    SELECT user_id, day,
+           round(macd, 6) + 0 AS macd,
+           round(signal, 6) + 0 AS signal,
+           round(macd - signal, 6) + 0 AS histogram
+    FROM sig
+    """,
+    category="finance",
+)
+def fin_macd_daily(spark, sf_dir):
+    """MACD on the daily close series per instrument: EMA(12) -
+    EMA(26), with the 9-day signal line and histogram. EMAs use the
+    house finite-window renormalized form (fin_ema_window): a
+    26-tap windowed dot product, embarrassingly parallel instead of a
+    sequential recurrence. Both the EMA and the signal fold their taps
+    NEWEST-FIRST over an ordered list on BOTH engines (F.aggregate
+    over the reversed frame ↔ list(... ORDER BY rn DESC) +
+    list_aggregate), so even the float summation order is pinned.
+    Two window passes over the tiny bar series; the tick->bar
+    reduction is the only full scan."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    bars = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    wday = Window.partitionBy("user_id").orderBy("day")
+
+    def ema_fold(arr, alpha, taps):
+        w = 1.0 - alpha
+        num = F.aggregate(
+            arr,
+            F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("k")),
+            lambda acc, x: F.struct(
+                (acc["s"] + x * F.pow(F.lit(w), acc["k"])).alias("s"),
+                (acc["k"] + F.lit(1.0)).alias("k"),
+            ),
+            lambda acc: acc["s"],
+        )
+        return (
+            F.lit(alpha)
+            * num
+            / (F.lit(1.0) - F.pow(F.lit(w), F.size(arr).cast("double")))
+        )
+
+    arr26 = F.reverse(
+        F.collect_list("close").over(wday.rowsBetween(-25, 0))
+    )
+    m = bars.select(
+        "user_id",
+        "day",
+        (ema_fold(arr26, 2.0 / 13.0, 26) - ema_fold(arr26, 2.0 / 27.0, 26)).alias(
+            "macd"
+        ),
+    )
+    arr9 = F.reverse(F.collect_list("macd").over(wday.rowsBetween(-8, 0)))
+    sig = m.select(
+        "user_id",
+        "day",
+        "macd",
+        ema_fold(arr9, 2.0 / 10.0, 9).alias("signal"),
+    )
+    return sig.select(
+        "user_id",
+        "day",
+        F.round("macd", 6).alias("macd"),
+        F.round("signal", 6).alias("signal"),
+        F.round(F.col("macd") - F.col("signal"), 6).alias("histogram"),
+    )
+
+
+@register(
+    "fin_atr_14",
+    oracle=f"""
+    WITH bars AS ({_DUCK_BARS}),
+    tr AS (
+      SELECT user_id, day,
+             CAST(round(greatest(
+               high - low,
+               abs(high - coalesce(lag(close) OVER w, close)),
+               abs(low - coalesce(lag(close) OVER w, close))
+             ) * 1000000.0) AS BIGINT) AS tr_micro
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    roll AS (
+      SELECT user_id, day, tr_micro,
+             sum(tr_micro) OVER f AS s,
+             count(*) OVER f AS c
+      FROM tr
+      WINDOW f AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day, tr_micro,
+           CAST(s AS DOUBLE) / 1000000.0 / c AS atr
+    FROM roll
+    """,
+    category="finance",
+)
+def fin_atr_14(spark, sf_dir):
+    """14-day Average True Range per instrument on the daily bars:
+    TR = max(high-low, |high-prev_close|, |low-prev_close|) (first bar
+    falls back to high-low). TR micro-quantizes to an exact integer,
+    the rolling sum runs in decimal(38,0) over a 14-row frame, and ATR
+    renders with one fixed int->double division — no float round, so
+    the cells are bit-identical at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    bars = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pc = F.coalesce(F.lag("close").over(w), F.col("close"))
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - pc),
+        F.abs(F.col("low") - pc),
+    )
+    t = bars.select(
+        "user_id",
+        "day",
+        F.round(tr * 1000000.0).cast("long").alias("tr_micro"),
+    )
+    f = w.rowsBetween(-13, 0)
+    return t.select(
+        "user_id",
+        "day",
+        "tr_micro",
+        (
+            F.sum(F.col("tr_micro").cast("decimal(38,0)")).over(f).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1)).over(f)
+        ).alias("atr"),
+    )
+
+
+@register(
+    "fin_obv",
+    oracle=f"""
+    WITH bars AS ({_DUCK_BARS}),
+    d AS (
+      SELECT user_id, day, n_ticks,
+             CASE WHEN lag(close) OVER w IS NULL THEN 0
+                  WHEN close > lag(close) OVER w THEN 1
+                  WHEN close < lag(close) OVER w THEN -1
+                  ELSE 0 END AS direction
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id, day,
+           CAST(sum(direction * n_ticks)
+                OVER (PARTITION BY user_id ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+    FROM d
+    """,
+    category="finance",
+)
+def fin_obv(spark, sf_dir):
+    """On-balance volume per instrument on the daily bars: volume
+    (tick count) accumulates with the sign of the close-to-close move.
+    Direction and volume are exact integers, the cumulative sum is an
+    ordered integer window — nothing floats, exact at any scale. The
+    classic accumulation/distribution signal."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    bars = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("close").over(w)
+    direction = (
+        F.when(prev.isNull(), 0)
+        .when(F.col("close") > prev, 1)
+        .when(F.col("close") < prev, -1)
+        .otherwise(0)
+    )
+    d = bars.select(
+        "user_id", "day", (direction * F.col("n_ticks")).alias("flow")
+    )
+    return d.select(
+        "user_id",
+        "day",
+        F.sum("flow")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("obv"),
+    )
+
+
+@register(
+    "fin_stochastic_k",
+    oracle=f"""
+    WITH bars AS ({_DUCK_BARS}),
+    roll AS (
+      SELECT user_id, day, close,
+             min(low) OVER f AS l14,
+             max(high) OVER f AS h14
+      FROM bars
+      WINDOW f AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day,
+           (close - l14) / nullif(h14 - l14, 0) * 100.0 AS k_pct
+    FROM roll
+    """,
+    category="finance",
+)
+def fin_stochastic_k(spark, sf_dir):
+    """Stochastic oscillator %K per instrument: where today's close
+    sits inside the 14-day high-low range. Rolling min/max are
+    order-safe under any shuffle; the quotient is ONE fixed double
+    expression mirrored verbatim (no rounding — identical inputs give
+    identical bits), NULL when the 14-day range is degenerate."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    bars = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+    )
+    f = Window.partitionBy("user_id").orderBy("day").rowsBetween(-13, 0)
+    l14 = F.min("low").over(f)
+    h14 = F.max("high").over(f)
+    return bars.select(
+        "user_id",
+        "day",
+        (
+            (F.col("close") - l14)
+            / F.nullif(h14 - l14, F.lit(0.0))
+            * 100.0
+        ).alias("k_pct"),
+    )
+
+
+@register(
+    "fin_kurtosis_returns",
+    oracle=f"""
+    WITH bars AS ({_DUCK_BARS}),
+    r AS (
+      SELECT user_id,
+             CAST(round(ln(close / lag(close) OVER w) * 1000000.0)
+                  AS BIGINT) AS rq
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    m AS (
+      SELECT user_id, count(rq) AS n,
+             sum(CAST(rq AS HUGEINT)) AS s1,
+             sum(CAST(rq AS HUGEINT) * rq) AS s2,
+             sum(CAST(rq AS HUGEINT) * rq * rq) AS s3,
+             sum(CAST(rq AS HUGEINT) * rq * rq * rq) AS s4
+      FROM r WHERE rq IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_returns,
+           CAST(n AS DOUBLE)
+           * (CAST(s4 AS DOUBLE)
+              - 4.0 * (CAST(s1 AS DOUBLE) / n) * CAST(s3 AS DOUBLE)
+              + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                * CAST(s2 AS DOUBLE)
+              - 3.0 * n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+           / ((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * CAST(s1 AS DOUBLE))
+              * (CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * CAST(s1 AS DOUBLE)))
+           - 3.0 AS kurt_excess
+    FROM m
+    """,
+    category="finance",
+)
+def fin_kurtosis_returns(spark, sf_dir):
+    """Excess kurtosis of daily LOG returns per instrument — the
+    fat-tail risk signal. Log returns (not raw ratios: a 0.01 -> 490
+    close swing gives a 49,000x ratio whose 4th power overflows even
+    decimal(38,0)/HUGEINT; ln bounds it at ~11) micro-quantize to
+    exact integers; the four raw moments (Σr..Σr⁴) are exact
+    decimal(38,0) sums (order-independent, r⁴ <= ~1.5e28 per row);
+    kurtosis derives at the very end from ONE fixed double expression
+    over the moments, mirrored token-for-token in the oracle.
+    Unrounded — identical inputs, identical bits."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    bars = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.max_by("value", key).alias("close"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    rq = F.round(
+        F.log(F.col("close") / F.lag("close").over(w)) * 1000000.0
+    ).cast("long")
+    dec = "decimal(38,0)"
+    r = bars.select("user_id", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    m = r.groupBy("user_id").agg(
+        F.count("rq").alias("n"),
+        F.sum(F.col("rq").cast(dec)).alias("s1"),
+        F.sum(F.col("rq").cast(dec) * F.col("rq")).alias("s2"),
+        F.sum(F.col("rq").cast(dec) * F.col("rq") * F.col("rq")).alias("s3"),
+        F.sum(
+            F.col("rq").cast(dec) * F.col("rq") * F.col("rq") * F.col("rq")
+        ).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3d, s4d = F.col("s3").cast("double"), F.col("s4").cast("double")
+    mean = s1d / F.col("n")
+    m4 = (
+        s4d
+        - 4.0 * mean * s3d
+        + 6.0 * mean * mean * s2d
+        - 3.0 * F.col("n") * mean * mean * mean * mean
+    )
+    m2 = s2d - mean * s1d
+    return m.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_returns"),
+        (nd * m4 / (m2 * m2) - 3.0).alias("kurt_excess"),
+    )

@@ -592,3 +592,144 @@ def join_point_in_time_scd2(spark, sf_dir):
         "n_events",
         "value_sum",
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH ranked AS (
+      SELECT o.o_orderkey, o.asof_ts, e.event_id, e.value, e.ts,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM (SELECT *, o_orderdate + INTERVAL 10600 DAY AS asof_ts FROM orders) o
+      LEFT JOIN events e
+        ON e.user_id = o.o_custkey AND e.ts <= o.asof_ts
+    )
+    SELECT o_orderkey,
+           CASE WHEN ts >= asof_ts - INTERVAL 2 DAY THEN event_id END
+             AS last_event_id,
+           round(CASE WHEN ts >= asof_ts - INTERVAL 2 DAY THEN value END, 6)
+             AS last_value,
+           coalesce(ts >= asof_ts - INTERVAL 2 DAY, FALSE) AS fresh
+    FROM ranked WHERE rn = 1
+    """,
+    category="joins",
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a STALENESS TOLERANCE — the production variant
+    of join_asof: the latest event at or before the as-of time only
+    counts if it is at most 2 days old; older matches null out and the
+    row is flagged stale. (A plain as-of join happily attaches a
+    quote from last year; a tolerance bound is how real market-data /
+    feature-store lookups are specified.) Same union+window composite
+    as join_asof; the tolerance is a post-predicate on the matched
+    timestamp, so the plan is unchanged."""
+    from bigdata_financial_reporting_spark.operators.asof import asof_join
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "asof_ts", F.col("o_orderdate") + F.expr("INTERVAL 10600 DAYS")
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        left=o.select(
+            "o_orderkey", F.col("o_custkey").alias("user_id"), "asof_ts"
+        ),
+        right=e,
+        on="user_id",
+        left_ts="asof_ts",
+        right_ts="ts",
+        right_cols=["event_id", "value", "ts"],
+        right_id="event_id",
+    )
+    fresh = F.col("ts") >= F.col("asof_ts") - F.expr("INTERVAL 2 DAYS")
+    return joined.select(
+        "o_orderkey",
+        F.when(fresh, F.col("event_id")).alias("last_event_id"),
+        F.round(F.when(fresh, F.col("value")), 6).alias("last_value"),
+        F.coalesce(fresh, F.lit(False)).alias("fresh"),
+    )
+
+
+@register(
+    "join_dim_snowflake",
+    oracle="""
+    SELECT r_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    category="joins",
+)
+def join_dim_snowflake(spark, sf_dir):
+    """Snowflake-schema rollup: fact -> customer -> nation -> region,
+    three dimension hops. customer joins by shuffle (it is fact-sized
+    at warehouse scale); nation and region broadcast (25 / 5 rows
+    forever). Revenue sums exact integer cents in decimal(38,0) with
+    one final int->double conversion — the tpch_q1 discipline."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(cents.cast("decimal(38,0)")).cast("double") / 100.0
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_exists_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    category="joins",
+)
+def join_exists_agg(spark, sf_dir):
+    """EXISTS + NOT EXISTS against the same fact (orders with a bulk
+    line and no returned line) — the Q21 shape in miniature: the
+    predicates compile to one LEFT SEMI and one LEFT ANTI join, both
+    key-wise hash joins on l_orderkey with the filters pushed below
+    the join (only qualifying lineitem rows shuffle). Revenue in
+    exact integer cents."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bulk = li.filter(F.col("l_quantity") >= 45).select("l_orderkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.join(bulk, o.o_orderkey == bulk.l_orderkey, "left_semi")
+        .join(returned, o.o_orderkey == returned.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(cents.cast("decimal(38,0)")).cast("double") / 100.0
+            ).alias("revenue"),
+        )
+    )

@@ -702,3 +702,50 @@ def ops_snapshot_expiry(spark, sf_dir):
     return spark.createDataFrame(
         rows, "version int, expired boolean, n_rows long"
     )
+
+
+@register(
+    "ops_compaction_bins",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             count(*) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT month, n_rows,
+             sum(n_rows) OVER (ORDER BY month
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM m
+    )
+    SELECT month, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST((run - n_rows) // 2000 AS BIGINT) AS bin_id
+    FROM r
+    """,
+    category="ops",
+)
+def ops_compaction_bins(spark, sf_dir):
+    """Small-file compaction PLANNING: pack the per-month partitions
+    of orders into sequential target-size bins (~2000 rows each) —
+    the plan a compaction job executes with one write per bin. The
+    classic contiguous bin-packing identity: a partition's bin is
+    floor(rows_before_it / target), from one running sum over the
+    (tiny) per-partition stats — computed with the range-partitioned
+    ``global_running_sum``, so even a million-partition table plans
+    without a single-task sort. Pure integer arithmetic."""
+    from bigdata_financial_reporting_spark.operators.global_window import (
+        global_running_sum,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    r = global_running_sum(m, ["month"], ["n_rows"])
+    return r.select(
+        "month",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.expr("(run_n_rows - n_rows) div 2000").cast("long").alias("bin_id"),
+    )

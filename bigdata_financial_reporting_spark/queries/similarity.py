@@ -1063,3 +1063,376 @@ def emb_pca_power_iteration(spark, sf_dir):
         F.round(F.col("v1").cast("double") / F.lit(1e12), 6).alias("v1_s"),
         F.round(F.col("v2") / F.lit(1e30), 6).alias("v2_s"),
     )
+
+
+#: shared DuckDB fragment: embeddings micro-quantized to exact BIGINT
+_DUCK_XQ = (
+    "list_transform(embedding, x -> "
+    "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+)
+
+
+@register(
+    "emb_kmeans_lloyd_step",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_DUCK_XQ} AS xq FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, xq AS cq FROM v WHERE vec_id < 8),
+    d AS (
+      SELECT v.vec_id, c.cid,
+             list_aggregate(list_transform(generate_series(1, 64),
+               i -> (v.xq[i] - c.cq[i]) * (v.xq[i] - c.cq[i])), 'sum')
+               AS dist2
+      FROM v, c
+    ),
+    a AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cid) AS rn
+      FROM d
+    ),
+    asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+    pos AS (
+      SELECT asg.cid AS cluster,
+             unnest(generate_series(1, 64)) AS i,
+             unnest(v.xq) AS x
+      FROM asg JOIN v USING (vec_id)
+    ),
+    g AS (
+      SELECT cluster, i - 1 AS pos,
+             sum(CAST(x AS HUGEINT)) AS s, count(*) AS n
+      FROM pos GROUP BY 1, 2
+    )
+    SELECT cluster, pos,
+           CAST(CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+                     ELSE (2 * s + n) // (2 * n) END AS BIGINT)
+             AS centroid_u,
+           CAST(n AS BIGINT) AS n_members
+    FROM g
+    """,
+    category="similarity",
+)
+def emb_kmeans_lloyd_step(spark, sf_dir):
+    """One Lloyd (k-means) iteration, distributed and EXACT: assign
+    every vector to the nearest of k=8 seed centroids (the first 8
+    vectors — deterministic seeding), then recompute centroids as
+    per-cluster means. All distance arithmetic runs on micro-quantized
+    integer components (zip_with + integer fold — |xq| ~ 1e6 keeps the
+    64-term squared sums far inside int64), ties break on the lowest
+    centroid id, and the new centroids render as exact integer
+    micro-units via half-away division — no float anywhere, so the
+    step is bit-reproducible at any scale. The corpus scans once; the
+    shuffle carries (cluster, pos, partial) rows only. Full k-means =
+    this step iterated from the emitted centroids."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("xq"),
+    )
+    seeds = sorted(
+        (r["vec_id"], r["xq"]) for r in emb.filter(F.col("vec_id") < 8).collect()
+    )
+    zero = F.lit(0).cast("long")
+
+    def dist2_to(cent):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in cent])
+        return F.aggregate(
+            F.zip_with(F.col("xq"), arr, lambda a, b: (a - b) * (a - b)),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    choices = F.array(
+        *[
+            F.struct(dist2_to(cq).alias("d"), F.lit(int(cid)).alias("c"))
+            for cid, cq in seeds
+        ]
+    )
+    assigned = emb.withColumn("cluster", F.array_min(choices)["c"])
+    g = (
+        assigned.select("cluster", F.posexplode("xq").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    from bigdata_financial_reporting_spark.functions.exact import (
+        spark_half_div,
+    )
+
+    return g.select(
+        "cluster",
+        "pos",
+        F.expr(spark_half_div("s", "n")).cast("long").alias("centroid_u"),
+        F.col("n").cast("long").alias("n_members"),
+    )
+
+
+@register(
+    "emb_label_margin",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, {_DUCK_XQ} AS xq FROM embeddings
+    ),
+    cp AS (
+      SELECT label, i - 1 AS pos,
+             sum(CAST(x AS HUGEINT)) AS s, count(*) AS n
+      FROM (SELECT label,
+                   unnest(generate_series(1, 64)) AS i,
+                   unnest(xq) AS x
+            FROM v)
+      GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT label,
+             list(CAST(CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+                            ELSE (2 * s + n) // (2 * n) END AS BIGINT)
+                  ORDER BY pos) AS cq
+      FROM cp GROUP BY label
+    ),
+    d AS (
+      SELECT v.vec_id, v.label, cent.label AS clabel,
+             list_aggregate(list_transform(generate_series(1, 64),
+               i -> (v.xq[i] - cent.cq[i]) * (v.xq[i] - cent.cq[i])),
+               'sum') AS dist2
+      FROM v, cent
+    ),
+    own AS (
+      SELECT vec_id, label, dist2 AS d_own FROM d WHERE label = clabel
+    ),
+    other AS (
+      SELECT vec_id, clabel, dist2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, clabel) AS rn
+      FROM d WHERE label <> clabel
+    )
+    SELECT o.vec_id, o.label,
+           t.clabel AS nearest_other_label,
+           CAST(t.dist2 - o.d_own AS BIGINT) AS margin_sq
+    FROM own o JOIN other t ON o.vec_id = t.vec_id AND t.rn = 1
+    """,
+    category="similarity",
+)
+def emb_label_margin(spark, sf_dir):
+    """Per-vector label margin — the embedding-quality audit: squared
+    distance to the vector's OWN label centroid minus distance to the
+    NEAREST other label's centroid (positive margin = correctly
+    clustered, negative = the vector sits closer to a foreign class).
+    Centroids come from exact integer micro-sums rendered with
+    half-away division (10 labels x 64 dims — bounded training state,
+    collected once and re-broadcast as literals); every distance is
+    pure integer arithmetic with lowest-label tie-break. Flags the
+    mislabeled / boundary vectors a curation pass should re-examine."""
+    from bigdata_financial_reporting_spark.functions.exact import py_half_div
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("xq"),
+    )
+    cp = (
+        emb.select("label", F.posexplode("xq").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    cents: dict[int, list[int]] = {}
+    for r in cp:
+        cents.setdefault(int(r["label"]), [0] * 64)[int(r["pos"])] = py_half_div(
+            int(r["s"]), int(r["n"])
+        )
+    zero = F.lit(0).cast("long")
+
+    def dist2_to(cq):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in cq])
+        return F.aggregate(
+            F.zip_with(F.col("xq"), arr, lambda a, b: (a - b) * (a - b)),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(F.lit(int(lbl)).alias("clabel"), dist2_to(cq).alias("d"))
+            for lbl, cq in sorted(cents.items())
+        ]
+    )
+    d_own = F.element_at(
+        F.filter(dists, lambda s: s["clabel"] == F.col("label")), 1
+    )["d"]
+    best_other = F.array_min(
+        F.transform(
+            F.filter(dists, lambda s: s["clabel"] != F.col("label")),
+            lambda s: F.struct(s["d"].alias("d"), s["clabel"].alias("clabel")),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        best_other["clabel"].alias("nearest_other_label"),
+        (best_other["d"] - d_own).cast("long").alias("margin_sq"),
+    )
+
+
+@register(
+    "sim_knn_graph_mutual",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_DUCK_XQ} AS xq FROM embeddings WHERE vec_id < 100
+    ),
+    d AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_aggregate(list_transform(generate_series(1, 64),
+               i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i])), 'sum')
+               AS dist2
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst, dist2,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dist2, dst) AS rn
+      FROM d
+    ),
+    k5 AS (SELECT src, dst, dist2 FROM knn WHERE rn <= 5)
+    SELECT a.src, a.dst, CAST(a.dist2 AS BIGINT) AS dist2
+    FROM k5 a JOIN k5 b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.src < a.dst
+    """,
+    category="similarity",
+)
+def sim_knn_graph_mutual(spark, sf_dir):
+    """Mutual k-NN graph on a bounded vector slice: an edge survives
+    only when each endpoint ranks the other inside its own top-5 —
+    the symmetric filter that turns a noisy k-NN digraph into the
+    graph clustering/dedup actually uses (one-sided neighbors of hub
+    vectors drop out). Distances are exact integer micro-arithmetic
+    with (dist, id) tie-break; the pairwise stage broadcasts the
+    100-row slice (never a shuffled cartesian), and the mutual check
+    is a self-join of the k-edge list on reversed endpoints."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+            ).alias("xq"),
+        )
+    )
+    a = emb.select(
+        F.col("vec_id").alias("src"), F.col("xq").alias("xa")
+    )
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("xq").alias("xb"))
+    zero = F.lit(0).cast("long")
+    dist2 = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda p, q: (p - q) * (p - q)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    d = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
+        "src", "dst", dist2.alias("dist2")
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy("dist2", "dst")
+    )
+    k5 = d.withColumn("rn", rn).filter(F.col("rn") <= 5).select(
+        "src", "dst", "dist2"
+    )
+    rev = k5.select(
+        F.col("src").alias("r_dst"), F.col("dst").alias("r_src")
+    )
+    return (
+        k5.join(
+            rev,
+            (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.col("dist2").cast("long").alias("dist2"))
+    )
+
+
+@register(
+    "emb_dims_variance_topk",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xq
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    p AS (
+      SELECT pos, sum(xq * xq) AS sxx, sum(xq) AS sx, count(*) AS n
+      FROM x GROUP BY pos
+    ),
+    q AS (
+      SELECT pos, n, sxx * n - sx * sx AS num,
+             CAST(n AS HUGEINT) * (n - 1) * 1000000 AS den
+      FROM p
+    ),
+    r AS (
+      SELECT pos, n,
+             CAST(CASE WHEN num < 0 THEN -((2 * (-num) + den) // (2 * den))
+                       ELSE (2 * num + den) // (2 * den) END AS BIGINT)
+               AS var_u,
+             row_number() OVER (ORDER BY num DESC, pos) AS rank
+      FROM q
+    )
+    SELECT CAST(rank AS INT) AS rank, pos, var_u, CAST(n AS BIGINT) AS n
+    FROM r WHERE rank <= 10
+    """,
+    category="similarity",
+)
+def emb_dims_variance_topk(spark, sf_dir):
+    """Top-10 highest-variance embedding dimensions — the feature-
+    selection / whitening-diagnostics cut over the exact Gram moments
+    (shared _exact_gram_moments pass, diagonal only): variance
+    numerators n*Σx² - (Σx)² are exact decimal(38,0) integers, the
+    ranking compares INTEGERS (no float ordering), and the rendered
+    variance uses the covariance-diagonal micro-unit half-away
+    rendering. The top-k window runs over 64 rows."""
+    merged = _exact_gram_moments(spark, sf_dir).filter(
+        F.col("i") == F.col("j")
+    )
+    # on the diagonal the cross-moment sxy IS the squared-sum Σx²
+    num = F.col("sxy") * F.col("n") - F.col("sx") * F.col("sx")
+    den = (
+        F.col("n").cast("decimal(38,0)")
+        * (F.col("n") - F.lit(1))
+        * F.lit(1000000)
+    )
+    from pyspark.sql import Window as W
+
+    q = merged.select(
+        F.col("i").alias("pos"),
+        "n",
+        num.alias("num"),
+        den.alias("den"),
+    )
+    rn = F.row_number().over(W.orderBy(F.col("num").desc(), F.col("pos")))
+    from bigdata_financial_reporting_spark.functions.exact import (
+        spark_half_div,
+    )
+
+    return (
+        q.withColumn("rank", rn)
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "pos",
+            F.expr(spark_half_div("num", "den")).cast("long").alias("var_u"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

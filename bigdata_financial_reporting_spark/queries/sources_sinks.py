@@ -567,3 +567,43 @@ def src_compressed_roundtrip(spark, sf_dir):
         .select("codec", "n", "size_sum")
     )
     return z.unionAll(g)
+
+
+@register(
+    "src_binaryfile_scan",
+    oracle="""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file_name,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 20
+    """,
+    category="sources",
+)
+def src_binaryfile_scan(spark, sf_dir):
+    """The `binaryFile` source — Spark's whole-file reader for opaque
+    payloads (images, audio, PDFs): each file becomes one row of
+    (path, modificationTime, length, content BINARY). Twenty fixture
+    documents stage as .txt files, the directory scans through the
+    binaryFile format, and the row set must reproduce each file's
+    byte length and content MD5 exactly — pinning that content
+    round-trips byte-identically. At 100 TB this is the ingest path
+    for the multimodal family (operators/multimodal.py), which
+    consumes exactly this (path, content) shape."""
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    rows = d.select("doc_id", "text").collect()  # bounded: 20 docs
+    stage = os.path.join(
+        tempfile.gettempdir(), "bdfr_scratch", "binaryfile_stage"
+    )
+    os.makedirs(stage, exist_ok=True)
+    for r in rows:
+        with open(os.path.join(stage, f"doc_{r['doc_id']}.txt"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    scanned = spark.read.format("binaryFile").load(stage)
+    return scanned.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

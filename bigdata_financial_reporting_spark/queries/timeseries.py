@@ -701,3 +701,36 @@ def ts_seasonal_decompose(spark, sf_dir):
             ).alias("residual"),
         )
     )
+
+
+@register(
+    "ts_value_histogram2d",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+             CAST(least(9, CAST(floor(value / 50.0) AS BIGINT)) AS INT)
+               AS value_band
+      FROM events
+    )
+    SELECT hour_of_day, value_band, count(*) AS n
+    FROM b GROUP BY hour_of_day, value_band
+    """,
+    category="timeseries",
+)
+def ts_value_histogram2d(spark, sf_dir):
+    """2-D histogram (hour-of-day x value band) — the density heatmap
+    behind every ops dashboard. Bands are fixed-width integer buckets
+    (floor(value/50), capped at band 9), so the whole query is one
+    exact-integer groupBy with map-side combine; the shuffle carries
+    at most 24x10 cells regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.hour("ts").alias("hour_of_day"),
+            F.least(
+                F.lit(9), F.floor(F.col("value") / 50.0)
+            ).cast("int").alias("value_band"),
+        )
+        .groupBy("hour_of_day", "value_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

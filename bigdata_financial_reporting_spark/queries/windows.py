@@ -463,3 +463,126 @@ def window_hampel_outliers(spark, sf_dir):
             "is_outlier"
         ),
     )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM lineitem
+    WHERE l_orderkey < 500
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    """,
+    category="windows",
+)
+def window_percent_rank_cume(spark, sf_dir):
+    """Relative-position window functions: percent_rank ((rank-1)/
+    (n-1)) and cume_dist (rows_at_or_below/n) of each line's quantity
+    within its return-flag class. Both are quotients of exact
+    integers computed by the SAME formula in both engines, emitted
+    UNROUNDED — identical integer inputs give bit-identical doubles,
+    and rounding a rational quotient would reintroduce the exact-half
+    divergence (functions/exact.py)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 500
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "window_nth_value_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           nth_value(value, 3) OVER w AS third_v,
+           last_value(value) OVER w AS last_v,
+           value
+    FROM events
+    WHERE user_id < 40
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    category="windows",
+)
+def window_nth_value_frames(spark, sf_dir):
+    """first/nth/last value over the FULL-partition frame — the frame
+    most people get wrong (the default frame stops at CURRENT ROW, so
+    last_value degenerates to the current value; the explicit
+    UNBOUNDED FOLLOWING bound is the fix, identical in both engines).
+    Values pass through untouched (no arithmetic, no rounding);
+    ordering is pinned by (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.nth_value("value", 3).over(w).alias("third_v"),
+        F.last("value").over(w).alias("last_v"),
+        "value",
+    )
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, ts::DATE AS day FROM events
+    ),
+    numbered AS (
+      SELECT user_id, day,
+             CAST(day - DATE '2024-01-01' AS INT)
+             - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS island_key
+      FROM days
+    )
+    SELECT user_id,
+           strftime(min(day), '%Y-%m-%d') AS start_day,
+           strftime(max(day), '%Y-%m-%d') AS end_day,
+           count(*) AS n_days
+    FROM numbered
+    GROUP BY user_id, island_key
+    """,
+    category="windows",
+)
+def window_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands over activity DAYS: maximal runs of
+    consecutive active days per user (the streak/retention primitive).
+    The classic trick — day_number minus row_number is constant
+    exactly within a consecutive run — needs only one per-user window
+    over the DISTINCT (user, day) pairs (corpus-size-independent:
+    at most users x days rows), then a keyed aggregation. Everything
+    is exact integer/date arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    numbered = days.withColumn(
+        "island_key",
+        F.datediff("day", F.lit("2024-01-01")) - F.row_number().over(w),
+    )
+    return (
+        numbered.groupBy("user_id", "island_key")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("start_day"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("island_key")
+        .select("user_id", "start_day", "end_day", "n_days")
+    )
