@@ -59,6 +59,10 @@ HEADLINE = [
     "tpch_q6_shape",              # pure scan: all predicates pushed
     "tpch_q18_shape",             # semi join on pre-aggregated keys
     "text_bpe_merge_step",        # vocabulary-bounded pair counting
+    # round-7 additions (first benched r7 — no prior-round baseline)
+    "quality_gopher_rules",       # integer-only per-doc quality filter
+    "emb_kmeans_lloyd_step",      # exact-integer distributed Lloyd step
+    "join_dim_snowflake",         # 3-hop dim chain, exact-cents rollup
 ]
 
 

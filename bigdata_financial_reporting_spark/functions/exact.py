@@ -79,6 +79,41 @@ def duck_half_div(num_sql: str, den_sql: str) -> str:
     )
 
 
+def spark_dec2d(expr_sql: str) -> str:
+    """Spark-SQL fragment: decimal->double conversion that is
+    bit-MIRRORED by :func:`duck_dec2d`.
+
+    Why: a plain ``CAST(huge_int AS DOUBLE)`` is NOT the same operation
+    on both engines once |x| exceeds 2^53 — Spark goes through
+    BigDecimal (correctly rounded) while DuckDB's HUGEINT cast computes
+    ``upper * 2^64 + lower`` in double arithmetic (double-rounded), and
+    the two differ by an ulp on ~1e-3 of values (round-7 finding: 2 of
+    15000 fin_kurtosis_returns groups flipped at the 10x corpus; the
+    same class sits latent under every stats key casting big moment
+    sums). The fix decomposes |x| = a*1e15 + b with BOTH limbs <= 2^53
+    (each limb cast is exact), then rebuilds with the same two IEEE
+    ops on both engines — identical sequence, identical bits.
+    Valid for |x| < 9.2e33 (the limb quotient must fit a LongType)."""
+    x = f"({expr_sql})"
+    a = f"cast((abs({x}) div 1000000000000000) as double)"
+    b = f"cast((abs({x}) % 1000000000000000) as double)"
+    return (
+        f"(case when {x} < 0 then -({a} * 1e15 + {b})"
+        f" else ({a} * 1e15 + {b}) end)"
+    )
+
+
+def duck_dec2d(expr_sql: str) -> str:
+    """DuckDB mirror of :func:`spark_dec2d`."""
+    x = f"({expr_sql})"
+    a = f"CAST((abs({x}) // 1000000000000000) AS DOUBLE)"
+    b = f"CAST((abs({x}) % 1000000000000000) AS DOUBLE)"
+    return (
+        f"(CASE WHEN {x} < 0 THEN -({a} * 1e15 + {b})"
+        f" ELSE ({a} * 1e15 + {b}) END)"
+    )
+
+
 def py_half_div(num: int, den: int) -> int:
     """Python mirror of :func:`spark_half_div` (arbitrary-precision
     ints; ``den`` must be positive)."""

@@ -15,6 +15,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from bigdata_financial_reporting_spark.functions.exact import (
+    duck_dec2d,
+    spark_dec2d,
+)
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 
@@ -2294,13 +2298,20 @@ def tpch_q22_shape(spark, sf_dir):
              sum(rx2) AS sx, sum(ry2) AS sy, sum(rx2 * ry2) AS sxy,
              sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy
       FROM r GROUP BY grp
+    ),
+    q AS (
+      SELECT grp, n,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS dx,
+             n * syy - sy * sy AS dy
+      FROM s
     )
     SELECT grp, n,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0 AS rho
-    FROM s
-    """,
+           round({nd} / sqrt({dxd} * {dyd}), 6) + 0 AS rho
+    FROM q
+    """.format(
+        nd=duck_dec2d("num"), dxd=duck_dec2d("dx"), dyd=duck_dec2d("dy")
+    ),
     category="aggregates",
 )
 def stat_spearman_corr(spark, sf_dir):
@@ -2353,11 +2364,23 @@ def stat_spearman_corr(spark, sf_dir):
         F.sum(F.col("ry2").cast(dec) * F.col("ry2")).alias("syy"),
     )
     nD = F.col("n").cast(dec)
-    num = (nD * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dx = (nD * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    dy = (nD * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    return s.select(
-        "grp", "n", F.round(num / F.sqrt(dx * dy), 6).alias("rho")
+    # the >2^53 decimal moments convert to double via the MIRRORED
+    # two-limb decomposition (spark_dec2d/duck_dec2d): a plain CAST is
+    # correctly rounded in Spark but double-rounded in DuckDB's
+    # HUGEINT path, and the ulp difference flips rounded cells at
+    # scale (the round-7 fin_kurtosis_returns 10x finding)
+    q = s.select(
+        "grp",
+        "n",
+        (nD * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (nD * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+        (nD * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+    )
+    num_d = F.expr(spark_dec2d("num"))
+    dx_d = F.expr(spark_dec2d("dx"))
+    dy_d = F.expr(spark_dec2d("dy"))
+    return q.select(
+        "grp", "n", F.round(num_d / F.sqrt(dx_d * dy_d), 6).alias("rho")
     )
 
 
@@ -2483,18 +2506,20 @@ def stat_mann_whitney_u(spark, sf_dir):
     ),
     terms AS (
       SELECT count(*) AS k, sum(n) AS nt, sum(s) AS st,
-             list_aggregate(list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+             list_aggregate(list({sd} * {sd} / n
                                  ORDER BY grp), 'sum') AS bsum,
-             list_aggregate(list(CAST(qq AS DOUBLE) ORDER BY grp), 'sum')
+             list_aggregate(list({qqd} ORDER BY grp), 'sum')
                AS qsum
       FROM g
     )
     SELECT CAST(k AS INT) AS k, CAST(nt AS BIGINT) AS nt,
-           round(((bsum - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+           round(((bsum - {std} * {std} / nt)
                   / (k - 1))
                  / ((qsum - bsum) / (nt - k)) / 1.0, 6) AS f_stat
     FROM terms
-    """,
+    """.format(
+        sd=duck_dec2d("s"), qqd=duck_dec2d("qq"), std=duck_dec2d("st")
+    ),
     category="aggregates",
 )
 def stat_anova_f(spark, sf_dir):
@@ -2533,8 +2558,8 @@ def stat_anova_f(spark, sf_dir):
                         F.struct(
                             "grp",
                             (
-                                F.col("s").cast("double")
-                                * F.col("s").cast("double")
+                                F.expr(spark_dec2d("s"))
+                                * F.expr(spark_dec2d("s"))
                                 / F.col("n")
                             ).alias("b"),
                         )
@@ -2549,7 +2574,7 @@ def stat_anova_f(spark, sf_dir):
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.struct("grp", F.col("qq").cast("double").alias("qd"))
+                        F.struct("grp", F.expr(spark_dec2d("qq")).alias("qd"))
                     )
                 ),
                 lambda x: x["qd"],
@@ -2558,7 +2583,8 @@ def stat_anova_f(spark, sf_dir):
             lambda acc, x: acc + x,
         ).alias("qsum"),
     )
-    std = F.col("st").cast("double")
+    # mirrored >2^53 decimal->double conversions (see stat_spearman)
+    std = F.expr(spark_dec2d("st"))
     ntd = F.col("nt").cast("double")
     f = (
         (F.col("bsum") - std * std / F.col("nt"))
@@ -2596,7 +2622,7 @@ def stat_anova_f(spark, sf_dir):
     ),
     terms AS (
       SELECT count(*) AS k, sum(n) AS nt,
-             list_aggregate(list(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+             list_aggregate(list({r2d} * {r2d}
                                  / 4.0 / n ORDER BY grp), 'sum') AS ssum
       FROM g
     )
@@ -2608,7 +2634,7 @@ def stat_anova_f(spark, sf_dir):
                              * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE))), 6)
              + 0 AS h
     FROM terms, ties
-    """,
+    """.format(r2d=duck_dec2d("r2")),
     category="aggregates",
 )
 def stat_kruskal_wallis(spark, sf_dir):
@@ -2656,8 +2682,8 @@ def stat_kruskal_wallis(spark, sf_dir):
                         F.struct(
                             "grp",
                             (
-                                F.col("r2").cast("double")
-                                * F.col("r2").cast("double")
+                                F.expr(spark_dec2d("r2"))
+                                * F.expr(spark_dec2d("r2"))
                                 / 4.0
                                 / F.col("n")
                             ).alias("term"),
@@ -2758,20 +2784,27 @@ def stat_chisq_gof(spark, sf_dir):
     w AS (
       SELECT
         max(CASE WHEN event_type = 'click' THEN n END) AS n1,
-        max(CASE WHEN event_type = 'click' THEN CAST(s AS DOUBLE) END) AS s1,
-        max(CASE WHEN event_type = 'click' THEN CAST(q2 AS DOUBLE) END) AS q1,
+        max(CASE WHEN event_type = 'click' THEN s END) AS s1i,
+        max(CASE WHEN event_type = 'click' THEN q2 END) AS q1i,
         max(CASE WHEN event_type = 'view' THEN n END) AS n2,
-        max(CASE WHEN event_type = 'view' THEN CAST(s AS DOUBLE) END) AS s2,
-        max(CASE WHEN event_type = 'view' THEN CAST(q2 AS DOUBLE) END) AS q2d
+        max(CASE WHEN event_type = 'view' THEN s END) AS s2i,
+        max(CASE WHEN event_type = 'view' THEN q2 END) AS q2i
       FROM g
+    ),
+    wd AS (
+      SELECT n1, n2, {s1} AS s1, {q1} AS q1, {s2} AS s2, {q2} AS q2d
+      FROM w
     )
     SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
            round((s1 / n1 - s2 / n2)
                  / sqrt(((q1 - s1 * s1 / n1) + (q2d - s2 * s2 / n2))
                         / (n1 + n2 - 2)) / 1000000.0 * 1000000.0, 6)
              + 0 AS cohens_d
-    FROM w
-    """,
+    FROM wd
+    """.format(
+        s1=duck_dec2d("s1i"), q1=duck_dec2d("q1i"),
+        s2=duck_dec2d("s2i"), q2=duck_dec2d("q2i"),
+    ),
     category="aggregates",
 )
 def stat_cohens_d(spark, sf_dir):
@@ -2798,11 +2831,19 @@ def stat_cohens_d(spark, sf_dir):
     pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))
     w = g.agg(
         pick("click", "n").alias("n1"),
-        pick("click", "s").cast("double").alias("s1"),
-        pick("click", "q2").cast("double").alias("q1"),
+        pick("click", "s").alias("s1i"),
+        pick("click", "q2").alias("q1i"),
         pick("view", "n").alias("n2"),
-        pick("view", "s").cast("double").alias("s2"),
-        pick("view", "q2").cast("double").alias("q2d"),
+        pick("view", "s").alias("s2i"),
+        pick("view", "q2").alias("q2i"),
+    ).select(
+        "n1",
+        "n2",
+        # mirrored >2^53 decimal->double conversions (see stat_spearman)
+        F.expr(spark_dec2d("s1i")).alias("s1"),
+        F.expr(spark_dec2d("q1i")).alias("q1"),
+        F.expr(spark_dec2d("s2i")).alias("s2"),
+        F.expr(spark_dec2d("q2i")).alias("q2d"),
     )
     n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
     d = (

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from bigdata_financial_reporting_spark.functions.exact import duck_half_div, spark_half_div
+from bigdata_financial_reporting_spark.functions.exact import (
+    duck_dec2d,
+    duck_half_div,
+    spark_dec2d,
+    spark_half_div,
+)
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 
@@ -960,9 +965,14 @@ def fin_stochastic_k(spark, sf_dir):
     oracle=f"""
     WITH bars AS ({_DUCK_BARS}),
     r AS (
+      -- explicit positivity guard: ln(0) RAISES in DuckDB while
+      -- Spark's log() silently NULLs non-positive input — the guard
+      -- makes "no return" identical on both engines
       SELECT user_id,
-             CAST(round(ln(close / lag(close) OVER w) * 1000000.0)
-                  AS BIGINT) AS rq
+             CASE WHEN close > 0 AND lag(close) OVER w > 0
+                  THEN CAST(round(ln(close / lag(close) OVER w)
+                                  * 1000000.0) AS BIGINT)
+             END AS rq
       FROM bars
       WINDOW w AS (PARTITION BY user_id ORDER BY day)
     ),
@@ -973,19 +983,22 @@ def fin_stochastic_k(spark, sf_dir):
              sum(CAST(rq AS HUGEINT) * rq * rq) AS s3,
              sum(CAST(rq AS HUGEINT) * rq * rq * rq) AS s4
       FROM r WHERE rq IS NOT NULL GROUP BY user_id
+    ),
+    d AS (
+      SELECT user_id, n,
+             {duck_dec2d("s1")} AS s1d, {duck_dec2d("s2")} AS s2d,
+             {duck_dec2d("s3")} AS s3d, {duck_dec2d("s4")} AS s4d
+      FROM m
     )
     SELECT user_id, CAST(n AS BIGINT) AS n_returns,
            CAST(n AS DOUBLE)
-           * (CAST(s4 AS DOUBLE)
-              - 4.0 * (CAST(s1 AS DOUBLE) / n) * CAST(s3 AS DOUBLE)
-              + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
-                * CAST(s2 AS DOUBLE)
-              - 3.0 * n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
-                * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-           / ((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * CAST(s1 AS DOUBLE))
-              * (CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * CAST(s1 AS DOUBLE)))
+           * (s4d
+              - 4.0 * (s1d / n) * s3d
+              + 6.0 * (s1d / n) * (s1d / n) * s2d
+              - 3.0 * n * (s1d / n) * (s1d / n) * (s1d / n) * (s1d / n))
+           / ((s2d - (s1d / n) * s1d) * (s2d - (s1d / n) * s1d))
            - 3.0 AS kurt_excess
-    FROM m
+    FROM d
     """,
     category="finance",
 )
@@ -1005,9 +1018,13 @@ def fin_kurtosis_returns(spark, sf_dir):
         "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.max_by("value", key).alias("close"))
     w = Window.partitionBy("user_id").orderBy("day")
-    rq = F.round(
-        F.log(F.col("close") / F.lag("close").over(w)) * 1000000.0
-    ).cast("long")
+    # explicit positivity guard: ln(0) RAISES in DuckDB while Spark's
+    # log() silently NULLs non-positive input — guard both engines
+    prev = F.lag("close").over(w)
+    rq = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        F.round(F.log(F.col("close") / prev) * 1000000.0).cast("long"),
+    )
     dec = "decimal(38,0)"
     r = bars.select("user_id", rq.alias("rq")).filter(F.col("rq").isNotNull())
     m = r.groupBy("user_id").agg(
@@ -1020,8 +1037,12 @@ def fin_kurtosis_returns(spark, sf_dir):
         ).alias("s4"),
     )
     nd = F.col("n").cast("double")
-    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
-    s3d, s4d = F.col("s3").cast("double"), F.col("s4").cast("double")
+    # the >2^53 decimal moments convert to double via the MIRRORED
+    # two-limb decomposition (spark_dec2d/duck_dec2d) — a plain CAST
+    # is correctly rounded in Spark but double-rounded in DuckDB's
+    # HUGEINT path, which flipped 2/15000 groups at the 10x corpus
+    s1d, s2d = F.expr(spark_dec2d("s1")), F.expr(spark_dec2d("s2"))
+    s3d, s4d = F.expr(spark_dec2d("s3")), F.expr(spark_dec2d("s4"))
     mean = s1d / F.col("n")
     m4 = (
         s4d
