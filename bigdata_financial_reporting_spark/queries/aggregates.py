@@ -60,21 +60,29 @@ def agg_global(spark, sf_dir):
              CAST(round(l_tax * 100) AS BIGINT) AS tax_p
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    ),
+    s AS (
+      SELECT l_returnflag, l_linestatus,
+             sum(qty_i) AS sq, sum(price_c) AS sp, sum(disc_p) AS sd,
+             sum(price_c * (100 - disc_p)) AS sdp,
+             sum(price_c * (100 - disc_p) * (100 + tax_p)) AS sc,
+             count(*) AS cnt
+      FROM c
+      GROUP BY l_returnflag, l_linestatus
     )
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(qty_i) AS DOUBLE) AS sum_qty,
-           CAST(sum(price_c) AS DOUBLE) / 100.0 AS sum_base_price,
-           CAST(sum(price_c * (100 - disc_p)) AS DOUBLE) / 10000.0
-             AS sum_disc_price,
-           CAST(sum(price_c * (100 - disc_p) * (100 + tax_p)) AS DOUBLE)
-             / 1000000.0 AS sum_charge,
-           CAST(sum(qty_i) AS DOUBLE) / count(*) AS avg_qty,
-           (CAST(sum(price_c) AS DOUBLE) / 100.0) / count(*) AS avg_price,
-           (CAST(sum(disc_p) AS DOUBLE) / 100.0) / count(*) AS avg_disc,
-           count(*) AS count_order
-    FROM c
-    GROUP BY l_returnflag, l_linestatus
-    """,
+           CAST(sq AS DOUBLE) AS sum_qty,
+           {sp} / 100.0 AS sum_base_price,
+           {sdp} / 10000.0 AS sum_disc_price,
+           {sc} / 1000000.0 AS sum_charge,
+           CAST(sq AS DOUBLE) / cnt AS avg_qty,
+           ({sp} / 100.0) / cnt AS avg_price,
+           (CAST(sd AS DOUBLE) / 100.0) / cnt AS avg_disc,
+           cnt AS count_order
+    FROM s
+    """.format(
+        sp=duck_dec2d("sp"), sdp=duck_dec2d("sdp"), sc=duck_dec2d("sc")
+    ),
     category="aggregates",
 )
 def tpch_q1(spark, sf_dir):
@@ -94,25 +102,36 @@ def tpch_q1(spark, sf_dir):
     disc_p = F.round(F.col("l_discount") * 100).cast("long")
     tax_p = F.round(F.col("l_tax") * 100).cast("long")
     dec = lambda c: c.cast("decimal(38,0)")
-    n = F.count(F.lit(1))
-    return (
+    # the charge/disc-price cent sums exceed 2^53 at the 10x corpus
+    # (1.1e11 max per row), so their double renderings go through the
+    # MIRRORED two-limb conversion (spark_dec2d/duck_dec2d) — a plain
+    # CAST is correctly rounded in Spark but double-rounded in DuckDB
+    s = (
         li.filter(F.col("l_shipdate") <= "2001-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec(qty_i)).cast("double").alias("sum_qty"),
-            (F.sum(dec(price_c)).cast("double") / 100.0).alias("sum_base_price"),
-            (F.sum(dec(price_c * (100 - disc_p))).cast("double") / 10000.0).alias(
-                "sum_disc_price"
-            ),
-            (
-                F.sum(dec(price_c * (100 - disc_p) * (100 + tax_p))).cast("double")
-                / 1000000.0
-            ).alias("sum_charge"),
-            (F.sum(dec(qty_i)).cast("double") / n).alias("avg_qty"),
-            ((F.sum(dec(price_c)).cast("double") / 100.0) / n).alias("avg_price"),
-            ((F.sum(dec(disc_p)).cast("double") / 100.0) / n).alias("avg_disc"),
-            n.alias("count_order"),
+            F.sum(dec(qty_i)).alias("sq"),
+            F.sum(dec(price_c)).alias("sp"),
+            F.sum(dec(disc_p)).alias("sd"),
+            F.sum(dec(price_c * (100 - disc_p))).alias("sdp"),
+            F.sum(dec(price_c * (100 - disc_p) * (100 + tax_p))).alias("sc"),
+            F.count(F.lit(1)).alias("cnt"),
         )
+    )
+    spd = F.expr(spark_dec2d("sp"))
+    sdpd = F.expr(spark_dec2d("sdp"))
+    scd = F.expr(spark_dec2d("sc"))
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        (spd / 100.0).alias("sum_base_price"),
+        (sdpd / 10000.0).alias("sum_disc_price"),
+        (scd / 1000000.0).alias("sum_charge"),
+        (F.col("sq").cast("double") / F.col("cnt")).alias("avg_qty"),
+        ((spd / 100.0) / F.col("cnt")).alias("avg_price"),
+        ((F.col("sd").cast("double") / 100.0) / F.col("cnt")).alias("avg_disc"),
+        F.col("cnt").alias("count_order"),
     )
 
 
@@ -2415,12 +2434,12 @@ def stat_spearman_corr(spark, sf_dir):
                   - CAST(n1 * n2 AS DOUBLE) / 2)
                  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
                         * (CAST(n1 + n2 + 1 AS DOUBLE)
-                           - CAST(tie3 AS DOUBLE)
+                           - {t3}
                              / (CAST(n1 + n2 AS DOUBLE)
                                 * CAST(n1 + n2 - 1 AS DOUBLE)))), 6)
              + 0 AS z
     FROM s, ties
-    """,
+    """.format(t3=duck_dec2d("tie3")),
     category="aggregates",
 )
 def stat_mann_whitney_u(spark, sf_dir):
@@ -2484,7 +2503,7 @@ def stat_mann_whitney_u(spark, sf_dir):
         n1d * n2d / 12.0
         * (
             (F.col("n1") + F.col("n2") + 1).cast("double")
-            - F.col("tie3").cast("double") / (nd * (nd - 1))
+            - F.expr(spark_dec2d("tie3")) / (nd * (nd - 1))
         )
     )
     return s.select(
@@ -2629,12 +2648,12 @@ def stat_anova_f(spark, sf_dir):
     SELECT CAST(k AS INT) AS k, CAST(nt AS BIGINT) AS n,
            round((12.0 / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) + 1.0))
                   * ssum - 3.0 * (CAST(nt AS DOUBLE) + 1.0))
-                 / (1.0 - CAST(tie3 AS DOUBLE)
+                 / (1.0 - {t3}
                           / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
                              * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE))), 6)
              + 0 AS h
     FROM terms, ties
-    """.format(r2d=duck_dec2d("r2")),
+    """.format(r2d=duck_dec2d("r2"), t3=duck_dec2d("tie3")),
     category="aggregates",
 )
 def stat_kruskal_wallis(spark, sf_dir):
@@ -2700,7 +2719,7 @@ def stat_kruskal_wallis(spark, sf_dir):
     h = (
         12.0 / (ntd * (ntd + 1.0)) * F.col("ssum") - 3.0 * (ntd + 1.0)
     ) / (
-        1.0 - F.col("tie3").cast("double") / (ntd * ntd * ntd - ntd)
+        1.0 - F.expr(spark_dec2d("tie3")) / (ntd * ntd * ntd - ntd)
     )
     return terms.crossJoin(F.broadcast(tie3)).select(
         F.col("k").cast("int").alias("k"),

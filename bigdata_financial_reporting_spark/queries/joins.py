@@ -16,6 +16,7 @@ from bigdata_financial_reporting_spark.operators.asof import asof_join
 from bigdata_financial_reporting_spark.queries.ops_tools import (
     DUCK_SCD2_DIM,
 )
+from bigdata_financial_reporting_spark.functions.exact import duck_dec2d, spark_dec2d
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 
@@ -656,16 +657,18 @@ def join_asof_tolerance(spark, sf_dir):
 @register(
     "join_dim_snowflake",
     oracle="""
-    SELECT r_name,
-           count(*) AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
-             / 100.0 AS revenue
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY r_name
-    """,
+    WITH s AS (
+      SELECT r_name,
+             count(*) AS n_orders,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+    )
+    SELECT r_name, n_orders, {c} / 100.0 AS revenue FROM s
+    """.format(c=duck_dec2d("cents")),
     category="joins",
 )
 def join_dim_snowflake(spark, sf_dir):
@@ -686,9 +689,13 @@ def join_dim_snowflake(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (
-                F.sum(cents.cast("decimal(38,0)")).cast("double") / 100.0
-            ).alias("revenue"),
+            F.sum(cents.cast("decimal(38,0)")).alias("__cents"),
+        )
+        .select(
+            "r_name",
+            "n_orders",
+            # mirrored >2^53-safe decimal->double (functions/exact.py)
+            (F.expr(spark_dec2d("__cents")) / 100.0).alias("revenue"),
         )
     )
 
@@ -696,18 +703,20 @@ def join_dim_snowflake(spark, sf_dir):
 @register(
     "join_exists_agg",
     oracle="""
-    SELECT o_orderpriority,
-           count(*) AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
-             / 100.0 AS revenue
-    FROM orders o
-    WHERE EXISTS (SELECT 1 FROM lineitem l
+    WITH s AS (
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
       AND NOT EXISTS (SELECT 1 FROM lineitem l
                       WHERE l.l_orderkey = o.o_orderkey
                         AND l.l_returnflag = 'R')
-    GROUP BY o_orderpriority
-    """,
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders, {c} / 100.0 AS revenue FROM s
+    """.format(c=duck_dec2d("cents")),
     category="joins",
 )
 def join_exists_agg(spark, sf_dir):
@@ -728,8 +737,11 @@ def join_exists_agg(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (
-                F.sum(cents.cast("decimal(38,0)")).cast("double") / 100.0
-            ).alias("revenue"),
+            F.sum(cents.cast("decimal(38,0)")).alias("__cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            (F.expr(spark_dec2d("__cents")) / 100.0).alias("revenue"),
         )
     )
