@@ -62,7 +62,10 @@ def spark_half_div(num_sql: str, den_sql: str) -> str:
     (round 7 probe; the round-6 at-scale reds for fin_vwap /
     rollup_timeseries / udf_pandas_grouped_agg were exactly this).
     Integer half-away division has no float anywhere; integer zero has
-    no sign (the round-5 -0.0 class cannot recur)."""
+    no sign (the round-5 -0.0 class cannot recur). Domain: the rounded
+    QUOTIENT must fit int64 — Spark's decimal ``div`` yields LongType
+    and wraps beyond it with ANSI off (the operands themselves may be
+    full decimal(38,0))."""
     n, d = f"({num_sql})", f"({den_sql})"
     return (
         f"(case when {n} < 0 then -((2 * (-{n}) + {d}) div (2 * {d}))"

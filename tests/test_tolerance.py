@@ -115,3 +115,72 @@ def test_stratified_sample_per_stratum_bounds(spark, sf_dir):
         assert abs(realized - frac) < 0.15, f"{lang}: {realized} vs {frac}"
     # no stratum outside the requested set appears
     assert set(got) <= set(requested)
+
+
+def test_dec2d_mirrors_bitwise_above_2_53(spark, ddb):
+    """Round-7 finding: CAST(decimal/HUGEINT > 2^53 AS DOUBLE) is
+    correctly rounded in Spark but double-rounded in DuckDB — ~1/4000
+    values differ by an ulp. The mirrored two-limb decomposition
+    (functions/exact.spark_dec2d / duck_dec2d) must agree BITWISE on a
+    seeded sample of huge magnitudes, both signs."""
+    import random
+    import struct
+
+    from bigdata_financial_reporting_spark.functions.exact import (
+        duck_dec2d,
+        spark_dec2d,
+    )
+
+    random.seed(11)
+    vals = [
+        random.randrange(10**18, 10**26) * (1 if i % 2 else -1)
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], "s string"
+    ).selectExpr("cast(s as decimal(38,0)) as x")
+    sp = [r[0] for r in df.selectExpr(spark_dec2d("x") + " as d").collect()]
+    mism = 0
+    for v, s_val in zip(vals, sp):
+        d_val = ddb.execute(
+            f"SELECT {duck_dec2d(f'{v}::HUGEINT')}"
+        ).fetchone()[0]
+        if struct.pack("<d", s_val) != struct.pack("<d", d_val):
+            mism += 1
+    assert mism == 0, f"{mism}/800 mirrored conversions diverged"
+
+
+def test_half_div_matches_decimal_rounding(spark, ddb):
+    """spark_half_div / duck_half_div / py_half_div implement
+    round-half-away-from-zero integer division identically — pinned on
+    boundary cases (exact halves, both signs, huge magnitudes)."""
+    from bigdata_financial_reporting_spark.functions.exact import (
+        duck_half_div,
+        py_half_div,
+        spark_half_div,
+    )
+
+    # domain: the rounded quotient must fit int64 (Spark's decimal
+    # `div` yields LongType); operands may be full decimal(38,0)
+    cases = [
+        (1, 2), (-1, 2), (3, 2), (-3, 2), (5, 4), (-5, 4),
+        (10**18 + 1, 2), (-(10**18) - 1, 2), (7, 3), (-7, 3),
+        (0, 5), (10**22 + 7, 10**6),
+    ]
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in cases], "a string, b string"
+    ).selectExpr(
+        "cast(a as decimal(38,0)) as num", "cast(b as decimal(38,0)) as den"
+    )
+    sp = [
+        int(r[0])
+        for r in df.selectExpr(spark_half_div("num", "den") + " as q").collect()
+    ]
+    for (a, b), s_val in zip(cases, sp):
+        d_val = int(
+            ddb.execute(
+                f"SELECT {duck_half_div(f'{a}::HUGEINT', f'{b}::HUGEINT')}"
+            ).fetchone()[0]
+        )
+        p_val = py_half_div(a, b)
+        assert s_val == d_val == p_val, (a, b, s_val, d_val, p_val)
