@@ -2533,8 +2533,10 @@ def mix_domain_rebalance(spark, sf_dir):
       SELECT doc_id,
              len(tok) AS n_words,
              len(list_distinct(tok)) AS n_distinct,
-             list_aggregate(list_transform(tok, w -> length(w)), 'sum')
-               AS n_word_chars
+             -- BIGINT cast: a bare list_aggregate sum comes back
+             -- HUGEINT, which pandas renders as float (dtype parity)
+             CAST(list_aggregate(list_transform(tok, w -> length(w)), 'sum')
+                  AS BIGINT) AS n_word_chars
       FROM t
     )
     SELECT doc_id, n_words, n_distinct, n_word_chars,
@@ -2568,7 +2570,7 @@ def quality_gopher_rules(spark, sf_dir):
             F.transform(tok, lambda w: F.length(w)),
             F.lit(0),
             lambda acc, x: acc + x,
-        ).alias("n_word_chars"),
+        ).cast("long").alias("n_word_chars"),
     )
     w, dw, ch = F.col("n_words"), F.col("n_distinct"), F.col("n_word_chars")
     wordlen_ok = (ch >= 4 * w) & (ch <= 5 * w)
