@@ -379,3 +379,78 @@ def test_url_canonicalization_idempotent_and_order_invariant(spark):
     assert canon[3] == "https://www.ex.com/a/b"
     assert canon[4] == "https://www.ex.com/a/b"
     assert canon[5] == "https://www.ex.com/plain"
+
+
+def test_kmeans_step_assignments_are_optimal_vs_numpy(spark, sf_dir):
+    """The Lloyd-step centroids must reflect NEAREST-seed assignment:
+    recompute assignments brute-force in numpy from the raw embeddings
+    and compare cluster sizes — any argmin or tie-break slip shows up
+    as a size mismatch."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    got = QUERIES["emb_kmeans_lloyd_step"].fn(spark, sf_dir).collect()
+    sizes = {}
+    for r in got:
+        sizes[r["cluster"]] = r["n_members"]
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    X = np.round(np.array(t["embedding"], dtype=np.float64) * 1e6).astype(
+        np.int64
+    )
+    ids = np.array(t["vec_id"])
+    order = np.argsort(ids)
+    X, ids = X[order], ids[order]
+    seeds = X[ids < 8]
+    # nearest seed, ties to the LOWEST centroid id (argmin is first-min)
+    d2 = ((X[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    want = {int(c): int((assign == c).sum()) for c in range(8)}
+    got_sizes = {
+        int(c): int(n) for c, n in sizes.items()
+    }
+    for c in range(8):
+        assert got_sizes.get(c, 0) == want.get(c, 0), (c, got_sizes, want)
+
+
+def test_mutual_knn_graph_is_symmetric_and_mutual(spark, sf_dir):
+    """Every emitted edge must be MUTUAL: recompute each endpoint's
+    exact top-5 brute-force in numpy and verify both directions, and
+    the edge list must carry each undirected pair once (src < dst)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in QUERIES["sim_knn_graph_mutual"].fn(spark, sf_dir).collect()
+    ]
+    assert all(a < b for a, b in edges)
+    assert len(set(edges)) == len(edges)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    keep = ids < 100
+    X = np.round(
+        np.array(t["embedding"], dtype=np.float64)[keep] * 1e6
+    ).astype(np.int64)
+    ids = ids[keep]
+    order = np.argsort(ids)
+    X, ids = X[order], ids[order]
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    knn = {}
+    for i in range(len(ids)):
+        # (dist, id) tie-break, exactly like the operator
+        nbrs = sorted(range(len(ids)), key=lambda j: (d2[i, j], ids[j]))[:5]
+        knn[int(ids[i])] = {int(ids[j]) for j in nbrs}
+    want = {
+        (a, b)
+        for a in knn
+        for b in knn[a]
+        if a < b and a in knn[b]
+    }
+    assert set(edges) == want
