@@ -60,6 +60,29 @@ def forward_fill(
     return out
 
 
+def backward_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Carry the NEXT non-null observation backward per key (the
+    time-series bfill, :func:`forward_fill`'s mirror). Trailing NULLs
+    (no later observation) stay NULL. Same total-order caveat: pass
+    ``order_tiebreak`` when timestamps can collide."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return out
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, key_cols: list[str]
 ) -> DataFrame:

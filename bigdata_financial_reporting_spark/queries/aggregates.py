@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 
 from bigdata_financial_reporting_spark.functions.exact import (
     duck_dec2d,
+    duck_half_div,
     spark_dec2d,
+    spark_half_div,
 )
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
@@ -3060,4 +3062,75 @@ def stat_runs_test(spark, sf_dir):
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
         F.round((F.col("r").cast("double") - mu) / sig, 6).alias("z"),
+    )
+
+
+@register(
+    "agg_kmv_distinct_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag AS grp,
+             (l_partkey * 2654435761) % 4294967296 AS hv
+      FROM lineitem
+    ),
+    r AS (
+      SELECT grp, hv,
+             row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+      FROM h
+    )
+    SELECT grp,
+           count(*) AS n_distinct_true,
+           max(CASE WHEN rn = 64 THEN hv END) AS kth_min_hash,
+           {duck_half_div(
+               "63 * 4294967296", "max(CASE WHEN rn = 64 THEN hv END)"
+           )} AS kmv_estimate
+    FROM r
+    GROUP BY grp
+    """,
+    category="aggregates",
+)
+def agg_kmv_distinct_sketch(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch per group, k=64:
+    keep the k smallest hash values of the key and estimate
+    |distinct| as (k-1) * 2^32 / h_(k).  The sketch is MERGEABLE
+    (union of two groups = k smallest of the combined value sets), so
+    at 100 TB each executor keeps a 64-value heap per group and the
+    shuffle carries 64 rows/group — the same contract as HLL but with
+    an exactly reproducible estimator: the hash is a fixed odd-
+    multiplier mix mod 2^32 (bijective while the key < 2^32, so
+    distinct keys <-> distinct hashes), and the estimate derives via
+    integer half-away division — no floats anywhere.  Spark's
+    rank<=k filter compiles to WindowGroupLimit, which prunes to the
+    k smallest PER MAP PARTITION before the shuffle — the plan is the
+    sketch.  True distinct count emitted alongside for an on-query
+    accuracy audit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            ((F.col("l_partkey") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+                "hv"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .groupBy("grp")
+        .agg(
+            F.max(F.when(F.col("rn") == 64, F.col("hv"))).alias(
+                "kth_min_hash"
+            )
+        )
+    )
+    cnt = h.groupBy("grp").agg(F.count(F.lit(1)).alias("n_distinct_true"))
+    return cnt.join(F.broadcast(sk), "grp").select(
+        "grp",
+        "n_distinct_true",
+        "kth_min_hash",
+        F.expr(spark_half_div("63 * 4294967296", "kth_min_hash")).alias(
+            "kmv_estimate"
+        ),
     )

@@ -383,6 +383,14 @@ DEFER_NEW: frozenset[str] = frozenset(
         "window_gaps_islands",
         "src_binaryfile_scan",
         "ops_compaction_bins",
+        # second round-7 batch (budget check: 16 backlog + 28 + these
+        # 6 = 50 unseen, exactly the ~50-key driver budget)
+        "agg_kmv_distinct_sketch",
+        "ts_backward_fill",
+        "window_running_median",
+        "join_grid_neighbors",
+        "src_partition_pruning_scan",
+        "emb_matryoshka_prefix_topk",
     }
 )
 

@@ -745,3 +745,95 @@ def join_exists_agg(spark, sf_dir):
             (F.expr(spark_dec2d("__cents")) / 100.0).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_grid_neighbors",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 40503) % 1000 AS x,
+             (c_custkey * 69069) % 1000 AS y
+      FROM customer
+      WHERE c_custkey <= 20000
+    ),
+    cells AS (SELECT id, x, y, x // 8 AS cx, y // 8 AS cy FROM p),
+    probe AS (
+      SELECT c.id, c.x, c.y, c.cx + o.dx AS ncx, c.cy + o.dy AS ncy
+      FROM cells c
+      CROSS JOIN (VALUES (-1, -1), (-1, 0), (-1, 1),
+                         (0, -1), (0, 0), (0, 1),
+                         (1, -1), (1, 0), (1, 1)) o(dx, dy)
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM probe a JOIN cells b ON a.ncx = b.cx AND a.ncy = b.cy
+    WHERE a.id < b.id
+      AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 64
+    """,
+    category="joins",
+)
+def join_grid_neighbors(spark, sf_dir):
+    """Grid-blocked radius self-join (the spatial/geo join pattern):
+    points on a 1000x1000 integer grid (deterministically synthesized
+    from the customer key), all pairs within Euclidean distance 8.
+    The naive form is an O(n^2) cross join — fatal at 100 TB.  The
+    blocked plan buckets each point into an 8x8 cell, explodes ONE
+    side into its 3x3 cell neighborhood (cell size >= radius makes
+    candidates provably complete: |dx|<=8 can cross at most one cell
+    boundary), and equi-joins on the cell key — a plain shuffle join
+    whose candidate count is density-bounded, not corpus-bounded.
+    Each qualifying pair is emitted exactly once (the single (dx,dy)
+    that maps a's cell onto b's).  All-integer arithmetic; the exact
+    dist^2 filter runs post-join on candidates only.  The point set
+    is capped at 20k keys: the FIXTURE reuses one fixed 1000x1000
+    grid at every scale factor, so an uncapped set densifies
+    quadratically — a real geo corpus grows its extent with its size
+    and keeps per-cell density flat, which is what the cap emulates."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 20000
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 40503) % 1000).alias("x"),
+        ((F.col("c_custkey") * 69069) % 1000).alias("y"),
+    ).withColumns(
+        {
+            "cx": F.floor(F.col("x") / 8),
+            "cy": F.floor(F.col("y") / 8),
+        }
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = pts.select(
+        "id", "x", "y", "cx", "cy", F.explode(offsets).alias("o")
+    ).select(
+        F.col("id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    )
+    b = pts.select(
+        F.col("id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx",
+        "cy",
+    )
+    dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        probe.join(
+            b,
+            (probe.ncx == b.cx) & (probe.ncy == b.cy),
+        )
+        .filter((F.col("a_id") < F.col("b_id")) & (dist2 <= 64))
+        .select("a_id", "b_id", dist2.alias("dist2"))
+    )

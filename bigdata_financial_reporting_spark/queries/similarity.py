@@ -1436,3 +1436,106 @@ def emb_dims_variance_topk(spark, sf_dir):
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+@register(
+    "emb_matryoshka_prefix_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_DUCK_XQ} AS xq FROM embeddings),
+    q AS (SELECT vec_id AS query_id, xq AS qv FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_aggregate(list_transform(generate_series(1, 64),
+               i -> q.qv[i] * v.xq[i]), 'sum') AS dot_full,
+             list_aggregate(list_transform(generate_series(1, 16),
+               i -> q.qv[i] * v.xq[i]), 'sum') AS dot_prefix
+      FROM v CROSS JOIN q
+      WHERE v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_full DESC, neighbor_id) AS rf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_prefix DESC, neighbor_id) AS rp
+      FROM scored
+    )
+    SELECT query_id,
+           count(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 END)
+             AS n_overlap_at_10,
+           max(CASE WHEN rp = 1 THEN neighbor_id END) AS prefix_top1
+    FROM ranked
+    GROUP BY query_id
+    """,
+    category="similarity",
+)
+def emb_matryoshka_prefix_topk(spark, sf_dir):
+    """Matryoshka-truncation audit: for each query vector, how much of
+    the FULL-dimension (64-d) dot-product top-10 survives when search
+    runs on the 16-d PREFIX — the question a matryoshka-trained
+    embedding pipeline answers before shipping truncated vectors to a
+    4x-cheaper index.  One corpus scan computes both dot products
+    (the prefix is a slice of the same zip_with product — no second
+    pass), two per-query top-10 windows rank them (WindowGroupLimit
+    prunes map-side), and the overlap reduces to one conditional
+    count per query.  All arithmetic is exact integer micro-units
+    (per-term |x| <= ~1e12, 64 terms — far inside int64), ties break
+    on neighbor id — bit-reproducible at any scale.  The 5 queries
+    broadcast; the corpus never shuffles until the ranked candidates
+    (<= corpus rows, ~20 survive per query)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("xq"),
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("xq").alias("qv")
+    ).filter(F.col("query_id") < 5)
+    zero = F.lit(0).cast("long")
+    prods = F.zip_with("qv", "xq", lambda a, b: a * b)
+    scored = (
+        emb.join(F.broadcast(q), emb.vec_id != q.query_id)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(prods, zero, lambda acc, x: acc + x).alias(
+                "dot_full"
+            ),
+            F.aggregate(
+                F.slice(prods, 1, 16), zero, lambda acc, x: acc + x
+            ).alias("dot_prefix"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("dot_full").desc(), "neighbor_id"
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("dot_prefix").desc(), "neighbor_id"
+    )
+    # rank<=k as a FILTER (not an aggregate CASE) so each window
+    # compiles to WindowGroupLimit: every map partition keeps only its
+    # local top-10 per query before the shuffle — the corpus-sized
+    # sort never happens.  Two pruned scans beat one unpruned sort.
+    top_f = (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(wf).alias("rf")
+        ).filter(F.col("rf") <= 10)
+    )
+    top_p = (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(wp).alias("rp")
+        ).filter(F.col("rp") <= 10)
+    )
+    j = top_f.join(top_p, ["query_id", "neighbor_id"], "full_outer")
+    return j.groupBy("query_id").agg(
+        F.count(
+            F.when(F.col("rf").isNotNull() & F.col("rp").isNotNull(), 1)
+        ).alias("n_overlap_at_10"),
+        F.max(F.when(F.col("rp") == 1, F.col("neighbor_id"))).alias(
+            "prefix_top1"
+        ),
+    )

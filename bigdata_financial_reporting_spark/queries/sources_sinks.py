@@ -607,3 +607,44 @@ def src_binaryfile_scan(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@register(
+    "src_partition_pruning_scan",
+    oracle="""
+    SELECT o_orderpriority AS part_read,
+           count(*) AS n_rows,
+           true AS only_one_partition_dir
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    category="sources",
+)
+def src_partition_pruning_scan(spark, sf_dir):
+    """Partition PRUNING, proven from inside the query: write orders
+    hive-partitioned by priority, read back with an equality filter,
+    and derive each row's partition directory from the hidden
+    ``_metadata.file_path`` — the assertion column shows the scan
+    touched exactly ONE partition directory.  This is the layout
+    contract that turns a 100 TB full scan into a single-partition
+    read: the filter binds at PLANNING time (PartitionFilters in the
+    scan node, visible in PLANS.md), so non-matching directories are
+    never listed, opened, or read.  The oracle derives the same
+    accounting from the unpartitioned source."""
+    o = load_table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), "bdfr_scratch", "prune_scan")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_parquet(o, path, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    dirpart = F.regexp_extract(
+        F.col("_metadata.file_path"), "o_orderpriority=([^/]+)", 1
+    )
+    return back.groupBy(
+        F.col("o_orderpriority").cast("string").alias("part_read")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.countDistinct(dirpart) == 1).alias("only_one_partition_dir"),
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bigdata_financial_reporting_spark.operators.timeseries import (
+    backward_fill,
     cohort_retention,
     forward_fill,
     sessionize,
@@ -733,4 +734,41 @@ def ts_value_histogram2d(spark, sf_dir):
         )
         .groupBy("hour_of_day", "value_band")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ts_backward_fill",
+    oracle="""
+    SELECT user_id, event_id,
+           round(first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)
+             AS v_bfilled
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    """,
+    category="timeseries",
+)
+def ts_backward_fill(spark, sf_dir):
+    """Backward fill (bfill), ts_forward_fill's mirror: clicks have
+    their value masked to NULL, then the NEXT non-null observation per
+    user carries backward — the alignment used when a late-arriving
+    benchmark print must back-propagate to the gap before it.
+    Trailing NULLs stay NULL.  The filled value is CARRIED, not
+    computed (no arithmetic), so cross-engine equality is exact; the
+    per-user window shuffles keys once and sorts within partitions
+    only."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v",
+        F.when(F.col("event_type") == "click", None).otherwise(
+            F.col("value")
+        ),
+    )
+    out = backward_fill(ev, "user_id", "ts", ["v"], order_tiebreak=["event_id"])
+    return out.select(
+        "user_id", "event_id", F.round("v", 6).alias("v_bfilled")
     )

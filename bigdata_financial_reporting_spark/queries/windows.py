@@ -586,3 +586,52 @@ def window_gaps_islands(spark, sf_dir):
         .drop("island_key")
         .select("user_id", "start_day", "end_day", "n_days")
     )
+
+
+@register(
+    "window_running_median",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(round(2 * quantile_cont(vq, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS BIGINT)
+             AS med2_micro
+    FROM (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 1000000.0) AS BIGINT) AS vq
+      FROM events
+    )
+    """,
+    category="windows",
+)
+def window_running_median(spark, sf_dir):
+    """Rolling 15-row median per user — the robust smoother a spike-
+    laden metric needs where a moving AVERAGE chases outliers.  Frame-
+    bounded (14 PRECEDING..CURRENT), so cost is O(rows x 15), never
+    the O(rows x history) an expanding exact median would cost — at
+    100 TB the per-user window shuffles keys once and each median
+    sorts 15 values.  Exactness: the value is micro-quantized to
+    integers FIRST, and both engines' even-count interpolation
+    (lower + (upper-lower)*0.5 vs (lower+upper)/2) is exact on
+    integers < 2^52 — identical rationals, identical doubles — so the
+    emitted 2x-median is an exact BIGINT at any scale (the
+    float-determinism discipline; a raw double median's lerp would be
+    formula-dependent)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000000.0).cast("long").alias("vq"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.percentile("vq", F.lit(0.5)).over(w) * 2)
+        .cast("long")
+        .alias("med2_micro"),
+    )

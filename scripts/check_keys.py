@@ -55,8 +55,11 @@ def main() -> None:
     pin_semantics(spark)
     con = duckdb.connect()
     for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        # staged 10x tables are multi-file DIRECTORIES named <t>.parquet/
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
         )
 
     failures = 0

@@ -454,3 +454,131 @@ def test_mutual_knn_graph_is_symmetric_and_mutual(spark, sf_dir):
         if a < b and a in knn[b]
     }
     assert set(edges) == want
+
+
+def test_grid_neighbors_matches_numpy_bruteforce(spark, sf_dir):
+    """The grid-blocked radius join must emit EXACTLY the pairs the
+    O(n^2) brute force finds: blocking may only prune, never drop a
+    true neighbor (cell size >= radius) nor duplicate one."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    got = {
+        (r["a_id"], r["b_id"]): r["dist2"]
+        for r in QUERIES["join_grid_neighbors"].fn(spark, sf_dir).collect()
+    }
+    keys = pq.read_table(sf_dir + "/customer.parquet", columns=["c_custkey"])
+    ids = np.sort(np.asarray(keys["c_custkey"]))
+    ids = ids[ids <= 20000]
+    x = (ids * 40503) % 1000
+    y = (ids * 69069) % 1000
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    ai, bi = np.where((d2 <= 64) & (ids[:, None] < ids[None, :]))
+    want = {
+        (int(ids[a]), int(ids[b])): int(d2[a, b]) for a, b in zip(ai, bi)
+    }
+    assert got == want
+
+
+def test_matryoshka_overlap_matches_numpy(spark, sf_dir):
+    """Prefix-truncation audit vs numpy: exact integer dots, top-10
+    by (dot desc, id) on full and 16-d prefix, overlap counted."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    got = {
+        r["query_id"]: (r["n_overlap_at_10"], r["prefix_top1"])
+        for r in QUERIES["emb_matryoshka_prefix_topk"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    t = pq.read_table(sf_dir + "/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    order = np.argsort(ids)
+    X = np.round(np.array(t["embedding"], dtype=np.float64) * 1e6).astype(
+        np.int64
+    )[order]
+    ids = ids[order]
+
+    def topk(scores, exclude, k=10):
+        # sort by (-score, id): stable over ids already ascending
+        idx = np.lexsort((ids, -scores))
+        idx = [j for j in idx if ids[j] != exclude][:k]
+        return [int(ids[j]) for j in idx]
+
+    for qpos in range(5):
+        qid = int(ids[qpos])
+        full = X @ X[qpos]
+        pref = X[:, :16] @ X[qpos, :16]
+        tf = topk(full, qid)
+        tp = topk(pref, qid)
+        want_overlap = len(set(tf) & set(tp))
+        assert got[qid] == (want_overlap, tp[0]), (qid, got[qid])
+
+
+def test_kmv_sketch_matches_python_and_is_sane(spark, sf_dir, ddb):
+    """KMV re-derived in pure Python: 64th-smallest mixed hash per
+    group and the half-away-division estimate; the estimate must land
+    within 50% of the true distinct count at k=64."""
+    from bigdata_financial_reporting_spark.functions.exact import py_half_div
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    rows = QUERIES["agg_kmv_distinct_sketch"].fn(spark, sf_dir).collect()
+    truth = {
+        g: set(hv for (hv,) in ddb.execute(
+            "SELECT DISTINCT (l_partkey * 2654435761) % 4294967296 "
+            "FROM lineitem WHERE l_returnflag = ?", [g]).fetchall())
+        for g in ("A", "N", "R")
+    }
+    assert {r["grp"] for r in rows} == set(truth)
+    for r in rows:
+        hs = sorted(truth[r["grp"]])
+        assert r["n_distinct_true"] == len(hs)
+        assert r["kth_min_hash"] == hs[63]
+        est = py_half_div(63 * 4294967296, hs[63])
+        assert r["kmv_estimate"] == est
+        assert abs(est - len(hs)) / len(hs) < 0.5, (r["grp"], est, len(hs))
+
+
+def test_backward_fill_and_running_median_match_pandas(spark, sf_dir):
+    """bfill and the 15-row rolling median against pandas per-user
+    reference (exact: carried values / integer-midpoint medians)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    ev = (
+        pq.read_table(sf_dir + "/events.parquet")
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev["v"] = ev["value"].where(ev["event_type"] != "click")
+    want_bf = ev.groupby("user_id")["v"].transform("bfill").round(6)
+    got = (
+        QUERIES["ts_backward_fill"].fn(spark, sf_dir).toPandas()
+        .set_index("event_id")["v_bfilled"]
+    )
+    got_aligned = ev["event_id"].map(got)
+    pd.testing.assert_series_equal(
+        got_aligned.rename(None), want_bf.rename(None), check_names=False
+    )
+
+    ev["vq"] = np.round(ev["value"] * 1e6).astype(np.int64)
+    want_med2 = (
+        ev.groupby("user_id")["vq"]
+        .transform(lambda s: s.rolling(15, min_periods=1).median())
+        * 2
+    ).round().astype(np.int64)
+    gotm = (
+        QUERIES["window_running_median"].fn(spark, sf_dir).toPandas()
+        .set_index("event_id")["med2_micro"]
+    )
+    gotm_aligned = ev["event_id"].map(gotm).astype(np.int64)
+    assert (gotm_aligned.values == want_med2.values).all()
