@@ -97,6 +97,28 @@ def _spark_rows_capped(spark, df, tag: str):
         sc.setJobGroup("", "")
 
 
+def _connect(sf_dir: str):
+    """Fresh DuckDB connection with spill enabled. The default
+    in-memory connection has NO temp_directory, so a big oracle
+    materialization cannot spill and dies with
+    OutOfMemoryException once the co-resident 8g JVM plus ~300
+    queries of allocator state squeeze it (round-7 finding:
+    fin_macd_daily and sim_ivf_trained_topk OOM'd in the full sweep
+    but pass standalone). Bound the limit explicitly and give it a
+    spill dir; preserve_insertion_order=false releases the ordering
+    buffers our order-insensitive compare never needed."""
+    import tempfile
+
+    con = duckdb.connect()
+    spill = os.path.join(tempfile.gettempdir(), "duck_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET preserve_insertion_order=false")
+    _views(con, sf_dir)
+    return con
+
+
 def _views(con, sf_dir: str) -> None:
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
@@ -126,8 +148,7 @@ def main() -> int:
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    _views(con, sf_dir)
+    con = _connect(sf_dir)
 
     out: dict[str, dict] = {}
     t_all = time.time()
@@ -142,9 +163,21 @@ def main() -> int:
                 entry["mode"] = "rows_only"
                 entry["non_empty"] = len(s_rows) > 0
             else:
-                d_cols, rows = _execute_capped(
-                    con, spec.oracle, seconds=PER_QUERY_SECONDS
-                )
+                try:
+                    d_cols, rows = _execute_capped(
+                        con, spec.oracle, seconds=PER_QUERY_SECONDS
+                    )
+                except duckdb.InterruptException:
+                    raise
+                except duckdb.Error:
+                    # allocator-state-dependent failure (e.g. OOM after
+                    # hundreds of queries): retry ONCE on a fresh
+                    # connection before recording an error
+                    con.close()
+                    con = _connect(sf_dir)
+                    d_cols, rows = _execute_capped(
+                        con, spec.oracle, seconds=PER_QUERY_SECONDS
+                    )
                 entry["mode"] = "oracle"
                 entry["oracle_rows"] = len(rows)
                 entry.update(compare_entry(s_cols, s_rows, d_cols, rows))
