@@ -79,7 +79,16 @@ def _execute_capped(con, sql, seconds: float = None):
 
     def _interrupt():
         fired.append(True)
-        con.interrupt()
+        try:
+            con.interrupt()
+        except Exception:
+            # an interrupt that dies (round-7: MemoryError inside the
+            # timer thread under allocator pressure) must not leave the
+            # query running unbounded — try once more
+            try:
+                con.interrupt()
+            except Exception:
+                pass
 
     timer = threading.Timer(seconds, _interrupt)
     timer.start()
@@ -100,6 +109,16 @@ def _execute_capped(con, sql, seconds: float = None):
 
 def scan_dir(sf_dir: str) -> dict:
     con = duckdb.connect()
+    # spill + bounded memory: the 10x quadratic oracles otherwise build
+    # unspillable materializations against the 80%-of-RAM default and
+    # die (or hang the interrupt thread) under allocator pressure
+    import tempfile
+
+    spill = os.path.join(tempfile.gettempdir(), "duck_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(path):
