@@ -5,7 +5,9 @@ dict order and truncates after ~50 keys per round, so until every key
 has been checked at least once we order the export so the
 highest-evidence-value keys come first:
 
-1. keys whose latest driver row FAILED and has since been fixed;
+1. keys whose latest driver row FAILED and has since been fixed, plus
+   keys whose implementing source CHANGED since their last driver row
+   (``scripts/gen_recheck.py`` — round-7 verdict item 1);
 2. keys never seen by the driver, in *driver-environment-risk* order
    (``RISK_ORDER``, round-4 verdict item 2): features most likely to
    behave differently under the driver's runtime first (Arrow UDFs,
@@ -16,7 +18,9 @@ highest-evidence-value keys come first:
    best;
 3. keys registered after the rotation was sized (``DEFER_NEW``) — they
    queue behind the existing backlog;
-4. keys already driver-verified green (cheapest to lose to a cap).
+4. keys already driver-verified green, OLDEST check first so every
+   key's driver evidence is refreshed within ~7 rounds at the 50-key
+   budget (no key can starve at its r01 row indefinitely).
 
 ``DRIVER_SEEN`` is derived at import time from the union of all
 committed ``CORRECTNESS_r*.json`` artifacts at the repo root, so the
@@ -31,6 +35,7 @@ the live registry by tests/test_driver_order.py.
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 
 from bigdata_financial_reporting_spark.queries.registry import QUERIES
@@ -159,30 +164,65 @@ _STATIC_SEEN: frozenset[str] = frozenset(
 )
 
 
-def _seen_from_artifacts() -> frozenset[str]:
-    """Union of keys across all CORRECTNESS_r*.json at the repo root."""
+def _last_round_from_artifacts() -> dict[str, int]:
+    """key -> latest round with a driver row, from CORRECTNESS_r*.json."""
     root = Path(__file__).resolve().parents[2]
-    seen: set[str] = set()
-    found = False
+    last: dict[str, int] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            seen.update(rows)
-            found = True
-    return frozenset(seen) if found else _STATIC_SEEN
+            for k in rows:
+                last[k] = max(last.get(k, 0), rnd)
+    return last
 
 
-DRIVER_SEEN: frozenset[str] = _seen_from_artifacts()
+DRIVER_LAST_ROUND: dict[str, int] = _last_round_from_artifacts()
+DRIVER_SEEN: frozenset[str] = (
+    frozenset(DRIVER_LAST_ROUND) if DRIVER_LAST_ROUND else _STATIC_SEEN
+)
 
-# Keys whose latest driver row FAILED and have since been fixed.
-# Round 7: EMPTY — emb_covariance_matrix went green in CORRECTNESS_r06
-# (the r05 signed-zero red, fixed with exact BIGINT micro-units);
-# keeping it here would burn export position 0 of the ~50-key budget
-# (round-6 verdict, "What's missing" item 3).
-RECHECK_FIRST: tuple[str, ...] = ()
+# Keys whose implementing source changed SINCE their last driver check
+# (round-7 verdict item 1: the r7 exactness retrofit touched keys whose
+# last driver row is r01-r05, and a category-sorted seen tier would
+# never re-export them). Generated by ``scripts/gen_recheck.py`` (git
+# hunk overlap on the key's function span, plus narrowly-shared helper
+# definitions it references), ordered oldest-driver-check-first; pinned
+# against a fresh computation by tests/test_driver_order.py. Static so
+# the driver export never needs git at import time.
+RECHECK_FIRST: tuple[str, ...] = (
+    "agg_grouping_sets",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "tpch_q1",
+    "src_in_memory",
+    "src_split_export_roundtrip",
+    "text_tfidf",
+    "udf_pandas_grouped_agg",
+    "rollup_timeseries",
+    "stream_foreach_batch_sink",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_stateful_counters",
+    "stream_static_join",
+    "stream_tumbling_window",
+    "fin_drawdown",
+    "fin_vwap",
+    "mm_audio_rms_windows",
+    "sim_ivf_topk",
+    "sim_ivf_trained_topk",
+    "sim_lsh_topk",
+    "ops_time_travel_versions",
+    "src_file_metadata_column",
+)
 
 # The 16 keys that have NEVER received a driver row after six rounds
 # (driver truncates at ~50/round; these sat just past the r6 window).
@@ -448,6 +488,14 @@ def ordered_names() -> list[str]:
                 len(risk_rank) + cat_rank.get(spec.category, len(cat_rank)),
                 reg_rank[name],
             )
-        return (2, cat_rank.get(spec.category, len(cat_rank)), reg_rank[name])
+        # Seen tier: OLDEST driver check first (round-7 verdict item 1 —
+        # a category sort left r01-checked keys starved forever), then
+        # category / registration order as stable tie-breaks.
+        return (
+            2,
+            DRIVER_LAST_ROUND.get(name, 0),
+            cat_rank.get(spec.category, len(cat_rank)),
+            reg_rank[name],
+        )
 
     return sorted(QUERIES, key=key)

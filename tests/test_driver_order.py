@@ -9,6 +9,7 @@ from pathlib import Path
 
 from bigdata_financial_reporting_spark.queries.driver_order import (
     _STATIC_SEEN,
+    DRIVER_LAST_ROUND,
     DRIVER_SEEN,
     RECHECK_FIRST,
     RISK_ORDER,
@@ -73,6 +74,51 @@ def test_risk_order_names_exist_and_are_unique():
     assert len(set(RISK_ORDER)) == len(RISK_ORDER)
     missing = set(RISK_ORDER) - set(QUERIES)
     assert not missing, f"RISK_ORDER names not in registry: {sorted(missing)}"
+
+
+def test_seen_tier_is_oldest_check_first():
+    """Round-7 verdict item 1: among already-driver-checked keys (not
+    in RECHECK_FIRST), the export must be monotone in last-check round
+    so stale evidence is refreshed before fresh evidence is re-spent.
+    While the rotation has capacity, no key's staleness can exceed
+    ceil(n_seen / budget) rounds."""
+    names = ordered_names()
+    seen_tail = [
+        n for n in names if n in DRIVER_SEEN and n not in RECHECK_FIRST
+    ]
+    rounds = [DRIVER_LAST_ROUND.get(n, 0) for n in seen_tail]
+    assert rounds == sorted(rounds), "seen tier not oldest-check-first"
+    # The budget head must contain the globally stalest seen keys: no
+    # key outside the head may be staler than one inside it.
+    head = names[:DRIVER_BUDGET]
+    head_seen = [n for n in head if n in DRIVER_SEEN and n not in RECHECK_FIRST]
+    if head_seen and len(seen_tail) > len(head_seen):
+        max_head = max(DRIVER_LAST_ROUND.get(n, 0) for n in head_seen)
+        min_tail = min(
+            DRIVER_LAST_ROUND.get(n, 0) for n in seen_tail[len(head_seen):]
+        )
+        assert max_head <= min_tail
+
+
+def test_recheck_first_matches_gen_recheck():
+    """The static RECHECK_FIRST tuple must agree with the git-derived
+    computation (scripts/gen_recheck.py) so a source change after a
+    driver check can never be silently dropped from the rotation."""
+    import subprocess
+    import sys
+
+    if not (REPO_ROOT / ".git").exists():
+        return  # bare checkout: no git history to derive from
+    proc = subprocess.run(
+        [sys.executable, str(REPO_ROOT / "scripts" / "gen_recheck.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO_ROOT,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr
+    want = tuple(r["key"] for r in json.loads(proc.stdout)["recheck"])
+    assert tuple(RECHECK_FIRST) == want
 
 
 def test_risk_order_precedes_untriaged_unseen():
