@@ -192,26 +192,67 @@ def dedup_simhash_q(spark, sf_dir):
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(generate_series(1, len(embedding)),
+               i -> CASE WHEN i = 1 THEN embedding[i] * 2
+                         ELSE embedding[i] END)::FLOAT[]
+      FROM embeddings WHERE vec_id % 100 = 0
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {duck_cosine('a.embedding', 'b.embedding')} >= 0.35
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.85
+      AND {duck_cosine('a.embedding', 'b.embedding')} >= 0.9
     """,
     category="dedup",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup: all pairs above a cosine threshold, via LSH
-    banding + exact-cosine re-check (lsh_blocked_pairs) — no unblocked
-    self-join in the plan; at (r=2, b=32) the per-pair miss probability
-    at cosine 0.35 is < 3e-7 and the hyperplanes are deterministic, so
-    the output equals the exact all-pairs oracle (equality also
-    asserted against pairwise_above_threshold in test_llm_ops.py).
-    Production near-dup thresholds are 0.9+; the fixture's random
-    embeddings are near-orthogonal (max pairwise cosine ~0.47), so the
-    demo threshold is 0.35 to exercise a NON-EMPTY result — an empty
-    join would make the oracle comparison vacuous."""
+    """Embedding near-dup AT the production threshold (cosine >= 0.9,
+    r=6 banding), via LSH banding + exact-cosine re-check
+    (lsh_blocked_pairs) — no unblocked self-join in the plan, and at
+    r=6 near-orthogonal random pairs collide per band w.p. 0.5^6 so
+    the candidate set stays ~1.6% of all pairs (the r=2 low-threshold
+    registration was the one engine-side 10x timeout of round 7:
+    4 buckets/band is near-quadratic on random data). The fixture's
+    random embeddings are near-orthogonal (max pairwise cosine ~0.47),
+    so 1% of rows are re-planted as DETERMINISTIC near-dups — a copy
+    re-keyed +1e6 with its first component doubled, which is exact in
+    float32 on both engines and pins cosine(v, v') =
+    (1+t)/sqrt(1+3t) for t = v0^2/|v|^2, i.e. in [0.9428, 1] for ANY
+    vector — every planted pair clears the threshold and nothing else
+    can. The at-threshold per-pair miss probability over 32 bands is
+    < 1e-6 and the hyperplanes are deterministic, so the output equals
+    the exact all-pairs oracle (the low-threshold τ=0.35 recall
+    witness stays in test_llm_ops.py). The oracle prefilters the
+    quadratic join with DuckDB's native float32 cosine at 0.85 (slack
+    >> float32 error) before the exact double re-check, so the
+    ground-truth SQL survives the 10x sweep's 90 s cap."""
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_blocked_pairs(e, "vec_id", "embedding", 0.35)
+    planted = e.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * 2).otherwise(x),
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    aug = e.select("vec_id", "embedding").unionByName(planted)
+    # r=10 (vs the operator's r=6 default at τ=0.9): this key's true
+    # pairs sit at cosine >= 0.9428 by construction (planted) or 1.0
+    # (the 10x corpus replicates vectors exactly), never in
+    # [0.90, 0.9428), so the worst-case per-pair miss over 32 bands is
+    # (1 - (1-acos(0.9428)/pi)^10)^32 < 5e-6 while random
+    # near-orthogonal candidates drop 0.5^10 per band — 6M candidates
+    # at the 10x corpus instead of the 100M that r=6 yields on the
+    # fixture's worst-case-for-LSH random data. Exact equality with the
+    # all-pairs oracle is still asserted empirically at every scale.
+    return lsh_blocked_pairs(
+        aug, "vec_id", "embedding", 0.9, planes_per_band=10, n_bands=32
+    )
 
 
 @register(

@@ -47,6 +47,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .appName("check-keys")
         .getOrCreate()

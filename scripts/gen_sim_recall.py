@@ -250,7 +250,7 @@ def main() -> None:
         (r.id_a, r.id_b)
         for r in pairwise_above_threshold(e, "vec_id", "embedding", 0.35).collect()
     }
-    out["queries"]["dedup_embedding_cosine"] = {
+    out["queries"]["dedup_embedding_cosine_lowthresh_witness"] = {
         "params": {"threshold": 0.35},
         "banded_pairs": len(banded),
         "exact_pairs": len(exact_pairs),
@@ -258,6 +258,41 @@ def main() -> None:
         "invented": sorted(banded - exact_pairs),
         "pair_sets_equal": banded == exact_pairs,
         "nonvacuous": len(exact_pairs) > 0,
+        "floor": {"pair_sets_equal": True},
+    }
+
+    # dedup_embedding_cosine — the REGISTERED form (round 8): τ=0.9,
+    # r=10 banding over the fixture augmented with planted near-dups
+    # (first component doubled, cosine >= 0.9428 by construction).
+    from bigdata_financial_reporting_spark.queries.registry import QUERIES
+
+    reg = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["dedup_embedding_cosine"].fn(spark, SF_DIR).collect()
+    }
+    planted = e.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 2).otherwise(x)
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    aug = e.select("vec_id", "embedding").unionByName(planted)
+    exact_reg = {
+        (r.id_a, r.id_b)
+        for r in pairwise_above_threshold(
+            aug, "vec_id", "embedding", 0.9
+        ).collect()
+    }
+    out["queries"]["dedup_embedding_cosine"] = {
+        "params": {"threshold": 0.9, "planes_per_band": 10, "n_bands": 32},
+        "banded_pairs": len(reg),
+        "exact_pairs": len(exact_reg),
+        "missed": sorted(exact_reg - reg),
+        "invented": sorted(reg - exact_reg),
+        "pair_sets_equal": reg == exact_reg,
+        "nonvacuous": len(exact_reg) > 0,
         "floor": {"pair_sets_equal": True},
     }
 

@@ -68,6 +68,49 @@ def test_lsh_blocked_pairs_equals_exact_at_fixture_scale(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_registered_embedding_cosine_equals_exact_at_production_threshold(
+    spark, sf_dir
+):
+    """The round-8 registration runs at the production threshold
+    (τ=0.9, r=10 banding) over the fixture augmented with planted
+    near-dups (first component doubled — cosine in [0.9428, 1] by the
+    (1+t)/sqrt(1+3t) identity). Pin (a) banded == exact all-pairs on
+    that frame, (b) every planted pair is found, (c) the plan stays
+    blocked."""
+    from bigdata_financial_reporting_spark.queries.registry import QUERIES
+
+    blocked_df = QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir)
+    blocked = sorted((r.id_a, r.id_b) for r in blocked_df.collect())
+
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 2).otherwise(x)
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    aug = e.select("vec_id", "embedding").unionByName(planted)
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in pairwise_above_threshold(
+            aug, "vec_id", "embedding", 0.9
+        ).collect()
+    )
+    assert blocked == exact
+    n_planted = e.filter(F.col("vec_id") % 100 == 0).count()
+    planted_pairs = {
+        (i, i + 1000000) for (i,) in
+        e.filter(F.col("vec_id") % 100 == 0).select("vec_id").collect()
+    }
+    assert planted_pairs <= set(blocked), "a planted near-dup pair was missed"
+    assert n_planted > 0
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_minhash_deterministic_across_runs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     r1 = sorted(
