@@ -206,3 +206,42 @@ def provenance() -> dict:
         "git_dirty": dirty,
         "generated_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
     }
+
+
+def duck_memory_limit_gb(cap_gb: int = 48, frac: float = 0.7) -> int:
+    """Oracle-connection memory limit: min(cap, frac * MemTotal),
+    floored at 1 GB. Round-7 hardcoded 48GB everywhere, which on a
+    smaller host RAISES DuckDB's cap above its 80%-of-RAM default and
+    invites an OS-level OOM kill (round-7 ADVICE item 4). Env override:
+    SPARK_GRAFT_DUCK_MEM_GB."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_DUCK_MEM_GB")
+    if env:
+        return max(1, int(env))
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / 1048576.0
+                    return max(1, min(cap_gb, int(total_gb * frac)))
+    except OSError:
+        pass
+    return max(1, min(cap_gb, 8))
+
+
+def tune_duck(con) -> None:
+    """Spill + bounded-memory settings every oracle harness needs
+    (round-7 lesson: the default in-memory connection cannot spill,
+    and ~300 queries of allocator state next to an 8g JVM OOM the
+    heaviest oracles). Shared by check_keys / check_negzero /
+    gen_scale_correctness so no harness drifts back to an untuned
+    connection."""
+    import os
+    import tempfile
+
+    spill = os.path.join(tempfile.gettempdir(), "duck_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute(f"SET memory_limit='{duck_memory_limit_gb()}GB'")
+    con.execute("SET preserve_insertion_order=false")

@@ -39,6 +39,50 @@ from bigdata_financial_reporting_spark.sources.catalog import load_table
 _DUCK_TICK_KEY = "epoch_us(ts)::HUGEINT * 10000000 + event_id"
 
 
+def _ema_literals(alpha: float, taps: int) -> tuple[list[float], list[float]]:
+    """EMA tap weights (1-alpha)^k, k=0..taps-1, and renormalization
+    denominators 1-(1-alpha)^n, n=1..taps, as PLAIN DOUBLE VALUES
+    computed once here and injected into BOTH engines as literals
+    (Spark F.lit / DuckDB list literal via repr — shortest-roundtrip,
+    parsed back to the identical IEEE double). Neither JVM Math.pow
+    nor DuckDB std::pow is correctly rounded, so letting each engine
+    raise (1-alpha)^k itself can differ by an ulp and flip a
+    round(...,6) cell sitting on a 6dp boundary (round-7 ADVICE
+    item 2 — the same divergence class as the dec2d casts)."""
+    w = 1.0 - alpha
+    weights = [w**k for k in range(taps)]
+    denoms = [1.0 - w**n for n in range(1, taps + 1)]
+    return weights, denoms
+
+
+def _duck_list(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+_EMA20_W, _EMA20_D = _ema_literals(0.2, 20)
+_MACD_W12, _MACD_D12 = _ema_literals(2.0 / 13.0, 26)
+_MACD_W26, _MACD_D26 = _ema_literals(2.0 / 27.0, 26)
+_MACD_W9, _MACD_D9 = _ema_literals(2.0 / 10.0, 9)
+
+
+def _spark_ema_fold(arr, alpha: float, weights: list[float], denoms: list[float]):
+    """alpha * (newest-first weighted fold of ``arr``) / (1 - w^n),
+    with every weight an injected literal shared with the oracle —
+    no pow() evaluated by either engine (see _ema_literals)."""
+    warr = F.array(*[F.lit(v) for v in weights])
+    darr = F.array(*[F.lit(v) for v in denoms])
+    num = F.aggregate(
+        arr,
+        F.struct(F.lit(0.0).alias("s"), F.lit(1).alias("k")),
+        lambda acc, x: F.struct(
+            (acc["s"] + x * F.element_at(warr, acc["k"])).alias("s"),
+            (acc["k"] + F.lit(1)).alias("k"),
+        ),
+        lambda acc: acc["s"],
+    )
+    return F.lit(alpha) * num / F.element_at(darr, F.size(arr))
+
+
 @register(
     "fin_ohlc_bars",
     oracle=f"""
@@ -202,15 +246,17 @@ def fin_drawdown(spark, sf_dir):
 
 @register(
     "fin_ema_window",
-    oracle="""
+    oracle=f"""
     WITH o AS (
       SELECT user_id, event_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events
     )
     SELECT a.user_id, a.event_id,
-           round(0.2 * sum(b.value * pow(0.8, a.rn - b.rn))
-                 / (1 - pow(0.8, least(a.rn, 20))), 6) AS ema
+           round(0.2 * list_aggregate(
+                   list(b.value * ({_duck_list(_EMA20_W)})[a.rn - b.rn + 1]
+                        ORDER BY b.rn DESC), 'sum')
+                 / ({_duck_list(_EMA20_D)})[least(a.rn, 20)], 6) AS ema
     FROM o a JOIN o b
       ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
     GROUP BY a.user_id, a.event_id, a.rn
@@ -235,17 +281,7 @@ def fin_ema_window(spark, sf_dir):
     )
     # newest tick first so weight w^k indexes age directly
     arr = F.reverse(F.collect_list("value").over(w20))
-    num = F.aggregate(
-        arr,
-        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("k")),
-        lambda acc, x: F.struct(
-            (acc["s"] + x * F.pow(F.lit(0.8), acc["k"])).alias("s"),
-            (acc["k"] + F.lit(1.0)).alias("k"),
-        ),
-        lambda acc: acc["s"],
-    )
-    n = F.size(arr)
-    ema = F.lit(0.2) * num / (F.lit(1.0) - F.pow(F.lit(0.8), n.cast("double")))
+    ema = _spark_ema_fold(arr, 0.2, _EMA20_W, _EMA20_D)
     return ev.select("user_id", "event_id", F.round(ema, 6).alias("ema"))
 
 
@@ -601,7 +637,7 @@ def fin_return_corr_pairs(spark, sf_dir):
       FROM lineitem GROUP BY 1, 2
     ),
     tot AS (SELECT yr, sum(v) AS tv FROM vol GROUP BY yr)
-    SELECT vol.yr, round(sum(pow(v / tv, 2)), 6) AS hhi,
+    SELECT vol.yr, round(sum((v / tv) * (v / tv)), 6) AS hhi,
            count(*) AS n_suppliers
     FROM vol JOIN tot USING (yr)
     GROUP BY vol.yr
@@ -625,7 +661,9 @@ def fin_hhi_concentration(spark, sf_dir):
         vol.join(F.broadcast(tot), "yr")
         .groupBy("yr")
         .agg(
-            F.round(F.sum(F.pow(F.col("v") / F.col("tv"), 2)), 6).alias("hhi"),
+            F.round(
+                F.sum((F.col("v") / F.col("tv")) * (F.col("v") / F.col("tv"))), 6
+            ).alias("hhi"),
             F.count(F.lit(1)).alias("n_suppliers"),
         )
     )
@@ -692,13 +730,13 @@ _DUCK_BARS = f"""
     ema AS (
       SELECT a.user_id, a.day, a.rn,
              (2.0 / 13.0) * list_aggregate(
-               list(b.close * pow(1.0 - 2.0 / 13.0, a.rn - b.rn)
+               list(b.close * ({_duck_list(_MACD_W12)})[a.rn - b.rn + 1]
                     ORDER BY b.rn DESC), 'sum')
-               / (1.0 - pow(1.0 - 2.0 / 13.0, least(a.rn, 26))) AS ema12,
+               / ({_duck_list(_MACD_D12)})[least(a.rn, 26)] AS ema12,
              (2.0 / 27.0) * list_aggregate(
-               list(b.close * pow(1.0 - 2.0 / 27.0, a.rn - b.rn)
+               list(b.close * ({_duck_list(_MACD_W26)})[a.rn - b.rn + 1]
                     ORDER BY b.rn DESC), 'sum')
-               / (1.0 - pow(1.0 - 2.0 / 27.0, least(a.rn, 26))) AS ema26
+               / ({_duck_list(_MACD_D26)})[least(a.rn, 26)] AS ema26
       FROM o a JOIN o b
         ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 25 AND a.rn
       GROUP BY a.user_id, a.day, a.rn
@@ -707,9 +745,9 @@ _DUCK_BARS = f"""
     sig AS (
       SELECT a.user_id, a.day, a.macd,
              (2.0 / 10.0) * list_aggregate(
-               list(b.macd * pow(0.8, a.rn - b.rn)
+               list(b.macd * ({_duck_list(_MACD_W9)})[a.rn - b.rn + 1]
                     ORDER BY b.rn DESC), 'sum')
-               / (1.0 - pow(0.8, least(a.rn, 9))) AS signal
+               / ({_duck_list(_MACD_D9)})[least(a.rn, 9)] AS signal
       FROM m a JOIN m b
         ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 8 AND a.rn
       GROUP BY a.user_id, a.day, a.rn, a.macd
@@ -745,39 +783,23 @@ def fin_macd_daily(spark, sf_dir):
     )
     wday = Window.partitionBy("user_id").orderBy("day")
 
-    def ema_fold(arr, alpha, taps):
-        w = 1.0 - alpha
-        num = F.aggregate(
-            arr,
-            F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("k")),
-            lambda acc, x: F.struct(
-                (acc["s"] + x * F.pow(F.lit(w), acc["k"])).alias("s"),
-                (acc["k"] + F.lit(1.0)).alias("k"),
-            ),
-            lambda acc: acc["s"],
-        )
-        return (
-            F.lit(alpha)
-            * num
-            / (F.lit(1.0) - F.pow(F.lit(w), F.size(arr).cast("double")))
-        )
-
     arr26 = F.reverse(
         F.collect_list("close").over(wday.rowsBetween(-25, 0))
     )
     m = bars.select(
         "user_id",
         "day",
-        (ema_fold(arr26, 2.0 / 13.0, 26) - ema_fold(arr26, 2.0 / 27.0, 26)).alias(
-            "macd"
-        ),
+        (
+            _spark_ema_fold(arr26, 2.0 / 13.0, _MACD_W12, _MACD_D12)
+            - _spark_ema_fold(arr26, 2.0 / 27.0, _MACD_W26, _MACD_D26)
+        ).alias("macd"),
     )
     arr9 = F.reverse(F.collect_list("macd").over(wday.rowsBetween(-8, 0)))
     sig = m.select(
         "user_id",
         "day",
         "macd",
-        ema_fold(arr9, 2.0 / 10.0, 9).alias("signal"),
+        _spark_ema_fold(arr9, 2.0 / 10.0, _MACD_W9, _MACD_D9).alias("signal"),
     )
     return sig.select(
         "user_id",

@@ -22,6 +22,7 @@ import numpy as np  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
 from bigdata_financial_reporting_spark.queries import QUERIES  # noqa: E402
+from bigdata_financial_reporting_spark.oracle_compare import tune_duck  # noqa: E402
 from bigdata_financial_reporting_spark.session import pin_semantics  # noqa: E402
 from test_dtype_parity import kind  # noqa: E402
 from test_oracle import canon_rows  # noqa: E402
@@ -54,14 +55,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     pin_semantics(spark)
-    con = duckdb.connect()
-    for t in TABLES:
-        path = os.path.join(SF_DIR, f"{t}.parquet")
-        # staged 10x tables are multi-file DIRECTORIES named <t>.parquet/
-        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
-        )
+
+    def connect():
+        c = duckdb.connect()
+        tune_duck(c)
+        for t in TABLES:
+            path = os.path.join(SF_DIR, f"{t}.parquet")
+            # staged 10x tables are multi-file DIRECTORIES <t>.parquet/
+            pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
+            )
+        return c
+
+    con = connect()
 
     failures = 0
     for name in names:
@@ -72,7 +79,15 @@ def main() -> None:
             if spec.oracle is None:
                 print(f"{name}: rows_only rows={len(sp)} ({time.time()-t0:.1f}s)")
                 continue
-            dp = con.execute(spec.oracle).df()
+            try:
+                dp = con.execute(spec.oracle).df()
+            except duckdb.Error:
+                # allocator-state-dependent OOM after a heavy oracle
+                # (round-7 sweep lesson) — retry once on a fresh
+                # connection before reporting an error
+                con.close()
+                con = connect()
+                dp = con.execute(spec.oracle).df()
 
             def cell(v):
                 return list(v) if isinstance(v, np.ndarray) else v

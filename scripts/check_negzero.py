@@ -112,13 +112,9 @@ def scan_dir(sf_dir: str) -> dict:
     # spill + bounded memory: the 10x quadratic oracles otherwise build
     # unspillable materializations against the 80%-of-RAM default and
     # die (or hang the interrupt thread) under allocator pressure
-    import tempfile
+    from bigdata_financial_reporting_spark.oracle_compare import tune_duck
 
-    spill = os.path.join(tempfile.gettempdir(), "duck_spill")
-    os.makedirs(spill, exist_ok=True)
-    con.execute(f"SET temp_directory='{spill}'")
-    con.execute("SET memory_limit='48GB'")
-    con.execute("SET preserve_insertion_order=false")
+    tune_duck(con)
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(path):

@@ -52,6 +52,7 @@ from bigdata_financial_reporting_spark.oracle_compare import (  # noqa: E402
     fetch_spark,
     is_jvm_death,
     provenance,
+    tune_duck,
 )
 from bigdata_financial_reporting_spark.queries import QUERIES  # noqa: E402
 from bigdata_financial_reporting_spark.session import get_session  # noqa: E402
@@ -107,14 +108,8 @@ def _connect(sf_dir: str):
     but pass standalone). Bound the limit explicitly and give it a
     spill dir; preserve_insertion_order=false releases the ordering
     buffers our order-insensitive compare never needed."""
-    import tempfile
-
     con = duckdb.connect()
-    spill = os.path.join(tempfile.gettempdir(), "duck_spill")
-    os.makedirs(spill, exist_ok=True)
-    con.execute(f"SET temp_directory='{spill}'")
-    con.execute("SET memory_limit='48GB'")
-    con.execute("SET preserve_insertion_order=false")
+    tune_duck(con)
     _views(con, sf_dir)
     return con
 
