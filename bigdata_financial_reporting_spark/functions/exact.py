@@ -39,8 +39,28 @@ def micro_units(col: Column, scale: int = MICRO) -> Column:
     The per-row product ``col * scale`` and its rounding are
     deterministic (no order dependence); the decimal cast makes every
     downstream sum exact and order-independent.
+
+    Domain: |col| <= ~9.2e12 at the default micro scale (the rounded
+    product must fit int64). The guard below makes an out-of-domain
+    value FAIL LOUDLY instead of wrapping — ANSI-off Spark's long cast
+    wraps silently while the :func:`duck_units` mirror raises on its
+    BIGINT cast, so an unguarded overflow would diverge silently on one
+    engine and error on the other (round-7 ADVICE item 3). 9.2e18 is
+    the largest comfortable double below 2^63-1.
     """
-    return F.round(col * F.lit(float(scale))).cast("long").cast("decimal(38,0)")
+    r = F.round(col * F.lit(float(scale)))
+    guarded = F.when(
+        F.abs(r) <= F.lit(9.2e18), r
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"micro_units overflow: |value * {scale}| "),
+                F.lit("exceeds int64 — value "),
+                col.cast("string"),
+            )
+        )
+    )
+    return guarded.cast("long").cast("decimal(38,0)")
 
 
 def exact_sum(col: Column, scale: int = MICRO) -> Column:

@@ -28,20 +28,26 @@ from bigdata_financial_reporting_spark.operators.text import shingle_rows
 def canonical_url(url: Column) -> Column:
     """Canonical form of a URL for crawl dedup (pure codegen string/
     array HOFs — no UDF): lowercase, drop the #fragment, strip the
-    default :443 port, collapse a trailing /index.html, trim trailing
-    slashes, and normalize the query string properly — split params,
-    drop utm_* tracking params, sort the rest alphabetically,
+    scheme's default port (https :443 / http :80) ANCHORED to the
+    authority component (round-7 ADVICE: a literal ':443/' replace
+    missed 'https://ex.com:443' with no trailing slash and could match
+    ':443/' later in a path), collapse a trailing /index.html, trim
+    trailing slashes, and normalize the query string properly — split
+    params, drop utm_* tracking params, sort the rest alphabetically,
     reassemble. Properties pinned by tests/test_training_ops.py:
     idempotence (canonical_url(canonical_url(u)) == canonical_url(u))
     and utm/param-order invariance."""
     no_frag = F.element_at(F.split(F.lower(url), "#"), 1)
+    base = F.element_at(F.split(no_frag, "\\?"), 1)
+    base = F.regexp_replace(
+        base, F.lit("^(https://[^/]+?):443(/|$)"), F.lit("$1$2")
+    )
+    base = F.regexp_replace(
+        base, F.lit("^(http://[^/]+?):80(/|$)"), F.lit("$1$2")
+    )
     path = F.regexp_replace(
         F.regexp_replace(
-            F.replace(
-                F.element_at(F.split(no_frag, "\\?"), 1),
-                F.lit(":443/"),
-                F.lit("/"),
-            ),
+            base,
             F.lit("/index\\.html$"),
             F.lit(""),
         ),

@@ -616,9 +616,11 @@ def dedup_semantic_semdedup(spark, sf_dir):
                WITH s AS (
                  SELECT rtrim(
                           regexp_replace(
-                            replace(string_split(
-                              string_split(lower(url), '#')[1], '?')[1],
-                              ':443/', '/'),
+                            regexp_replace(
+                              regexp_replace(string_split(
+                                string_split(lower(url), '#')[1], '?')[1],
+                                '^(https://[^/]+?):443(/|$)', '\\1\\2'),
+                              '^(http://[^/]+?):80(/|$)', '\\1\\2'),
                             '/index\\.html$', ''),
                           '/') AS path,
                         list_sort(list_filter(

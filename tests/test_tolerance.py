@@ -184,3 +184,32 @@ def test_half_div_matches_decimal_rounding(spark, ddb):
         )
         p_val = py_half_div(a, b)
         assert s_val == d_val == p_val, (a, b, s_val, d_val, p_val)
+
+
+def test_micro_units_out_of_domain_fails_loudly_on_both_engines(spark, ddb):
+    """Round-7 ADVICE item 3: ANSI-off Spark's long cast WRAPS silently
+    for |value*scale| > 2^63 while duck_units' BIGINT cast raises — an
+    out-of-domain value used to diverge silently on one engine and
+    error on the other. micro_units now guards with raise_error, so
+    both engines fail loudly; in-domain values are untouched."""
+    import pytest
+
+    from bigdata_financial_reporting_spark.functions.exact import (
+        duck_units,
+        micro_units,
+    )
+
+    df = spark.createDataFrame([(1e15,), (2.5,)], "x double")
+    # in-domain rows still work
+    ok = (
+        df.filter(F.col("x") < 1e14)
+        .select(micro_units(F.col("x")).alias("u"))
+        .collect()
+    )
+    assert int(ok[0]["u"]) == 2_500_000
+    with pytest.raises(Exception, match="micro_units overflow"):
+        df.select(micro_units(F.col("x")).alias("u")).collect()
+    import duckdb as _duckdb
+
+    with pytest.raises(_duckdb.Error):
+        ddb.execute(f"SELECT {duck_units('1e15')}").fetchone()

@@ -364,6 +364,14 @@ def test_url_canonicalization_idempotent_and_order_invariant(spark):
         "https://www.ex.com/a/b///",
         "https://www.ex.com/a/b?utm_only=1",
         "https://www.ex.com/plain",
+        # round-7 ADVICE edges: portless-equivalence must hold with NO
+        # trailing slash, :80 for http, and a ':443/' occurring INSIDE
+        # a path must survive untouched
+        "https://ex.com:443",
+        "https://ex.com",
+        "http://ex.com:80/x",
+        "http://ex.com/x",
+        "https://ex.com/redirect/:443/keep",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     out = df.select(
@@ -379,6 +387,9 @@ def test_url_canonicalization_idempotent_and_order_invariant(spark):
     assert canon[3] == "https://www.ex.com/a/b"
     assert canon[4] == "https://www.ex.com/a/b"
     assert canon[5] == "https://www.ex.com/plain"
+    assert canon[6] == canon[7] == "https://ex.com"
+    assert canon[8] == canon[9] == "http://ex.com/x"
+    assert canon[10] == "https://ex.com/redirect/:443/keep"
 
 
 def test_kmeans_step_assignments_are_optimal_vs_numpy(spark, sf_dir):
