@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from bigdata_financial_reporting_spark.operators.components import dedup_clusters
 from bigdata_financial_reporting_spark.operators.dedup import minhash_lsh_pairs
 from bigdata_financial_reporting_spark.operators.text import tokenize
-from bigdata_financial_reporting_spark.queries.dedup import _DUCK_SHINGLES
+from bigdata_financial_reporting_spark.queries.dedup import _DUCK_PAIR_BASE
 from bigdata_financial_reporting_spark.queries.oracle_helpers import (
     DUCK_TOKENIZE as _DUCK_TOKENIZE,
 )
@@ -19,15 +19,15 @@ from bigdata_financial_reporting_spark.sources.catalog import load_table
 
 # Recursive min-label closure over the exact near-dup pair set; shared
 # by both cluster queries below (recursive CTE needs the RECURSIVE
-# keyword on the WITH clause).
+# keyword on the WITH clause). The pair set uses the bounded
+# shared-shingle construction (_DUCK_PAIR_BASE — lossless; see
+# queries/dedup.py) instead of the all-pairs self-join that timed out
+# at sf0.1/10x.
 _LABELS_CTE = (
-    _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    _DUCK_PAIR_BASE.replace("WITH toks", "WITH RECURSIVE toks", 1)
     + """
     , pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))
-            / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.35
+      SELECT id_a, id_b FROM jac WHERE j >= 0.35
     ),
     edges AS (
       SELECT id_a AS u, id_b AS v FROM pairs

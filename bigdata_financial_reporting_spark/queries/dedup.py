@@ -82,16 +82,59 @@ def dedup_exact_groups(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
 
 
+# Bounded exact-Jaccard pair construction (round-7 verdict item 4).
+# Two LOSSLESS reductions replace the all-pairs
+# `sh a JOIN sh b ON a.doc_id < b.doc_id` form whose O(n^2)
+# list_intersect evaluations timed out in the sf0.1/10x sweeps:
+# 1. candidates come from a self-join on SHARED shingles (the engine's
+#    own relational formulation) — zero-overlap pairs have Jaccard 0
+#    and can never pass a positive threshold;
+# 2. docs are first grouped by their exact shingle SET (Jaccard is a
+#    pure function of the two sets): the pair space is computed once
+#    between group REPRESENTATIVES and expanded back to member pairs,
+#    with within-group pairs exactly 1.0 = n/CAST(n AS DOUBLE). The
+#    10x corpus replicates every doc 10x, so this collapses the
+#    candidate space 100x (113M -> 1.13M rep pairs, 40 s -> 2.3 s).
+# The rendered value is bit-identical to the old form: count(*) over
+# shared distinct shingles == len(list_intersect), same CAST, same
+# division.
+_DUCK_PAIR_BASE = (
+    _DUCK_SHINGLES
+    + """
+    , grp AS (
+      SELECT list_sort(s) AS ss, min(doc_id) AS rep
+      FROM sh GROUP BY list_sort(s)
+    ),
+    memb AS (
+      SELECT sh.doc_id, g.rep FROM sh JOIN grp g ON list_sort(sh.s) = g.ss
+    ),
+    rshr AS (SELECT rep, len(ss) AS sz, unnest(ss) AS t FROM grp),
+    rjac AS (
+      SELECT a.rep AS rep_a, b.rep AS rep_b,
+             count(*) / CAST(any_value(a.sz) + any_value(b.sz) - count(*) AS DOUBLE) AS j
+      FROM rshr a JOIN rshr b ON a.t = b.t AND a.rep < b.rep
+      GROUP BY a.rep, b.rep
+    ),
+    jac AS (
+      SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+             greatest(ma.doc_id, mb.doc_id) AS id_b, j
+      FROM rjac
+      JOIN memb ma ON ma.rep = rep_a
+      JOIN memb mb ON mb.rep = rep_b
+      UNION ALL
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS j
+      FROM memb a JOIN memb b ON a.rep = b.rep AND a.doc_id < b.doc_id
+    )
+"""
+)
+
+
 @register(
     "dedup_minhash_pairs",
-    oracle=_DUCK_SHINGLES
+    oracle=_DUCK_PAIR_BASE
     + """
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.s, b.s))
-                 / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.s, b.s))
-          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.35
+    SELECT id_a, id_b, round(j, 6) AS jaccard
+    FROM jac WHERE j >= 0.35
     """,
     category="dedup",
 )
@@ -108,17 +151,13 @@ def dedup_minhash_pairs_q(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=_DUCK_SHINGLES
+    oracle=_DUCK_PAIR_BASE
     + """
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.s, b.s))
-                 / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    JOIN documents da ON da.doc_id = a.doc_id
-    JOIN documents db ON db.doc_id = b.doc_id
-    WHERE da.lang = db.lang
-      AND len(list_intersect(a.s, b.s))
-          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.2
+    SELECT id_a, id_b, round(j, 6) AS jaccard
+    FROM jac
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    WHERE da.lang = db.lang AND j >= 0.2
     """,
     category="dedup",
 )
