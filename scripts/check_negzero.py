@@ -21,9 +21,7 @@ Usage:
 
 from __future__ import annotations
 
-import decimal
 import json
-import math
 import os
 import sys
 
@@ -47,12 +45,19 @@ DEFAULT_DIRS = [
 ]
 
 
-def _is_negzero(v) -> bool:
-    if isinstance(v, float):
-        return v == 0.0 and math.copysign(1.0, v) < 0
-    if isinstance(v, decimal.Decimal):
-        return v.is_zero() and v.is_signed()
-    return False
+def _probe_selftest() -> None:
+    """The engine-side probe must actually catch a -0.0 before we trust
+    334 'clean' verdicts from it (a broken signbit predicate would turn
+    the whole sweep vacuous)."""
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT count(*) FILTER (WHERE x = 0 AND signbit(x)) FROM "
+        "(SELECT -0.0::DOUBLE AS x UNION ALL SELECT 0.0 UNION ALL "
+        "SELECT NULL) t"
+    ).fetchone()[0]
+    con.close()
+    if n != 1:
+        raise AssertionError(f"signbit probe self-test expected 1, got {n}")
 
 
 #: per-oracle wall cap. A handful of oracles are deliberately
@@ -134,27 +139,52 @@ def scan_dir(sf_dir: str) -> dict:
         if spec.oracle is None:
             continue
         try:
-            cols, rows = _execute_capped(con, spec.oracle)
+            # -0.0 can only live in FLOAT/DOUBLE output columns (DuckDB
+            # DECIMAL is integer-scaled — no signed zero), so scan
+            # ENGINE-SIDE with signbit() over just those columns instead
+            # of fetchall()ing the whole result into Python: join_self's
+            # multi-million-row output at 10x spent the whole cap in the
+            # Python row loop (round-7 verdict item 5).
+            desc = con.execute(f"DESCRIBE ({spec.oracle})").fetchall()
+            fcols = [c for c, t, *_ in desc if t in ("FLOAT", "DOUBLE")]
+            if not fcols:
+                checked += 1  # vacuously clean: no float output surface
+                continue
+            probes = ", ".join(
+                f'count(*) FILTER (WHERE "{c}" = 0 AND signbit("{c}")) '
+                f"AS c{i}"
+                for i, c in enumerate(fcols)
+            )
+            _, counts = _execute_capped(
+                con, f"SELECT {probes} FROM ({spec.oracle}) __nz"
+            )
+            checked += 1
+            found = []
+            for i, c in enumerate(fcols):
+                if counts[0][i]:
+                    _, sample = _execute_capped(
+                        con,
+                        f'SELECT "{c}" FROM ({spec.oracle}) __nz '
+                        f'WHERE "{c}" = 0 AND signbit("{c}") LIMIT 5',
+                    )
+                    found.extend(
+                        {"col": c, "count": counts[0][i], "value": repr(v[0])}
+                        for v in sample
+                    )
+            if found:
+                hits[name] = found[:5]
         except duckdb.InterruptException:
             hits.setdefault("__timeouts__", []).append(name)
             continue
         except Exception as e:  # fixture-dependent oracle (e.g. needs files)
             hits.setdefault("__errors__", []).append(f"{name}: {e}")
             continue
-        checked += 1
-        found = [
-            {"row": ri, "col": cols[ci], "value": repr(v)}
-            for ri, row in enumerate(rows)
-            for ci, v in enumerate(row)
-            if _is_negzero(v)
-        ]
-        if found:
-            hits[name] = found[:5]
     con.close()
     return {"checked": checked, "hits": hits}
 
 
 def main() -> int:
+    _probe_selftest()
     dirs = sys.argv[1:] or [d for d in DEFAULT_DIRS if os.path.isdir(d)]
     report = {}
     bad = False

@@ -502,22 +502,18 @@ def test_windowed_ema_matches_naive_python_fold(spark, rows):
     same truncation, same normalisation)."""
     if not rows:
         return
+    from bigdata_financial_reporting_spark.queries.fin_timeseries import (
+        _EMA20_D,
+        _EMA20_W,
+        _spark_ema_fold,
+    )
+
     df = _df(spark, rows)
     w20 = (
         Window.partitionBy("k").orderBy("idx").rowsBetween(-19, Window.currentRow)
     )
     arr = F.reverse(F.collect_list(F.col("v").cast("double")).over(w20))
-    num = F.aggregate(
-        arr,
-        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("kk")),
-        lambda acc, x: F.struct(
-            (acc["s"] + x * F.pow(F.lit(0.8), acc["kk"])).alias("s"),
-            (acc["kk"] + F.lit(1.0)).alias("kk"),
-        ),
-        lambda acc: acc["s"],
-    )
-    n = F.size(arr)
-    ema = F.lit(0.2) * num / (F.lit(1.0) - F.pow(F.lit(0.8), n.cast("double")))
+    ema = _spark_ema_fold(arr, 0.2, _EMA20_W, _EMA20_D)
     got = {
         (r.k, r.idx): r.ema
         for r in df.select("k", "idx", ema.alias("ema")).collect()
@@ -631,3 +627,88 @@ def test_global_running_sum_matches_single_partition_window(spark):
     total_a = sum(r.a for r in rows)
     assert abs(got[499][0] - total_a) < 1e-9
     release_operator_caches()
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=4294967295),
+        min_size=1,
+        max_size=400,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=400), max_size=6),
+)
+def test_kmv_sketch_merge_is_partition_invariant(vals, cuts):
+    """agg_kmv_distinct_sketch's mergeability claim (round-7 seam): the
+    k smallest hash values of a union must equal the k smallest of the
+    per-partition k-smallest partials, for ANY partitioning — the
+    algebra that lets each executor keep a 64-value heap and ship 64
+    rows/group. Pure-Python mirror of the sketch's merge (the Spark
+    plan's WindowGroupLimit partial is the same algebra; the hostile-
+    layout rerun in test_determinism.py covers the engine side)."""
+    k = 64
+    hashes = sorted(set(vals))
+    want = hashes[:k]
+    bounds = sorted({0, len(hashes), *[min(c, len(hashes)) for c in cuts]})
+    parts = [
+        hashes[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
+    ] or [hashes]
+    merged = sorted({h for p in parts for h in sorted(p)[:k]})[:k]
+    assert merged == want
+
+
+def test_gopher_integer_flags_equal_float_definitions_on_hostile_corpus(
+    spark, tmp_path
+):
+    """quality_gopher_rules encodes its thresholds as pure integer
+    comparisons (chars >= 4*words, 2*distinct < words). Round-7 seam:
+    those must equal the FLOAT-form Gopher definitions (mean word len
+    in [4.0, 5.0], type/token ratio >= 0.5) on a hostile corpus —
+    exact-boundary means, a 10k-char word, unicode-only text (the
+    tokenizer strips non-[a-z0-9], so w=0 and the float form divides
+    by zero), and an empty doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    docs = [
+        " ".join(["aaaa"] * 60),                    # mean exactly 4.0
+        " ".join(["bbbbb"] * 60),                   # mean exactly 5.0
+        " ".join(["ccc"] * 60),                     # mean 3.0 (out, low side)
+        " ".join(["dddddd"] * 60),                  # mean 6.0 (out, high side)
+        " ".join(["aaaa", "bbbbb"] * 30),           # mean 4.5 (in band)
+        ("w" * 10000 + " ") * 50,                   # 10k-char words
+        "日本語 テキスト だけ の 文書 ですよ ここは",  # unicode-only -> w=0
+        "",                                         # empty
+        " ".join(["xxxx"] * 30 + ["yyyy"] * 30),    # low diversity, 2/60
+        " ".join(f"t{i:03d}" for i in range(80)),   # all-distinct, 4-char
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["prop"] * len(docs),
+            "n_chars": [len(d) for d in docs],
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = QUERIES["quality_gopher_rules"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        w, dw, ch = r["n_words"], r["n_distinct"], r["n_word_chars"]
+        if w == 0:
+            # float form is undefined; integer form must still be total
+            # and must never keep an empty doc
+            assert r["flag_short"] and not r["keep"]
+            continue
+        mean = ch / w
+        assert r["flag_wordlen_out"] == (not (4.0 <= mean <= 5.0)), (
+            r["doc_id"], mean,
+        )
+        assert r["flag_low_diversity"] == (dw / w < 0.5), (r["doc_id"],)
+        assert r["flag_short"] == (w < 50)
+        assert r["keep"] == (
+            w >= 50 and dw / w >= 0.5 and 4.0 <= mean <= 5.0
+        )

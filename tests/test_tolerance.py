@@ -136,6 +136,21 @@ def test_dec2d_mirrors_bitwise_above_2_53(spark, ddb):
         random.randrange(10**18, 10**26) * (1 if i % 2 else -1)
         for i in range(800)
     ]
+    # round-7 verdict item 8: deterministic boundary limbs — zero, a=0
+    # (|x| < 1e15), b=0 (exact 1e15 multiples), b at its max, the 2^53
+    # exactness edge in each limb, and the 9.2e33 domain ceiling where
+    # the a-limb itself exceeds 2^53 (still safe: long->double is
+    # correctly rounded on BOTH engines, only the sequence must match)
+    two53 = 2**53
+    boundary = [
+        0, 1, -1, 10**15 - 1, 10**15, 10**15 + 1,
+        two53, two53 + 1, two53 - 1,
+        7 * 10**15, 7 * 10**15 - 1,
+        two53 * 10**15, two53 * 10**15 + 999_999_999_999_999,
+        (two53 - 1) * 10**15 + 999_999_999_999_999,
+        10**33, 9 * 10**33, 9 * 10**33 + 123_456_789,
+    ]
+    vals += [v for b in boundary for v in (b, -b)]
     df = spark.createDataFrame(
         [(str(v),) for v in vals], "s string"
     ).selectExpr("cast(s as decimal(38,0)) as x")
@@ -147,7 +162,7 @@ def test_dec2d_mirrors_bitwise_above_2_53(spark, ddb):
         ).fetchone()[0]
         if struct.pack("<d", s_val) != struct.pack("<d", d_val):
             mism += 1
-    assert mism == 0, f"{mism}/800 mirrored conversions diverged"
+    assert mism == 0, f"{mism}/{len(vals)} mirrored conversions diverged"
 
 
 def test_half_div_matches_decimal_rounding(spark, ddb):
