@@ -209,25 +209,37 @@ def provenance() -> dict:
 
 
 def duck_memory_limit_gb(cap_gb: int = 48, frac: float = 0.7) -> int:
-    """Oracle-connection memory limit: min(cap, frac * MemTotal),
-    floored at 1 GB. Round-7 hardcoded 48GB everywhere, which on a
-    smaller host RAISES DuckDB's cap above its 80%-of-RAM default and
-    invites an OS-level OOM kill (round-7 ADVICE item 4). Env override:
-    SPARK_GRAFT_DUCK_MEM_GB."""
+    """Oracle-connection memory limit: min(cap, frac * MemTotal,
+    half the kernel CommitLimit), floored at 1 GB. Round-7 hardcoded
+    48GB everywhere, which on a smaller host RAISES DuckDB's cap above
+    its 80%-of-RAM default and invites an OS-level OOM kill (round-7
+    ADVICE item 4). The CommitLimit term matters on swapless hosts
+    with a low overcommit ratio: this box shows CommitLimit ~66GB on
+    125GB RAM, and a 48GB DuckDB arena next to an 8g JVM drove
+    Committed_AS to the ceiling — malloc then fails (thread-spawn
+    MemoryError, 2KB bad_alloc) with 60GB+ physically free. Env
+    override: SPARK_GRAFT_DUCK_MEM_GB."""
     import os
 
     env = os.environ.get("SPARK_GRAFT_DUCK_MEM_GB")
     if env:
         return max(1, int(env))
+    total_gb = commit_gb = None
     try:
         with open("/proc/meminfo") as fh:
             for line in fh:
                 if line.startswith("MemTotal:"):
                     total_gb = int(line.split()[1]) / 1048576.0
-                    return max(1, min(cap_gb, int(total_gb * frac)))
+                elif line.startswith("CommitLimit:"):
+                    commit_gb = int(line.split()[1]) / 1048576.0
     except OSError:
         pass
-    return max(1, min(cap_gb, 8))
+    if total_gb is None:
+        return max(1, min(cap_gb, 8))
+    lim = min(cap_gb, int(total_gb * frac))
+    if commit_gb is not None:
+        lim = min(lim, int(commit_gb * 0.5))
+    return max(1, lim)
 
 
 def tune_duck(con) -> None:

@@ -3134,3 +3134,233 @@ def agg_kmv_distinct_sketch(spark, sf_dir):
             "kmv_estimate"
         ),
     )
+
+
+@register(
+    "stat_levene",
+    oracle="""
+    WITH med AS (
+      SELECT event_type AS grp, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    q AS (
+      SELECT e.event_type AS grp,
+             CAST(round(abs(e.value - m.med) * 1000000) AS BIGINT) AS zq
+      FROM events e JOIN med m ON m.grp = e.event_type
+    ),
+    g AS (
+      SELECT grp, count(*) AS n, sum(zq) AS s, sum(zq * zq) AS qq
+      FROM q GROUP BY grp
+    ),
+    terms AS (
+      SELECT count(*) AS k, sum(n) AS nt, sum(s) AS st,
+             list_aggregate(list({sd} * {sd} / n ORDER BY grp), 'sum')
+               AS bsum,
+             list_aggregate(list({qqd} ORDER BY grp), 'sum') AS qsum
+      FROM g
+    )
+    SELECT CAST(k AS INT) AS k, CAST(nt AS BIGINT) AS nt,
+           round(((bsum - {std} * {std} / nt) / (k - 1))
+                 / ((qsum - bsum) / (nt - k)) / 1000000000000.0, 6)
+             AS levene_w
+    FROM terms
+    """.format(
+        sd=duck_dec2d("s"), qqd=duck_dec2d("qq"), std=duck_dec2d("st")
+    ),
+    category="aggregates",
+)
+def stat_levene(spark, sf_dir):
+    """Brown–Forsythe variance-homogeneity statistic across the event
+    types (Levene's test with the group MEDIAN center — the robust
+    form): W = ((N-k)/(k-1)) * SSB(z)/SSW(z) for z = |x - median_g|.
+    Algebraically it is stat_anova_f applied to the absolute
+    deviations, and it reuses that key's exactness discipline end to
+    end: the per-group median is the exact interpolating percentile
+    ROUNDED to 6dp on both engines before the subtraction (boundary
+    rows cannot be engine-dependent), z micro-quantizes to exact
+    integers, per-group moments (n, Σz, Σz²) sum in decimal(38,0),
+    the k per-group double terms fold in FIXED group order (array_sort
+    + F.aggregate ↔ list(ORDER BY grp) + list_aggregate), and the
+    >2^53 moment casts go through the mirrored two-limb dec2d. The
+    final /1e12 undoes the micro-unit square's scale so levene_w is in
+    natural units. Plan: one shuffle for the medians (tiny broadcast
+    back), one for the moments."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    q = ev.join(
+        F.broadcast(med), ev.event_type == med.grp
+    ).select(
+        "grp",
+        F.round(F.abs(F.col("value") - F.col("med")) * 1000000)
+        .cast("long")
+        .alias("zq"),
+    )
+    g = q.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("zq").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("zq").cast("decimal(38,0)") * F.col("zq")).alias("qq"),
+    )
+    terms = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "grp",
+                            (
+                                F.expr(spark_dec2d("s"))
+                                * F.expr(spark_dec2d("s"))
+                                / F.col("n")
+                            ).alias("b"),
+                        )
+                    )
+                ),
+                lambda x: x["b"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("bsum"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("grp", F.expr(spark_dec2d("qq")).alias("qd"))
+                    )
+                ),
+                lambda x: x["qd"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("qsum"),
+    )
+    std = F.expr(spark_dec2d("st"))
+    w_stat = (
+        (F.col("bsum") - std * std / F.col("nt")) / (F.col("k") - 1)
+    ) / ((F.col("qsum") - F.col("bsum")) / (F.col("nt") - F.col("k")))
+    return terms.select(
+        F.col("k").cast("int").alias("k"),
+        "nt",
+        F.round(w_stat / 1000000000000.0, 6).alias("levene_w"),
+    )
+
+
+@register(
+    "agg_theta_sketch_intersection",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag AS grp,
+             (l_partkey * 2654435761) % 4294967296 AS hv
+      FROM lineitem
+    ),
+    r AS (
+      SELECT grp, hv,
+             row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+      FROM h
+    ),
+    kth AS (
+      SELECT grp, max(hv) AS kth_hv
+      FROM r WHERE rn <= 64 GROUP BY grp
+    ),
+    sk AS (SELECT grp, hv FROM r WHERE rn <= 64),
+    pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+             least(ka.kth_hv, kb.kth_hv) AS theta,
+             count(*) FILTER (
+               WHERE a.hv = b.hv
+                 AND a.hv < least(ka.kth_hv, kb.kth_hv)) AS n_common
+      FROM sk a
+      JOIN sk b ON a.hv = b.hv AND a.grp < b.grp
+      JOIN kth ka ON ka.grp = a.grp
+      JOIN kth kb ON kb.grp = b.grp
+      GROUP BY a.grp, b.grp, least(ka.kth_hv, kb.kth_hv)
+    ),
+    truth AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_common_true
+      FROM h a JOIN h b ON a.hv = b.hv AND a.grp < b.grp
+      GROUP BY a.grp, b.grp
+    )
+    SELECT p.grp_a, p.grp_b,
+           CAST(p.n_common AS BIGINT) AS n_common_sketch,
+           p.theta,
+           CAST({est} AS BIGINT) AS inter_estimate,
+           t.n_common_true
+    FROM pairs p JOIN truth t
+      ON t.grp_a = p.grp_a AND t.grp_b = p.grp_b
+    """.format(est=duck_half_div("n_common * 4294967296", "theta")),
+    category="aggregates",
+)
+def agg_theta_sketch_intersection(spark, sf_dir):
+    """Theta-sketch set INTERSECTION between group pairs, built on the
+    same k=64 KMV sketches as agg_kmv_distinct_sketch: for groups A, B
+    take theta = min(kth_A, kth_B); the common hashes below theta are a
+    uniform sample of A∩B at rate theta/2^32, so |A∩B| ≈ n_common *
+    2^32 / theta — the mergeable-sketch way to estimate cross-segment
+    overlap (audience overlap, split contamination) without a distinct
+    join at scale: each side ships 64 integers per group. Everything
+    is exact integer arithmetic end to end (the fixed odd-multiplier
+    hash is bijective below 2^32, the estimate renders via integer
+    half-away division), and the TRUE overlap rides along for an
+    on-query accuracy audit — at 100 TB the truth column is the one
+    you drop, not the sketch. The l_partkey hash space is shared
+    across groups, so the sketch self-join touches 64·k rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            ((F.col("l_partkey") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+                "hv"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("hv")
+    r = h.withColumn("rn", F.row_number().over(w))
+    kth = r.filter(F.col("rn") <= 64).groupBy("grp").agg(
+        F.max("hv").alias("kth_hv")
+    )
+    sk = r.filter(F.col("rn") <= 64).select("grp", "hv")
+    a = sk.alias("a")
+    b = sk.alias("b")
+    theta = F.least(F.col("ka.kth_hv"), F.col("kb.kth_hv"))
+    pairs = (
+        a.join(b, (F.col("a.hv") == F.col("b.hv")) & (F.col("a.grp") < F.col("b.grp")))
+        .join(F.broadcast(kth.alias("ka")), F.col("ka.grp") == F.col("a.grp"))
+        .join(F.broadcast(kth.alias("kb")), F.col("kb.grp") == F.col("b.grp"))
+        .groupBy(
+            F.col("a.grp").alias("grp_a"),
+            F.col("b.grp").alias("grp_b"),
+            theta.alias("theta"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a.hv") < theta, 1).otherwise(0)
+            ).alias("n_common")
+        )
+    )
+    truth = (
+        h.alias("ta")
+        .join(
+            h.alias("tb"),
+            (F.col("ta.hv") == F.col("tb.hv"))
+            & (F.col("ta.grp") < F.col("tb.grp")),
+        )
+        .groupBy(
+            F.col("ta.grp").alias("grp_a"), F.col("tb.grp").alias("grp_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common_true"))
+    )
+    return pairs.join(truth, ["grp_a", "grp_b"]).select(
+        "grp_a",
+        "grp_b",
+        F.col("n_common").cast("long").alias("n_common_sketch"),
+        "theta",
+        F.expr(spark_half_div("n_common * 4294967296", "theta"))
+        .cast("long")
+        .alias("inter_estimate"),
+        "n_common_true",
+    )

@@ -215,13 +215,19 @@ RECHECK_FIRST: tuple[str, ...] = (
     "stream_static_join",
     "stream_tumbling_window",
     "fin_drawdown",
+    "fin_ema_window",
     "fin_vwap",
     "mm_audio_rms_windows",
     "sim_ivf_topk",
     "sim_ivf_trained_topk",
     "sim_lsh_topk",
+    "fin_hhi_concentration",
     "ops_time_travel_versions",
     "src_file_metadata_column",
+    "text_zipf_fit",
+    "mix_domain_rebalance",
+    "dedup_url_canonicalize",
+    "fin_macd_daily",
 )
 
 # The 16 keys that have NEVER received a driver row after six rounds
@@ -431,6 +437,16 @@ DEFER_NEW: frozenset[str] = frozenset(
         "join_grid_neighbors",
         "src_partition_pruning_scan",
         "emb_matryoshka_prefix_topk",
+        # round-8 additions: queue behind the 25-key RECHECK_FIRST; the
+        # remaining ~19 budget slots go to the stalest r01 keys first
+        # is the wrong reading — unseen keys outrank the seen tier, so
+        # these 6 take slots 26-31 and ~19 r01 keys still land in r08
+        "stat_levene",
+        "agg_theta_sketch_intersection",
+        "fin_sortino",
+        "fin_momentum_rank",
+        "quality_perplexity_bucket",
+        "emb_signbit_fingerprint",
     }
 )
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from bigdata_financial_reporting_spark.functions.exact import (
     duck_dec2d,
     duck_half_div,
+    duck_units,
     spark_dec2d,
     spark_half_div,
 )
@@ -1077,4 +1078,208 @@ def fin_kurtosis_returns(spark, sf_dir):
         "user_id",
         F.col("n").cast("long").alias("n_returns"),
         (nd * m4 / (m2 * m2) - 3.0).alias("kurt_excess"),
+    )
+
+
+@register(
+    "fin_sortino",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, ts::DATE AS day,
+             {duck_half_div("sum(" + duck_units("value") + ")", "count(*)")}
+               AS px_u
+      FROM events GROUP BY user_id, ts::DATE
+    ),
+    rets AS (
+      SELECT user_id,
+             CAST(px_u AS DOUBLE)
+               / CAST(lag(px_u) OVER (PARTITION BY user_id ORDER BY day)
+                      AS DOUBLE) - 1 AS r
+      FROM daily
+    )
+    SELECT user_id,
+           count(r) AS n_returns,
+           CAST(sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_down,
+           round(avg(r), 6) AS mean_ret,
+           CASE WHEN count(r) > 1
+                 AND sum(CASE WHEN r < 0 THEN r * r ELSE 0 END) > 0
+                THEN round(avg(r)
+                           / sqrt(sum(CASE WHEN r < 0 THEN r * r
+                                           ELSE 0 END) / count(r))
+                           * sqrt(252.0), 6) END
+             AS sortino_ann
+    FROM rets
+    GROUP BY user_id
+    """,
+    category="finance",
+)
+def fin_sortino(spark, sf_dir):
+    """Annualised Sortino ratio per instrument: mean daily return over
+    DOWNSIDE deviation (root mean square of the negative returns only,
+    zero target) — the risk-adjusted metric that does not punish
+    upside volatility, completing the Sharpe family
+    (fin_sharpe_by_instrument). Same one-shuffle shape: daily close
+    proxy → lag return → conditional moments in the same user_id
+    aggregation. Instruments with no losing day emit NULL (no downside
+    to normalise by), mirrored on both engines.
+
+    The daily price is the EXACT integer mean (micro-unit decimal sum
+    + half-away division), not a float avg: a raw avg's merge order
+    drifts by an ulp at the 10x corpus and the r < 0 predicate sits on
+    the boundary — the first 10x probe flipped n_down 11 vs 12 on one
+    instrument. With integer px_u both engines divide the identical
+    doubles, and r's sign equals an exact integer comparison."""
+    from bigdata_financial_reporting_spark.functions.exact import (
+        micro_units,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(micro_units(F.col("value"))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "user_id",
+            "day",
+            F.expr(spark_half_div("s", "n")).alias("px_u"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    rets = daily.select(
+        "user_id",
+        (
+            F.col("px_u").cast("double")
+            / F.lag("px_u").over(w).cast("double")
+            - 1
+        ).alias("r"),
+    )
+    n = F.count("r")
+    down_sq = F.sum(
+        F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0)
+    )
+    return rets.groupBy("user_id").agg(
+        n.alias("n_returns"),
+        F.sum(F.when(F.col("r") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.round(F.avg("r"), 6).alias("mean_ret"),
+        F.when(
+            (n > 1) & (down_sq > 0),
+            F.round(
+                F.avg("r") / F.sqrt(down_sq / n) * F.sqrt(F.lit(252.0)), 6
+            ),
+        ).alias("sortino_ann"),
+    )
+
+
+@register(
+    "fin_momentum_rank",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, ts::DATE AS day,
+             {duck_half_div("sum(" + duck_units("value") + ")", "count(*)")}
+               AS px_u
+      FROM events GROUP BY user_id, ts::DATE
+    ),
+    feat AS (
+      SELECT user_id, day,
+             CAST(round((CAST(px_u AS DOUBLE)
+                   / CAST(lag(px_u, 5) OVER w AS DOUBLE) - 1) * 1000000)
+               AS BIGINT) AS mom_u,
+             CAST(round((CAST(lead(px_u, 1) OVER w AS DOUBLE)
+                   / CAST(px_u AS DOUBLE) - 1) * 1000000)
+               AS BIGINT) AS fwd_u
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    ranked AS (
+      SELECT day, mom_u, fwd_u,
+             ntile(5) OVER (PARTITION BY day
+                            ORDER BY mom_u, user_id) AS quintile
+      FROM feat
+      WHERE mom_u IS NOT NULL AND fwd_u IS NOT NULL
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, quintile,
+           count(*) AS n_instruments,
+           CAST({duck_half_div("sum(mom_u)", "count(*)")} AS DOUBLE)
+             / 1000000.0 AS mean_mom,
+           CAST({duck_half_div("sum(fwd_u)", "count(*)")} AS DOUBLE)
+             / 1000000.0 AS mean_fwd_ret
+    FROM ranked
+    GROUP BY day, quintile
+    """,
+    category="finance",
+)
+def fin_momentum_rank(spark, sf_dir):
+    """Cross-sectional momentum portfolio table: each day, instruments
+    rank into quintiles by trailing 5-day return (user_id tie-break so
+    the buckets are deterministic), and the next day's realised return
+    averages per bucket — the classic momentum-factor backtest shape.
+    The signal and forward return micro-quantize to exact integers
+    BEFORE the ranking, and the bucket means render via integer
+    half-away division, so neither quintile boundaries nor the means
+    can sit on an engine-dependent ulp or 6dp half. Two window passes over the per-instrument
+    daily series, then one (day, quintile) rollup — each day's
+    cross-section is tiny, the day count is what grows, and every
+    stage keys on columns the tick store is already partitioned by."""
+    from bigdata_financial_reporting_spark.functions.exact import (
+        micro_units,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # exact integer daily mean — same rationale as fin_sortino (the
+    # signal rounds at 6dp BEFORE ranking, and a float avg's ulp drift
+    # could flip a cell sitting exactly on a rounding boundary)
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(micro_units(F.col("value"))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "user_id", "day", F.expr(spark_half_div("s", "n")).alias("px_u")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pxd = F.col("px_u").cast("double")
+    # signal and forward return micro-quantize to integers straight
+    # from the (identical-on-both-engines) double ratio: ranking and
+    # the bucket means then run in exact integer space — a 6dp float
+    # render + avg put the mean on exact 6dp halves, where the two
+    # engines' round() disagree (first sf0.01 check caught one cell)
+    feat = daily.select(
+        "user_id",
+        "day",
+        F.round(
+            (pxd / F.lag("px_u", 5).over(w).cast("double") - 1) * 1000000
+        )
+        .cast("long")
+        .alias("mom_u"),
+        F.round(
+            (F.lead("px_u", 1).over(w).cast("double") / pxd - 1) * 1000000
+        )
+        .cast("long")
+        .alias("fwd_u"),
+    ).filter(F.col("mom_u").isNotNull() & F.col("fwd_u").isNotNull())
+    wd = Window.partitionBy("day").orderBy("mom_u", "user_id")
+    ranked = feat.withColumn("quintile", F.ntile(5).over(wd))
+    return ranked.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "quintile"
+    ).agg(
+        F.count(F.lit(1)).alias("n_instruments"),
+        (
+            F.expr(
+                spark_half_div("sum(cast(mom_u as decimal(38,0)))", "count(1)")
+            ).cast("double")
+            / 1000000.0
+        ).alias("mean_mom"),
+        (
+            F.expr(
+                spark_half_div("sum(cast(fwd_u as decimal(38,0)))", "count(1)")
+            ).cast("double")
+            / 1000000.0
+        ).alias("mean_fwd_ret"),
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from bigdata_financial_reporting_spark.functions.exact import duck_half_div
 from bigdata_financial_reporting_spark.operators.text import (
     fingerprint,
     tokenize,
@@ -2867,4 +2868,98 @@ def text_word_run_lengths(spark, sf_dir):
         F.sum(F.when(F.col("run_len") >= 2, 1).otherwise(0))
         .cast("long")
         .alias("n_runs_ge2"),
+    )
+
+
+@register(
+    "quality_perplexity_bucket",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOK}) AS tok FROM documents
+    ),
+    v AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    c AS (SELECT sum(tf) AS total, count(*) AS vocab FROM v),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(round(avg(-ln((v.tf + 1)
+                 / CAST(c.total + c.vocab AS DOUBLE))), 6) * 1000000)
+               AS BIGINT) AS score_u
+      FROM toks t JOIN v ON t.tok = v.tok CROSS JOIN c
+      GROUP BY t.doc_id
+    ),
+    b AS (
+      SELECT doc_id, score_u,
+             ntile(10) OVER (ORDER BY score_u, doc_id) AS bucket
+      FROM scored
+    )
+    SELECT bucket,
+           count(*) AS n_docs,
+           min(score_u) / 1000000.0 AS min_score,
+           max(score_u) / 1000000.0 AS max_score,
+           CAST({{mean}} AS DOUBLE) / 1000000.0 AS mean_score
+    FROM b
+    GROUP BY bucket
+    """.format(mean=duck_half_div("sum(score_u)", "count(*)")),
+    category="text",
+)
+def quality_perplexity_bucket(spark, sf_dir):
+    """Perplexity-bucket census — the CCNet head/middle/tail split
+    generalised to deciles: every document's unigram-LM fluency score
+    (same add-one-smoothed model and 6dp rendering as
+    text_unigram_logprob) ranks into ntile(10) buckets with doc_id as
+    the tie-break, and each bucket reports its size and score band —
+    the table a pretraining pipeline uses to choose which quality
+    slice to keep or re-weight. Exactness: the score micro-quantizes
+    to an integer BEFORE ranking and aggregation, so bucket boundaries
+    and the bucket means (exact decimal sums rendered by integer
+    half-away division) are bit-stable at any scale; only min/max/mean
+    of exact integers leave the aggregation. The global ntile is one
+    ordered window over |docs| score rows (id + int), orders of
+    magnitude lighter than the corpus scan that produced them."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.functions.exact import (
+        spark_half_div,
+    )
+    from bigdata_financial_reporting_spark.operators.cache import track
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    v = track(
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c = v.agg(F.sum("tf").alias("total"), F.count(F.lit(1)).alias("vocab"))
+    neg_logp = -F.log(
+        (F.col("tf") + 1) / (F.col("total") + F.col("vocab")).cast("double")
+    )
+    scored = (
+        toks.join(v, "tok")
+        .crossJoin(F.broadcast(c))
+        .groupBy("doc_id")
+        .agg(
+            (F.round(F.round(F.avg(neg_logp), 6) * 1000000))
+            .cast("long")
+            .alias("score_u")
+        )
+    )
+    b = scored.withColumn(
+        "bucket", F.ntile(10).over(Window.orderBy("score_u", "doc_id"))
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.min("score_u") / 1000000.0).alias("min_score"),
+        (F.max("score_u") / 1000000.0).alias("max_score"),
+        (
+            F.expr(
+                spark_half_div(
+                    "sum(cast(score_u as decimal(38,0)))", "count(1)"
+                )
+            ).cast("double")
+            / 1000000.0
+        ).alias("mean_score"),
     )

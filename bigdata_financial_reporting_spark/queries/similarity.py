@@ -1539,3 +1539,58 @@ def emb_matryoshka_prefix_topk(spark, sf_dir):
             "prefix_top1"
         ),
     )
+
+
+@register(
+    "emb_signbit_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT vec_id, label,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, 62),
+                   i -> CAST(CASE WHEN embedding[i] >= 0
+                                  THEN 1 ELSE 0 END AS BIGINT))),
+               (acc, x) -> acc * 2 + x) AS sign_fp
+      FROM embeddings
+    )
+    SELECT sign_fp,
+           count(*) AS n_vectors,
+           min(vec_id) AS first_vec,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+    FROM fp GROUP BY sign_fp
+    """,
+    category="similarity",
+)
+def emb_signbit_fingerprint(spark, sf_dir):
+    """Sign-bit fingerprint census over the embedding corpus: the
+    62-bit pattern of coordinate signs (dims 1..62 — 62 so the BIGINT
+    never touches the sign bit, same budget as the simhash
+    fingerprint) is the cheapest possible semantic bucket — exact
+    duplicates and strong near-duplicates share it, so the census
+    (vectors per fingerprint, label spread) is the precursor an
+    embedding-dedup pass uses to size its blocking BEFORE any pairwise
+    work. The comparison v_i >= 0 is an exact float predicate and the
+    fold is integer doubling in fixed dimension order on both engines
+    (F.aggregate ↔ list_reduce) — no float arithmetic anywhere, so
+    the fingerprint is bit-stable at any scale and partitioning. One
+    codegen projection + one hash aggregation; the shuffle carries
+    (64-bit fp, counts) only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sign_fp = F.aggregate(
+        F.transform(
+            F.slice("embedding", 1, 62),
+            lambda x: F.when(x >= 0, 1).otherwise(0),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + x,
+    )
+    return (
+        e.select("vec_id", "label", sign_fp.alias("sign_fp"))
+        .groupBy("sign_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("first_vec"),
+            F.countDistinct("label").cast("long").alias("n_labels"),
+        )
+    )

@@ -120,7 +120,6 @@ def compute_recheck() -> list[dict]:
 
     last = last_rounds()
     commits = round_commits()
-    max_round = max(commits) if commits else 0
 
     # key -> (relpath, span, source text)
     key_site: dict[str, tuple[str, tuple[int, int], str]] = {}
@@ -163,8 +162,8 @@ def compute_recheck() -> list[dict]:
     out = []
     for name, (rel, span, src) in key_site.items():
         rnd = last.get(name)
-        if rnd is None or rnd not in commits or rnd == max_round:
-            continue  # never checked (handled by the unseen tiers) or fresh
+        if rnd is None or rnd not in commits:
+            continue  # never checked — handled by the unseen tiers
         reasons = []
         spans = spans_by_round[rnd]
         if rel in spans and _overlaps(span, spans[rel]):
