@@ -224,8 +224,6 @@ RECHECK_FIRST: tuple[str, ...] = (
     "fin_hhi_concentration",
     "ops_time_travel_versions",
     "src_file_metadata_column",
-    "text_zipf_fit",
-    "mix_domain_rebalance",
     "dedup_url_canonicalize",
     "fin_macd_daily",
 )
