@@ -239,6 +239,18 @@ def duck_memory_limit_gb(cap_gb: int = 48, frac: float = 0.7) -> int:
     lim = min(cap_gb, int(total_gb * frac))
     if commit_gb is not None:
         lim = min(lim, int(commit_gb * 0.5))
+    # vm.max_map_count guard (round-8 finding): DuckDB's buffer pool
+    # mmaps ~256KB blocks, so a 31GB limit wants ~121k mappings while
+    # the default kernel cap is 65,530 — the 10x sweep froze hard at
+    # maps=65,532 with tiny mallocs failing and 100GB physically free.
+    # Budget ~60% of max_map_count for the pool.
+    try:
+        with open("/proc/sys/vm/max_map_count") as fh:
+            max_maps = int(fh.read().strip())
+        pool_gb = int(max_maps * 0.6 * 256 / 1048576.0)
+        lim = min(lim, max(2, pool_gb))
+    except (OSError, ValueError):
+        lim = min(lim, 9)
     return max(1, lim)
 
 
