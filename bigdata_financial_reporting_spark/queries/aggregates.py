@@ -1071,43 +1071,127 @@ def agg_hll_sketch_mergeable(spark, sf_dir):
 @register(
     "agg_regression_family",
     oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, count(*) AS n,
+             sum(x) AS sx, sum(yc) AS sy,
+             sum(x * x) AS sxx2, sum(yc * yc) AS syy2,
+             sum(x * yc) AS sxy2
+      FROM q GROUP BY l_returnflag
+    ),
+    t AS (
+      SELECT l_returnflag, n, sx, sy,
+             n * sxy2 - sx * sy AS n1,
+             n * sxx2 - sx * sx AS d,
+             n * syy2 - sy * sy AS syy
+      FROM m
+    )
     SELECT l_returnflag,
-           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
-           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
-           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
-           round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y,
-           round(regr_sxx(l_extendedprice, l_quantity), 2) AS sxx,
-           round(regr_sxy(l_extendedprice, l_quantity), 2) AS sxy
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
+           CAST({slope} AS DOUBLE) / 1000000.0 AS slope,
+           CAST({icept} AS DOUBLE) / 1000000.0 AS intercept,
+           CASE WHEN d > 0 AND syy > 0
+                THEN round(({n1d} * {n1d}) / ({dd} * {syyd}), 6) END AS r2,
+           CAST(n AS BIGINT) AS n,
+           CAST({avgx} AS DOUBLE) / 1000000.0 AS avg_x,
+           CAST({avgy} AS DOUBLE) / 1000000.0 AS avg_y,
+           CAST({sxxr} AS DOUBLE) / 100.0 AS sxx,
+           CAST({sxyr} AS DOUBLE) / 100.0 AS sxy
+    FROM t
+    """.format(
+        slope=duck_half_div("n1 * 1000000", "100 * d"),
+        icept=duck_half_div("(sy * d - n1 * sx) * 10000", "n * d"),
+        avgx=duck_half_div("sx * 1000000", "n"),
+        avgy=duck_half_div("sy * 10000", "n"),
+        sxxr=duck_half_div("100 * d", "n"),
+        sxyr=duck_half_div("n1", "n"),
+        n1d=duck_dec2d("n1"),
+        dd=duck_dec2d("d"),
+        syyd=duck_dec2d("syy"),
+    ),
     category="aggregates",
 )
 def agg_regression_family(spark, sf_dir):
-    """ANSI linear-regression aggregate family (regr_slope/intercept/
-    r2/count/avgx/avgy/sxx/sxy) — closed-form OLS of extendedprice on
-    quantity per returnflag, entirely as JVM-side declarative
-    aggregates with map-side partial merge (each is a sum/count
-    composition, so executors combine locally and only constant-size
-    state crosses the shuffle — the textbook scalable way to fit a
-    simple model on 100 TB). Spark >= 3.4 and DuckDB implement the
-    identical ANSI definitions. Sxx/Sxy are sums of squares over 60k
-    rows (~1e9 magnitude), so they round to 2 decimals; the
-    scale-free slope/r2/means round to 6."""
+    """ANSI linear-regression aggregate family (slope/intercept/r2/
+    count/avgx/avgy/sxx/sxy) — closed-form OLS of extendedprice on
+    quantity per returnflag. Round 8 moved it off the built-in
+    regr_* aggregates onto EXACT integer moments: the built-ins sum
+    raw doubles whose merge order is task-scheduling-dependent, and at
+    the 10x corpus (2M rows/group) the r8 sweep caught sxy's 2dp
+    rounding flipping between runs — the same class as the round-6
+    fin_vwap red. Now x (integral qty) and y (cents) quantize exactly,
+    the five moments sum in decimal(38,0) (map-side combined,
+    constant-size state per group — still the textbook scalable OLS),
+    and every output renders from the exact moments: slope/intercept/
+    means/sxx/sxy by pure-integer half-away division, r2 (whose
+    exact-integer square overflows 128 bits) as ONE mirrored double
+    expression over two-limb dec2d conversions. Exact-domain note:
+    the intercept numerator (sy*d) reaches ~1e33 at the 10x corpus —
+    decimal(38,0) holds to ~30x; beyond that the render needs a
+    rescale, and micro_units raises loudly rather than wrapping."""
     li = load_table(spark, sf_dir, "lineitem")
-    y = F.col("l_extendedprice").cast("double")
-    x = F.col("l_quantity").cast("double")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
-        F.regr_count(y, x).cast("long").alias("n"),
-        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
-        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
-        F.round(F.regr_sxx(y, x), 2).alias("sxx"),
-        F.round(F.regr_sxy(y, x), 2).alias("sxy"),
+    dec = lambda c: c.cast("decimal(38,0)")
+    x = F.round(F.col("l_quantity")).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.select(
+        "l_returnflag", x.alias("x"), yc.alias("yc")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("yc"))).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx2"),
+        F.sum(dec(F.col("yc")) * F.col("yc")).alias("syy2"),
+        F.sum(dec(F.col("x")) * F.col("yc")).alias("sxy2"),
+    )
+    t = m.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy2") - F.col("sx") * F.col("sy")).alias("n1"),
+        (F.col("n") * F.col("sxx2") - F.col("sx") * F.col("sx")).alias("d"),
+        (F.col("n") * F.col("syy2") - F.col("sy") * F.col("sy")).alias("syy"),
+    )
+    n1d, dd, syyd = (
+        F.expr(spark_dec2d("n1")),
+        F.expr(spark_dec2d("d")),
+        F.expr(spark_dec2d("syy")),
+    )
+    return t.select(
+        "l_returnflag",
+        (
+            F.expr(spark_half_div("n1 * 1000000", "100 * d")).cast("double")
+            / 1000000.0
+        ).alias("slope"),
+        (
+            F.expr(
+                spark_half_div("(sy * d - n1 * sx) * 10000", "n * d")
+            ).cast("double")
+            / 1000000.0
+        ).alias("intercept"),
+        F.when(
+            (F.col("d") > 0) & (F.col("syy") > 0),
+            F.round((n1d * n1d) / (dd * syyd), 6),
+        ).alias("r2"),
+        F.col("n").cast("long").alias("n"),
+        (
+            F.expr(spark_half_div("sx * 1000000", "n")).cast("double")
+            / 1000000.0
+        ).alias("avg_x"),
+        (
+            F.expr(spark_half_div("sy * 10000", "n")).cast("double")
+            / 1000000.0
+        ).alias("avg_y"),
+        (
+            F.expr(spark_half_div("100 * d", "n")).cast("double") / 100.0
+        ).alias("sxx"),
+        (
+            F.expr(spark_half_div("n1", "n")).cast("double") / 100.0
+        ).alias("sxy"),
     )
 
 

@@ -221,11 +221,16 @@ RECHECK_FIRST: tuple[str, ...] = (
     "sim_ivf_topk",
     "sim_ivf_trained_topk",
     "sim_lsh_topk",
+    "agg_crosstab_stat",
+    "agg_regression_family",
+    "agg_subsample_ci",
     "fin_hhi_concentration",
     "ops_time_travel_versions",
     "src_file_metadata_column",
+    "agg_kmv_distinct_sketch",
     "dedup_url_canonicalize",
     "fin_macd_daily",
+    "stat_runs_test",
 )
 
 # The 16 keys that have NEVER received a driver row after six rounds
