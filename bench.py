@@ -63,6 +63,10 @@ HEADLINE = [
     "quality_gopher_rules",       # integer-only per-doc quality filter
     "emb_kmeans_lloyd_step",      # exact-integer distributed Lloyd step
     "join_dim_snowflake",         # 3-hop dim chain, exact-cents rollup
+    # round-8 additions (first benched r8 — no prior-round baseline)
+    "dedup_embedding_cosine",     # production-threshold LSH near-dup (r=10)
+    "agg_regression_family",      # exact-integer OLS moment family
+    "fin_momentum_rank",          # per-day cross-sectional quintiles
 ]
 
 
