@@ -197,40 +197,7 @@ DRIVER_SEEN: frozenset[str] = (
 # against a fresh computation by tests/test_driver_order.py. Static so
 # the driver export never needs git at import time.
 RECHECK_FIRST: tuple[str, ...] = (
-    "agg_grouping_sets",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "tpch_q1",
-    "src_in_memory",
-    "src_split_export_roundtrip",
-    "text_tfidf",
-    "udf_pandas_grouped_agg",
-    "rollup_timeseries",
-    "stream_foreach_batch_sink",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_stateful_counters",
-    "stream_static_join",
-    "stream_tumbling_window",
-    "fin_drawdown",
-    "fin_ema_window",
-    "fin_vwap",
-    "mm_audio_rms_windows",
-    "sim_ivf_topk",
-    "sim_ivf_trained_topk",
-    "sim_lsh_topk",
-    "agg_crosstab_stat",
-    "agg_regression_family",
-    "agg_subsample_ci",
-    "fin_hhi_concentration",
-    "ops_time_travel_versions",
-    "src_file_metadata_column",
-    "agg_kmv_distinct_sketch",
-    "dedup_url_canonicalize",
-    "fin_macd_daily",
-    "stat_runs_test",
+    "ts_theil_sen_slope",
 )
 
 # The 16 keys that have NEVER received a driver row after six rounds
