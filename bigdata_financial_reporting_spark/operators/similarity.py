@@ -592,6 +592,103 @@ def planes_for_threshold(threshold: float, n_bands: int = 32) -> int:
     return r
 
 
+def _lsh_band_buckets_arrow(
+    base: DataFrame, planes_per_band: int, n_bands: int
+) -> DataFrame:
+    """Long-form band signatures ``(id, band, bucket)`` via ONE
+    Arrow-batched numpy matmul per partition — the vectorized twin of
+    the per-plane expression path for wide plane grids (the registered
+    production near-dup runs r=10 x 32 bands = 320 planes; evaluating
+    320 interpreted zip_with/aggregate lambdas per row made the
+    signature pass ~15 s at ANY corpus size, a pure per-row constant).
+
+    Exactness (the float-determinism rule: no order-dependent float
+    folds): the vector micro-quantizes to integer-valued float64
+    (rint(x*1e6)) and the hyperplane components are integers in
+    [-1e6, 1e6] (pmod(xxhash64(p, j), 2000001) - 1e6, computed once by
+    a bounded n_planes x dim Spark job and broadcast), so every product
+    (<= 1e6 * qmax) and every partial sum (<= dim * 1e6 * qmax < 2^53,
+    guarded) is exactly representable — the BLAS matmul is EXACT
+    integer arithmetic and the sign is batch- and order-independent.
+    This is a (centered, strictly better-pruning) sibling of the
+    expression path's plane family, not the same family: output parity
+    is with the exact all-pairs oracle, which is plane-agnostic, and is
+    re-asserted empirically at every scale like any banding change.
+
+    Scale posture: the signature pass is map-only (no shuffle); the
+    emitted long form is N x n_bands skinny rows, exactly what the
+    expression path's persist+explode produced.
+    """
+    import numpy as np
+
+    spark = base.sparkSession
+    out_schema = "id long, band int, bucket long"
+    nn = base.filter(F.col("v").isNotNull())
+    first = nn.select(F.size("v").alias("d")).first()
+    if first is None or first.d is None or first.d <= 0:
+        return spark.createDataFrame([], out_schema)
+    dim = int(first.d)
+    n_total = planes_per_band * n_bands
+    # Bounded collect: n_total*dim plane components (20,480 for the
+    # registered r=10 x 32-band form) — independent of corpus size.
+    plane_rows = (
+        spark.range(n_total)
+        .select(
+            F.col("id").alias("p"),
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j"),
+        )
+        .select(
+            "p",
+            "j",
+            (F.pmod(F.xxhash64("p", "j"), F.lit(2000001)) - F.lit(1000000)).alias(
+                "c"
+            ),
+        )
+        .collect()
+    )
+    planes = np.zeros((n_total, dim), dtype=np.float64)
+    for r in plane_rows:
+        planes[r.p][r.j] = float(r.c)
+    bp = spark.sparkContext.broadcast(planes)
+    # bucket packing weights: out = out*2 + sign_j, i.e. MSB-first
+    weights = 2.0 ** np.arange(planes_per_band - 1, -1, -1, dtype=np.float64)
+    band_ids = np.arange(n_bands, dtype=np.int32)
+
+    def sign_pack(batches):
+        import pandas as pd
+
+        plane_mat = bp.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            if vecs.shape[1] != dim:
+                raise ValueError(
+                    f"lsh arrow signature: vector dim {vecs.shape[1]} != "
+                    f"plane dim {dim} (mixed-dim corpus — use method='expr')"
+                )
+            quant = np.rint(vecs * 1e6)
+            qmax = float(np.abs(quant).max()) if quant.size else 0.0
+            if qmax * 1e6 * dim >= 2.0**53:
+                raise ValueError(
+                    "lsh arrow signature: |x| too large for the exact "
+                    "integer matmul (qmax * 1e6 * dim >= 2^53) — rescale "
+                    "the embeddings first"
+                )
+            bits = (quant @ plane_mat.T) >= 0.0
+            buckets = bits.reshape(len(quant), n_bands, planes_per_band) @ weights
+            n = len(quant)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), n_bands),
+                    "band": np.tile(band_ids, n),
+                    "bucket": buckets.ravel().astype(np.int64),
+                }
+            )
+
+    return nn.select("id", "v").mapInPandas(sign_pack, out_schema)
+
+
 def lsh_blocked_pairs(
     df: DataFrame,
     id_col: str,
@@ -599,6 +696,7 @@ def lsh_blocked_pairs(
     threshold: float,
     planes_per_band: int | None = None,
     n_bands: int = 32,
+    method: str = "expr",
 ) -> DataFrame:
     """Embedding near-dup pairs (id_a < id_b, exact cosine >= threshold)
     with LSH blocking — the 100 TB-safe default (same banded shape as
@@ -628,43 +726,65 @@ def lsh_blocked_pairs(
     consumers in this one plan) and registered with operators.cache —
     long-running sessions call ``release_operator_caches()`` between
     unrelated queries (bench.py does).
+
+    ``method``: ``"expr"`` (default) computes each band bucket as a
+    Catalyst expression — zero Python anywhere; ``"arrow"`` computes
+    ALL band signatures in one Arrow-batched exact-integer numpy matmul
+    per partition (``_lsh_band_buckets_arrow``) — ~10x cheaper when
+    bands x planes is large (the production r=10 x 32 form), with a
+    different-but-equivalent deterministic plane family. Candidate
+    generation, dedup, and the exact-cosine re-check are shared.
     """
     if planes_per_band is None:
         planes_per_band = planes_for_threshold(threshold, n_bands)
     if planes_per_band < 1 or n_bands < 1:
         raise ValueError("planes_per_band and n_bands must be >= 1")
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"method must be 'expr' or 'arrow', got {method!r}")
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
-    # All band buckets in ONE projection, then persist: the persist is
-    # a materialization barrier so the explode below reads concrete
-    # bucket columns — without it CollapseProject folds the hyperplane
-    # HOF lambdas into the Generate and re-evaluates all of them per
-    # emitted band row (see operators/text.py::shingle_rows).
-    def band_bucket(b: int):
-        out = F.lit(0)
-        for j in range(planes_per_band):
-            out = out * 2 + _hyperplane_sign(F.col("v"), b * planes_per_band + j)
-        return out.alias(f"__bkt{b}")
-
-    sigs = track(
-        base.select("id", *[band_bucket(b) for b in range(n_bands)]).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-    )
-
-    buckets = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"__bkt{b}").alias("bucket")
-                    )
-                    for b in range(n_bands)
-                ]
+    if method == "arrow":
+        # persisted for the same reason as the expr path: the bucket
+        # frame is consumed by BOTH sides of the candidate self-join.
+        buckets = track(
+            _lsh_band_buckets_arrow(base, planes_per_band, n_bands).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        )
+    else:
+        # All band buckets in ONE projection, then persist: the persist
+        # is a materialization barrier so the explode below reads
+        # concrete bucket columns — without it CollapseProject folds the
+        # hyperplane HOF lambdas into the Generate and re-evaluates all
+        # of them per emitted band row (see operators/text.py::
+        # shingle_rows).
+        def band_bucket(b: int):
+            out = F.lit(0)
+            for j in range(planes_per_band):
+                out = out * 2 + _hyperplane_sign(F.col("v"), b * planes_per_band + j)
+            return out.alias(f"__bkt{b}")
+
+        sigs = track(
+            base.select("id", *[band_bucket(b) for b in range(n_bands)]).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
+
+        buckets = sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"__bkt{b}").alias("bucket")
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
 
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (

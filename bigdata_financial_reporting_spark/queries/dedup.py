@@ -289,8 +289,16 @@ def dedup_embedding_cosine(spark, sf_dir):
     # at the 10x corpus instead of the 100M that r=6 yields on the
     # fixture's worst-case-for-LSH random data. Exact equality with the
     # all-pairs oracle is still asserted empirically at every scale.
+    # method="arrow" (round 10): the 320-plane signature pass runs as
+    # ONE exact-integer numpy matmul per Arrow batch instead of 320
+    # interpreted HOF lambdas per row — the per-row constant that made
+    # this key cost ~15 s at ANY scale factor; the miss-probability
+    # bound is family-agnostic and equality with the all-pairs oracle
+    # is re-asserted at every scale (test_llm_ops, SIM_RECALL, the 10x
+    # sweep).
     return lsh_blocked_pairs(
-        aug, "vec_id", "embedding", 0.9, planes_per_band=10, n_bands=32
+        aug, "vec_id", "embedding", 0.9, planes_per_band=10, n_bands=32,
+        method="arrow",
     )
 
 

@@ -279,6 +279,24 @@ def test_lsh_blocked_pairs_equals_exact_for_any_vectors(spark, vecs):
         )
     )
     assert blocked == exact
+    # the arrow signature path (exact-integer matmul, its own plane
+    # family) must produce the SAME pairs: output parity is with the
+    # plane-agnostic exact form, for any vectors incl. zero/empty.
+    arrow = sorted(
+        map(
+            tuple,
+            lsh_blocked_pairs(
+                df,
+                "vec_id",
+                "embedding",
+                0.6,
+                planes_per_band=2,
+                n_bands=48,
+                method="arrow",
+            ).collect(),
+        )
+    )
+    assert arrow == exact
 
 
 # ---- codec parser robustness (pure functions — generous example counts) ----
