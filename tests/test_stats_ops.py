@@ -249,3 +249,269 @@ def test_power_iteration_matches_numpy(spark, sf_dir):
         assert abs(got[i][0] - float(v1[i]) / 1e12) < 1e-4
         ref2 = v2[i] / 1e30
         assert abs(got[i][1] - ref2) < max(1e-4, abs(ref2) * 1e-9)
+
+
+# ---- round-8 batch invariants (round-8 verdict item 4) ----
+
+
+def _stage(df, tmp_path, table):
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/{table}.parquet")
+    return d
+
+
+def _synth_events(spark, shift_by_group=None):
+    """Two event types with very different spreads; values are dyadic
+    rationals (i/8) so every double op — group median, the optional
+    integer location shift, micro-quantization — is EXACT."""
+    from pyspark.sql import functions as F
+
+    shift = shift_by_group or {}
+    rows = []
+    eid = 0
+    for g, spread, n in (("click", 1, 400), ("view", 13, 300)):
+        c = shift.get(g, 0)
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    f"2024-01-{(i % 28) + 1:02d} 00:00:{i % 60:02d}",
+                    i % 7,
+                    g,
+                    ((i % 97) - 48) * spread / 8.0 + c,
+                    "{}",
+                )
+            )
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def test_levene_w_nonnegative_and_location_shift_invariant(spark, tmp_path):
+    """Brown–Forsythe W is a ratio of sums of squares (>= 0), and it
+    depends on the data only through |x - median_g|, so shifting each
+    group by its own integer constant must leave W bit-identical (the
+    medians shift exactly with the dyadic fixture values)."""
+    base = _stage(_synth_events(spark), tmp_path / "base", "events")
+    shifted = _stage(
+        _synth_events(spark, {"click": 3, "view": -7}),
+        tmp_path / "shift",
+        "events",
+    )
+    (r0,) = QUERIES["stat_levene"].fn(spark, base).collect()
+    (r1,) = QUERIES["stat_levene"].fn(spark, shifted).collect()
+    assert r0["levene_w"] >= 0.0
+    assert r0["k"] == 2 and r0["nt"] == 700
+    assert (r1["k"], r1["nt"], r1["levene_w"]) == (
+        r0["k"],
+        r0["nt"],
+        r0["levene_w"],
+    )
+
+
+def test_theta_sketch_matches_python_recompute_under_skew(spark, tmp_path):
+    """Adversarial group sizes (tiny vs 5000 distinct keys): recompute
+    the whole KMV/theta pipeline independently in Python (the hash is a
+    fixed odd multiplier — fully deterministic) and require exact row
+    equality. Two regimes pinned: (A,B) whose true overlap hashes rank
+    INSIDE both k=64 sketches must match the recompute; (C,B) whose
+    overlap hashes rank far outside B's sketch must be ABSENT (the
+    operator emits a pair only when the sketches share a hash — no
+    shared evidence, no row; the DuckDB oracle has the same shape)."""
+    from bigdata_financial_reporting_spark.functions.exact import py_half_div
+
+    def hv(pk):
+        return (pk * 2654435761) % (2**32)
+
+    universe = list(range(1, 5001))
+    by_rank = sorted(universe, key=hv)
+    # overlap for A: the 3 keys with the SMALLEST hashes — guaranteed
+    # inside B's 64-slot sketch; C overlaps via the 3 LARGEST — outside.
+    pk_a = by_rank[:3] + [6000, 6001]
+    pk_c = by_rank[-3:] + [7000, 7001]
+    pk_b = universe
+    rows = (
+        [(pk, "A") for pk in pk_a]
+        + [(pk, "B") for pk in pk_b]
+        + [(pk, "C") for pk in pk_c]
+    )
+    li = spark.createDataFrame(
+        [
+            (i + 1, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, flag, "O", "2024-01-01")
+            for i, (pk, flag) in enumerate(rows)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+        "cast(l_shipdate as timestamp) as l_shipdate",
+    )
+    d = _stage(li, tmp_path, "lineitem")
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["agg_theta_sketch_intersection"].fn(spark, d).collect()
+    )
+
+    sk = {}
+    for grp, pks in (("A", pk_a), ("B", pk_b), ("C", pk_c)):
+        hs = sorted(hv(pk) for pk in set(pks))
+        sk[grp] = hs[:64]
+    expected = []
+    sets = {"A": set(pk_a), "B": set(pk_b), "C": set(pk_c)}
+    for ga, gb in (("A", "B"), ("A", "C"), ("B", "C")):
+        theta = min(max(sk[ga]), max(sk[gb]))
+        common = set(sk[ga]) & set(sk[gb])
+        if not common:
+            continue
+        n_common = sum(1 for h in common if h < theta)
+        truth = len({hv(p) for p in sets[ga]} & {hv(p) for p in sets[gb]})
+        est = py_half_div(n_common * 2**32, theta)
+        expected.append((ga, gb, n_common, theta, est, truth))
+    assert expected, "fixture must exercise the shared-sketch regime"
+    assert ("A", "B") in {(e[0], e[1]) for e in expected}
+    assert ("C", "B") not in {(e[0], e[1]) for e in expected} and (
+        "B",
+        "C",
+    ) not in {(e[0], e[1]) for e in expected}, (
+        "fixture must exercise the disjoint-sketch regime"
+    )
+    assert got == sorted(expected)
+    for row in got:
+        assert row[2] <= 64
+
+
+def test_sortino_all_gains_emits_null(spark, tmp_path):
+    """An instrument with no losing day has no downside deviation to
+    normalise by: n_down == 0 and sortino_ann IS NULL, while a mixed
+    instrument gets a finite ratio whose sign equals its mean's."""
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        eid += 1  # user 1: strictly rising price
+        rows.append((eid, f"2024-01-{day:02d} 12:00:00", 1, "t", 100.0 + day, "{}"))
+        eid += 1  # user 2: alternating up/down
+        rows.append(
+            (eid, f"2024-01-{day:02d} 12:00:00", 2, "t",
+             100.0 + (5.0 if day % 2 else -3.0), "{}")
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) as ts", "user_id",
+        "event_type", "value", "props"
+    )
+    d = _stage(ev, tmp_path, "events")
+    got = {r["user_id"]: r for r in QUERIES["fin_sortino"].fn(spark, d).collect()}
+    assert got[1]["n_down"] == 0
+    assert got[1]["mean_ret"] > 0
+    assert got[1]["sortino_ann"] is None
+    assert got[2]["n_down"] > 0
+    assert got[2]["sortino_ann"] is not None
+    assert (got[2]["sortino_ann"] > 0) == (got[2]["mean_ret"] > 0)
+
+
+def test_momentum_quintiles_balanced_per_day(spark, sf_dir):
+    """ntile(5) balance: within each day the bucket sizes differ by at
+    most 1, larger buckets come first, and quintile labels are 1..5."""
+    rows = _rows(spark, sf_dir, "fin_momentum_rank")
+    assert rows
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["day"], {})[r["quintile"]] = r["n_instruments"]
+    for day, buckets in by_day.items():
+        assert set(buckets) <= {1, 2, 3, 4, 5}
+        sizes = [buckets[q] for q in sorted(buckets)]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
+
+
+def test_signbit_census_totals_and_negation_antisymmetry(
+    spark, sf_dir, tmp_path
+):
+    """The census partitions the corpus (counts sum to |embeddings|);
+    negating every (nonzero) coordinate must map each fingerprint to
+    its 62-bit complement with the same census counts."""
+    from pyspark.sql import functions as F
+
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    rows = _rows(spark, sf_dir, "emb_signbit_fingerprint")
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == total
+
+    # synthetic nonzero-coordinate corpus and its negation
+    base = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (
+                F.when((F.xxhash64(F.col("id"), j) % 2) == 0, F.lit(0.5))
+                .otherwise(F.lit(-0.5))
+            ).cast("float"),
+        ).alias("embedding"),
+        (F.col("id") % 3).cast("int").alias("label"),
+    )
+    neg = base.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (-x).cast("float")),
+    )
+    d_pos = _stage(base, tmp_path / "pos", "embeddings")
+    d_neg = _stage(neg, tmp_path / "neg", "embeddings")
+    pos = {
+        r["sign_fp"]: r["n_vectors"]
+        for r in QUERIES["emb_signbit_fingerprint"].fn(spark, d_pos).collect()
+    }
+    ngt = {
+        r["sign_fp"]: r["n_vectors"]
+        for r in QUERIES["emb_signbit_fingerprint"].fn(spark, d_neg).collect()
+    }
+    mask = (1 << 62) - 1
+    assert {fp ^ mask: n for fp, n in pos.items()} == ngt
+
+
+def test_dec2d_mirrors_duckdb_beyond_2p53(spark):
+    """The two-limb decimal->double render must agree with the DuckDB
+    mirror BIT-FOR-BIT on randomized magnitudes past 2^53 (where the
+    engines' native casts diverge by an ulp on ~1e-3 of values), both
+    signs, and the limb boundaries."""
+    import random
+    import struct
+
+    import duckdb
+
+    from bigdata_financial_reporting_spark.functions.exact import (
+        duck_dec2d,
+        spark_dec2d,
+    )
+
+    rng = random.Random(87)
+    vals = [0, 1, -1, 2**53, -(2**53), 10**15 - 1, 10**15, 10**15 + 1]
+    vals += [rng.randrange(2**53, 9 * 10**33) * rng.choice((1, -1)) for _ in range(192)]
+    spark_sql = "SELECT " + ", ".join(
+        spark_dec2d(f"cast('{v}' as decimal(38,0))") + f" AS c{i}"
+        for i, v in enumerate(vals)
+    )
+    duck_sql = "SELECT " + ", ".join(
+        duck_dec2d(f"CAST('{v}' AS HUGEINT)") + f" AS c{i}"
+        for i, v in enumerate(vals)
+    )
+    s_row = spark.sql(spark_sql).collect()[0]
+    d_row = duckdb.connect().execute(duck_sql).fetchone()
+    for i, v in enumerate(vals):
+        sb = struct.pack("<d", s_row[i])
+        db = struct.pack("<d", d_row[i])
+        assert sb == db, f"dec2d mismatch at {v}: {s_row[i]!r} vs {d_row[i]!r}"
