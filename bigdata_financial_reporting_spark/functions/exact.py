@@ -151,6 +151,39 @@ def duck_units(expr: str, scale: int = MICRO) -> str:
     return f"CAST(round(({expr}) * {float(scale)}) AS BIGINT)"
 
 
+def cents(col: Column) -> Column:
+    """Exact integer cents of a 2-decimal money double (TPC-H price /
+    acctbal class), as decimal(38,0) so the sum merge is exact and
+    order-independent. The fixture's money doubles are within 1e-9 of
+    integral cents, so the per-row quantization is lossless; mirror
+    with :func:`duck_cents`. Render a cents sum with
+    ``spark_dec2d(...)/100.0`` (the plain decimal->double cast and
+    DuckDB's HUGEINT cast round differently past 2^53)."""
+    return F.round(col * 100).cast("long").cast("decimal(38,0)")
+
+
+def duck_cents(expr: str) -> str:
+    """DuckDB mirror of :func:`cents` (HUGEINT sums are exact)."""
+    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+
+
+def spark_cents_sql(expr: str) -> str:
+    """Spark-SQL fragment form of :func:`cents` — for the queries whose
+    surface IS a SQL string (session variables, EXECUTE IMMEDIATE,
+    GROUP BY ALL). No overflow guard: 2dp money cents fit int64 to
+    ~9.2e16 dollars per value."""
+    return f"cast(cast(round(({expr}) * 100) as long) as decimal(38,0))"
+
+
+def spark_units_sql(expr: str, scale: int = MICRO) -> str:
+    """Spark-SQL fragment form of :func:`micro_units` (guard-free: for
+    fixture-bounded value columns inside SQL-string queries)."""
+    return (
+        f"cast(cast(round(({expr}) * {float(scale)}) as long)"
+        " as decimal(38,0))"
+    )
+
+
 def duck_sum(expr: str, scale: int = MICRO) -> str:
     """DuckDB fragment mirroring :func:`exact_sum` bitwise."""
     return f"(CAST(sum({duck_units(expr, scale)}) AS DOUBLE) / {float(scale)})"

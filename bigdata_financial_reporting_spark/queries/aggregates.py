@@ -12,10 +12,12 @@ Cross-engine gotchas handled here:
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from bigdata_financial_reporting_spark.functions.exact import (
+    cents,
+    duck_cents,
     duck_dec2d,
     duck_half_div,
     spark_dec2d,
@@ -23,6 +25,26 @@ from bigdata_financial_reporting_spark.functions.exact import (
 )
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+
+def _rev_u(prefix: str = "") -> Column:
+    """Exact TPC-H revenue summand in 1e-4 dollar units:
+    cents(l_extendedprice) * (100 - discount_pct) — both factors exact
+    integers, so the decimal(38,0) sum is order-independent (the q1
+    discipline applied to every revenue aggregate; SCALING.md
+    raw-double-sum watch list, retired round 10). Render the sum with
+    ``spark_dec2d(...) / 10000.0``."""
+    return cents(F.col(prefix + "l_extendedprice")) * (
+        100 - F.round(F.col(prefix + "l_discount") * 100).cast("long")
+    )
+
+
+def _duck_rev_u(prefix: str = "") -> str:
+    """DuckDB mirror of :func:`_rev_u`."""
+    return (
+        duck_cents(prefix + "l_extendedprice")
+        + f" * (100 - CAST(round({prefix}l_discount * 100) AS BIGINT))"
+    )
 
 
 @register(
@@ -212,9 +234,9 @@ def agg_unpivot(spark, sf_dir):
 
 @register(
     "tpch_q3_shape",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           {duck_dec2d("sum(" + _duck_rev_u() + ")")} / 10000.0 AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer
@@ -233,7 +255,10 @@ def tpch_q3_shape(spark, sf_dir):
     """TPC-H Q3 shape (shipping-priority): selective dim filter,
     3-way join, revenue agg, top-10. o_orderpriority stands in for the
     fixture's missing o_shippriority. The customer slice broadcasts;
-    order/lineitem join shuffles on the order key."""
+    order/lineitem join shuffles on the order key. Revenue sums in
+    exact 1e-4-dollar integer units (_rev_u — the q1 discipline), so
+    the per-order groups and the revenue-ordered top-10 cannot drift
+    with merge order at any scale."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -247,14 +272,10 @@ def tpch_q3_shape(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
+        .agg(F.sum(_rev_u()).alias("rev_u"))
         .select(
             "l_orderkey",
-            "revenue",
+            (F.expr(spark_dec2d("rev_u")) / 10000.0).alias("revenue"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
@@ -265,9 +286,9 @@ def tpch_q3_shape(spark, sf_dir):
 
 @register(
     "tpch_q5_shape",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           {duck_dec2d("sum(" + _duck_rev_u() + ")")} / 10000.0 AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -309,31 +330,36 @@ def tpch_q5_shape(spark, sf_dir):
             & (c.c_nationkey == sup.s_nationkey),
         )
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+        .agg(F.sum(_rev_u()).alias("rev_u"))
+        .select(
+            "n_name", (F.expr(spark_dec2d("rev_u")) / 10000.0).alias("revenue")
         )
     )
 
 
 @register(
     "agg_count_distinct",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            count(DISTINCT o_custkey) AS n_cust,
            count(DISTINCT o_orderpriority) AS n_prio,
-           round(sum(DISTINCT o_totalprice), 4) AS sum_distinct_price
+           {duck_dec2d("sum(DISTINCT " + duck_cents("o_totalprice") + ")")}
+             / 100.0 AS sum_distinct_price
     FROM orders GROUP BY o_orderstatus
     """,
     category="aggregates",
 )
 def agg_count_distinct(spark, sf_dir):
+    """DISTINCT over exact cents (2dp doubles map 1:1 to cents ints,
+    so the distinct SET is unchanged) and the sum merges exactly."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_cust"),
         F.countDistinct("o_orderpriority").alias("n_prio"),
-        F.round(F.sum_distinct(F.col("o_totalprice")), 4).alias("sum_distinct_price"),
+        (
+            F.expr(spark_dec2d("sum(DISTINCT " + "cast(cast(round(o_totalprice * 100) as long) as decimal(38,0))" + ")"))
+            / 100.0
+        ).alias("sum_distinct_price"),
     )
 
 
@@ -644,10 +670,10 @@ def tpch_q4_shape(spark, sf_dir):
 
 @register(
     "tpch_q7_shape",
-    oracle="""
+    oracle=f"""
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+           {duck_dec2d("sum(" + _duck_rev_u("l.") + ")")} / 10000.0 AS volume
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -688,12 +714,17 @@ def tpch_q7_shape(spark, sf_dir):
             | ((F.col("s_nk") == 1) & (F.col("c_nk") == 0))
         )
     )
-    return joined.groupBy(
-        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-    ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("volume")
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_rev_u()).alias("rev_u"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.expr(spark_dec2d("rev_u")) / 10000.0).alias("volume"),
+        )
     )
 
 
@@ -747,8 +778,9 @@ def agg_equidepth_histogram(spark, sf_dir):
 
 @register(
     "tpch_q17_shape",
-    oracle="""
-    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    oracle=f"""
+    SELECT {duck_dec2d("sum(" + duck_cents("l.l_extendedprice") + ")")}
+             / 100.0 / 7.0 AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#1'
@@ -778,7 +810,10 @@ def tpch_q17_shape(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(thresholds), "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cap"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("sc"))
+        .select(
+            (F.expr(spark_dec2d("sc")) / 100.0 / 7.0).alias("avg_yearly")
+        )
     )
 
 
@@ -838,14 +873,18 @@ def tpch_q2_shape(spark, sf_dir):
     oracle="""
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
-           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
-             AS rev_discounted,
+           {rev} / 100.0 AS rev_discounted,
            round(avg(CASE WHEN l_tax > 0.04 THEN l_extendedprice END), 6)
              AS avg_price_taxed,
            count(*) AS n_all
     FROM lineitem
     GROUP BY l_returnflag
-    """,
+    """.format(
+        rev=duck_dec2d(
+            "sum(" + duck_cents("l_extendedprice") + ")"
+            " FILTER (WHERE l_discount > 0.05)"
+        )
+    ),
     category="aggregates",
 )
 def agg_filtered_conditional(spark, sf_dir):
@@ -854,16 +893,27 @@ def agg_filtered_conditional(spark, sf_dir):
     tree as their unconditional forms — one map-side-combined shuffle,
     the predicate evaluated before any row moves."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
-        F.round(
-            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))),
-            4,
-        ).alias("rev_discounted"),
-        F.round(
-            F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 6
-        ).alias("avg_price_taxed"),
-        F.count(F.lit(1)).alias("n_all"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+            F.sum(
+                F.when(
+                    F.col("l_discount") > 0.05, cents(F.col("l_extendedprice"))
+                )
+            ).alias("rev_c"),
+            F.round(
+                F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 6
+            ).alias("avg_price_taxed"),
+            F.count(F.lit(1)).alias("n_all"),
+        )
+        .select(
+            "l_returnflag",
+            "n_bulk",
+            (F.expr(spark_dec2d("rev_c")) / 100.0).alias("rev_discounted"),
+            "avg_price_taxed",
+            "n_all",
+        )
     )
 
 
@@ -1288,7 +1338,7 @@ def agg_countmin_heavy_hitters(spark, sf_dir):
     oracle="""
     WITH vols AS (
       SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             {vol_u} AS vol_u,
              ns.n_nationkey AS supp_nk
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1303,10 +1353,15 @@ def agg_countmin_heavy_hitters(spark, sf_dir):
         AND o.o_orderdate < TIMESTAMP '1998-01-01'
     )
     SELECT o_year,
-           round(sum(CASE WHEN supp_nk = 0 THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           CAST({share} AS DOUBLE) / 1000000.0 AS mkt_share
     FROM vols GROUP BY o_year
-    """,
+    """.format(
+        vol_u=_duck_rev_u("l."),
+        share=duck_half_div(
+            "sum(CASE WHEN supp_nk = 0 THEN vol_u ELSE 0 END) * 1000000",
+            "sum(vol_u)",
+        ),
+    ),
     category="aggregates",
 )
 def tpch_q8_shape(spark, sf_dir):
@@ -1340,25 +1395,36 @@ def tpch_q8_shape(spark, sf_dir):
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return joined.select(
-        F.year("o_orderdate").alias("o_year"),
-        vol.alias("volume"),
-        F.col("s_nk").alias("supp_nk"),
-    ).groupBy("o_year").agg(
-        F.round(
-            F.sum(F.when(F.col("supp_nk") == 0, F.col("volume")).otherwise(0.0))
-            / F.sum("volume"),
-            6,
-        ).alias("mkt_share")
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev_u().alias("vol_u"),
+            F.col("s_nk").alias("supp_nk"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nk") == 0, F.col("vol_u")).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("num"),
+            F.sum("vol_u").alias("den"),
+        )
+        .select(
+            "o_year",
+            (
+                F.expr(spark_half_div("num * 1000000", "den")).cast("double")
+                / 1000000.0
+            ).alias("mkt_share"),
+        )
     )
 
 
 @register(
     "tpch_q10_shape",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           {duck_dec2d("sum(" + _duck_rev_u("l.") + ")")} / 10000.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1367,8 +1433,7 @@ def tpch_q8_shape(spark, sf_dir):
       AND o.o_orderdate >= TIMESTAMP '1996-01-01'
       AND o.o_orderdate < TIMESTAMP '1997-01-01'
     GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) DESC,
-             c.c_custkey
+    ORDER BY sum({_duck_rev_u("l.")}) DESC, c.c_custkey
     LIMIT 20
     """,
     category="aggregates",
@@ -1377,9 +1442,10 @@ def tpch_q10_shape(spark, sf_dir):
     """TPC-H Q10 shape (returned-item revenue, top-20 customers):
     fact-to-fact join on orderkey carries the one real shuffle;
     customer and nation broadcast; the returnflag and date filters
-    push into the scans. Ranking is over the ROUNDED revenue with a
-    custkey tie-break on BOTH engines — ordering on the raw double
-    would make the top-20 boundary sensitive to summation order."""
+    push into the scans. Ranking is over the EXACT integer revenue sum
+    (_rev_u) with a custkey tie-break on BOTH engines — ordering on a
+    raw double sum would make the top-20 boundary sensitive to
+    summation order."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")
@@ -1394,46 +1460,69 @@ def tpch_q10_shape(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
-    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue")
+    agg = (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_u()).alias("rev_u"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "rev_u",
+            (F.expr(spark_dec2d("rev_u")) / 10000.0).alias("revenue"),
+        )
     )
-    return agg.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+    return (
+        agg.orderBy(F.desc("rev_u"), "c_custkey")
+        .limit(20)
+        .drop("rev_u")
+    )
 
 
 @register(
     "tpch_q14_shape",
     oracle="""
-    SELECT round(
-             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share
+    SELECT CAST({share} AS DOUBLE) / 1000000.0 AS promo_share
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
       AND l.l_shipdate < TIMESTAMP '1996-10-01'
-    """,
+    """.format(
+        share=duck_half_div(
+            "sum(CASE WHEN p.p_type = 'PROMO' THEN "
+            + _duck_rev_u("l.")
+            + " ELSE 0 END) * 100000000",
+            "sum(" + _duck_rev_u("l.") + ")",
+        )
+    ),
     category="aggregates",
 )
 def tpch_q14_shape(spark, sf_dir):
     """TPC-H Q14 shape (promo revenue share): one broadcast join of
     the month's lineitem slice against part, one global conditional
     aggregate — the date filter reaches the parquet scan so only the
-    month's row groups are read (min/max pruning at 100 TB)."""
+    month's row groups are read (min/max pruning at 100 TB). Both
+    revenue sums are exact 1e-4-unit integers and the percentage
+    renders by integer half-away division at 6dp."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-09-01")
         & (F.col("l_shipdate") < "1996-10-01")
     )
     p = load_table(spark, sf_dir, "part")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
-        F.round(
-            100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-            / F.sum(vol),
-            6,
-        ).alias("promo_share")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", _rev_u()).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("num"),
+            F.sum(_rev_u()).alias("den"),
+        )
+        .select(
+            (
+                F.expr(spark_half_div("num * 100000000", "den")).cast("double")
+                / 1000000.0
+            ).alias("promo_share")
+        )
     )
 
 
@@ -1476,8 +1565,8 @@ def tpch_q16_shape(spark, sf_dir):
 
 @register(
     "tpch_q19_shape",
-    oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+    oracle=f"""
+    SELECT {duck_dec2d("sum(" + _duck_rev_u("l.") + ")")} / 10000.0 AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
@@ -1516,10 +1605,11 @@ def tpch_q19_shape(spark, sf_dir):
         )
     )
     return j.agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue"),
+        F.sum(_rev_u()).alias("rev_u"),
         F.count(F.lit(1)).alias("n_items"),
+    ).select(
+        (F.expr(spark_dec2d("rev_u")) / 10000.0).alias("revenue"),
+        "n_items",
     )
 
 
@@ -1920,8 +2010,11 @@ def agg_crosstab_stat(spark, sf_dir):
 
 @register(
     "tpch_q6_shape",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+    oracle=f"""
+    SELECT {duck_dec2d(
+        "sum(" + duck_cents("l_extendedprice")
+        + " * CAST(round(l_discount * 100) AS BIGINT))"
+    )} / 10000.0 AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
@@ -1947,20 +2040,27 @@ def tpch_q6_shape(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
-            ).alias("revenue"),
+            F.sum(
+                cents(F.col("l_extendedprice"))
+                * F.round(F.col("l_discount") * 100).cast("long")
+            ).alias("rev_u"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            (F.expr(spark_dec2d("rev_u")) / 10000.0).alias("revenue"), "n"
         )
     )
 
 
 @register(
     "tpch_q9_shape",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.1 * p.p_retailprice * l.l_quantity), 4) AS profit
+           {duck_dec2d(
+               "sum(" + _duck_rev_u("l.")
+               + " - 10 * " + duck_cents("p.p_retailprice")
+               + " * CAST(round(l.l_quantity) AS BIGINT))"
+           )} / 10000.0 AS profit
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1986,9 +2086,13 @@ def tpch_q9_shape(spark, sf_dir):
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
-        0.1
-    ) * F.col("p_retailprice") * F.col("l_quantity")
+    # exact profit in 1e-4 dollar units: revenue minus the 10%
+    # supply-cost proxy — supply cost cents * integral quantity * 10
+    # keeps everything integer (l_quantity is integral by fixture
+    # construction, pinned by round())
+    profit_u = _rev_u() - F.lit(10) * cents(F.col("p_retailprice")) * F.round(
+        F.col("l_quantity")
+    ).cast("long")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -1998,22 +2102,28 @@ def tpch_q9_shape(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 4).alias("profit"))
+        .agg(F.sum(profit_u).alias("profit_u"))
+        .select(
+            "nation",
+            "o_year",
+            (F.expr(spark_dec2d("profit_u")) / 10000.0).alias("profit"),
+        )
     )
 
 
 @register(
     "tpch_q11_shape",
-    oracle="""
+    oracle=f"""
     WITH val AS (
-      SELECT l.l_partkey,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS value
+      SELECT l.l_partkey, sum({_duck_rev_u("l.")}) AS vu
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       WHERE s.s_nationkey < 13
       GROUP BY l.l_partkey
-    )
-    SELECT l_partkey, value FROM val
-    WHERE value > (SELECT 1.4 * avg(value) FROM val)
+    ),
+    tot AS (SELECT count(*) AS n, sum(vu) AS sv FROM val)
+    SELECT l_partkey, {duck_dec2d("vu")} / 10000.0 AS value
+    FROM val, tot
+    WHERE vu * 10 * n > 14 * sv
     """,
     category="aggregates",
 )
@@ -2027,24 +2137,27 @@ def tpch_q11_shape(spark, sf_dir):
     OF THE AVERAGE part value (1.4x) rather than a fraction of the
     total, so the query stays selective and nonvacuous at every scale
     factor (a fixed fraction of total goes vacuous as the part count
-    grows — verified at the 10x corpus); the compared values are the
-    already-rounded per-part sums."""
+    grows — verified at the 10x corpus). Both the per-part values and
+    the 1.4x-average threshold comparison are exact integers:
+    value_u * 10 * n_parts > 14 * sum(value_u) — no float average
+    anywhere, so the threshold boundary cannot drift with merge
+    order."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
     val = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("value")
-        )
+        .agg(F.sum(_rev_u()).alias("vu"))
     )
-    total = val.agg((F.avg("value") * F.lit(1.4)).alias("__thr"))
+    total = val.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("vu").alias("__sv")
+    )
     return (
         val.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("__thr"))
-        .select("l_partkey", "value")
+        .filter(F.col("vu") * 10 * F.col("__n") > 14 * F.col("__sv"))
+        .select(
+            "l_partkey", (F.expr(spark_dec2d("vu")) / 10000.0).alias("value")
+        )
     )
 
 
@@ -2121,41 +2234,42 @@ def tpch_q13_shape(spark, sf_dir):
     "tpch_q15_shape",
     oracle="""
     WITH rev AS (
-      SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      SELECT l_suppkey AS supplier_no, sum({vu}) AS vu
       FROM lineitem
       WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name, {vud} / 10000.0 AS total_revenue
     FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
-    """,
+    WHERE r.vu = (SELECT max(vu) FROM rev)
+    """.format(vu=_duck_rev_u(), vud=duck_dec2d("r.vu")),
     category="aggregates",
 )
 def tpch_q15_shape(spark, sf_dir):
     """TPC-H Q15 shape (top supplier): the revenue "view" computed
     once and consumed twice — per-supplier quarterly revenue, its max
     (a broadcast 1-row aggregate), and the equality filter returning
-    the argmax supplier(s). The equality compares ROUNDED revenues, so
-    both engines pick the identical winner even though the raw double
-    sums carry order noise below the rounding grain."""
+    the argmax supplier(s). The equality compares EXACT integer
+    revenue sums (_rev_u), so both engines pick the identical winner
+    at any scale and merge order."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
     )
     s = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("total_revenue")
+        F.sum(_rev_u()).alias("vu")
     )
-    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    mx = rev.agg(F.max("vu").alias("__mx"))
     return (
         s.join(rev, s.s_suppkey == rev.supplier_no)
         .join(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("__mx"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .filter(F.col("vu") == F.col("__mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.expr(spark_dec2d("vu")) / 10000.0).alias("total_revenue"),
+        )
     )
 
 
@@ -2331,8 +2445,7 @@ def tpch_q21_shape(spark, sf_dir):
       FROM customer WHERE c_acctbal > 0
     )
     SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
-           round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
-             AS totacctbal
+           {tot} / 100.0 AS totacctbal
     FROM customer c, bal
     WHERE c.c_nationkey IN (0,1,2,3,4,5,6)
       AND CAST(round(c.c_acctbal * 100) AS BIGINT) * bal.cnt > bal.cents
@@ -2340,7 +2453,9 @@ def tpch_q21_shape(spark, sf_dir):
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= '1999-01-01')
     GROUP BY c.c_nationkey
-    """,
+    """.format(
+        tot=duck_dec2d("sum(CAST(round(c.c_acctbal * 100) AS BIGINT))")
+    ),
     category="aggregates",
 )
 def tpch_q22_shape(spark, sf_dir):
@@ -2378,7 +2493,12 @@ def tpch_q22_shape(spark, sf_dir):
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(centsD) / 100.0, 2).alias("totacctbal"),
+            F.sum(centsD).alias("bal_c"),
+        )
+        .select(
+            "cntrycode",
+            "numcust",
+            (F.expr(spark_dec2d("bal_c")) / 100.0).alias("totacctbal"),
         )
     )
 

@@ -16,7 +16,16 @@ from bigdata_financial_reporting_spark.operators.asof import asof_join
 from bigdata_financial_reporting_spark.queries.ops_tools import (
     DUCK_SCD2_DIM,
 )
-from bigdata_financial_reporting_spark.functions.exact import duck_dec2d, spark_dec2d
+from bigdata_financial_reporting_spark.functions.exact import (
+    cents,
+    duck_cents,
+    duck_dec2d,
+    duck_half_div,
+    duck_units,
+    micro_units,
+    spark_dec2d,
+    spark_half_div,
+)
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 
@@ -126,8 +135,10 @@ def join_anti(spark, sf_dir):
 
 @register(
     "join_broadcast_dims",
-    oracle="""
-    SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS acctbal_sum
+    oracle=f"""
+    SELECT r_name, n_name, count(*) AS n_cust,
+           {duck_dec2d("sum(" + duck_cents("c_acctbal") + ")")} / 100.0
+             AS acctbal_sum
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -137,7 +148,8 @@ def join_anti(spark, sf_dir):
 )
 def join_broadcast_dims(spark, sf_dir):
     """Star join: fact side never shuffles for the join — both dims are
-    broadcast (the 100 TB pattern for small dimensions)."""
+    broadcast (the 100 TB pattern for small dimensions). The balance
+    sum runs in exact integer cents (order-independent merge)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -147,7 +159,13 @@ def join_broadcast_dims(spark, sf_dir):
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 4).alias("acctbal_sum"),
+            F.sum(cents(F.col("c_acctbal"))).alias("bal_c"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            "n_cust",
+            (F.expr(spark_dec2d("bal_c")) / 100.0).alias("acctbal_sum"),
         )
     )
 
@@ -278,12 +296,15 @@ def join_fuzzy_levenshtein(spark, sf_dir):
              TIMESTAMP '2024-01-01' + (o_orderkey % 25) * INTERVAL 1 DAY AS w_start
       FROM orders
     )
-    SELECT o_orderkey, count(*) AS n_events, round(sum(value), 4) AS value_sum
+    SELECT o_orderkey, count(*) AS n_events,
+           CAST({vs} AS DOUBLE) / 10000.0 AS value_sum
     FROM w JOIN events
       ON user_id = o_custkey
      AND ts >= w_start AND ts < w_start + INTERVAL 2 DAY
     GROUP BY o_orderkey
-    """,
+    """.format(
+        vs=duck_half_div("sum(" + duck_units("value") + ")", "100")
+    ),
     category="joins",
 )
 def join_interval_containment(spark, sf_dir):
@@ -312,7 +333,14 @@ def join_interval_containment(spark, sf_dir):
         .groupBy("o_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.sum(micro_units(F.col("value"))).alias("s_u"),
+        )
+        .select(
+            "o_orderkey",
+            "n_events",
+            (
+                F.expr(spark_half_div("s_u", "100")).cast("double") / 10000.0
+            ).alias("value_sum"),
         )
     )
 
@@ -401,10 +429,13 @@ def join_self(spark, sf_dir):
                + INTERVAL 2 DAY AS w_end
       FROM orders WHERE o_orderkey < 1000
     )
-    SELECT o_orderkey, count(*) AS n_events, round(sum(value), 4) AS value_sum
+    SELECT o_orderkey, count(*) AS n_events,
+           CAST({vs} AS DOUBLE) / 10000.0 AS value_sum
     FROM w JOIN events ON ts >= w_start AND ts < w_end
     GROUP BY o_orderkey
-    """,
+    """.format(
+        vs=duck_half_div("sum(" + duck_units("value") + ")", "100")
+    ),
     category="joins",
 )
 def join_range_banded(spark, sf_dir):
@@ -430,9 +461,19 @@ def join_range_banded(spark, sf_dir):
     ).withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 DAYS"))
     e = load_table(spark, sf_dir, "events").select("ts", "value")
     j = banded_range_join(e, w, "ts", "w_start", "w_end", band_seconds=86400)
-    return j.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("value_sum"),
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micro_units(F.col("value"))).alias("s_u"),
+        )
+        .select(
+            "o_orderkey",
+            "n_events",
+            (
+                F.expr(spark_half_div("s_u", "100")).cast("double") / 10000.0
+            ).alias("value_sum"),
+        )
     )
 
 
@@ -547,7 +588,9 @@ def join_lateral_topn(spark, sf_dir):
     SELECT f.user_id, d.state,
            strftime(d.valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
            count(*) AS n_events,
-           round(sum(f.value), 4) AS value_sum
+           CAST("""
+    + duck_half_div("sum(" + duck_units("f.value") + ")", "100")
+    + """ AS DOUBLE) / 10000.0 AS value_sum
     FROM events f
     JOIN scd2_dim d
       ON f.user_id = d.user_id
@@ -583,15 +626,23 @@ def join_point_in_time_scd2(spark, sf_dir):
         & (F.col("ts") >= F.col("valid_from"))
         & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
     )
-    return j.groupBy("user_id", "state", "valid_from").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("value_sum"),
-    ).select(
-        "user_id",
-        "state",
-        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
-        "n_events",
-        "value_sum",
+    return (
+        j.groupBy("user_id", "state", "valid_from")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micro_units(F.col("value"))).alias("s_u"),
+        )
+        .select(
+            "user_id",
+            "state",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+                "valid_from"
+            ),
+            "n_events",
+            (
+                F.expr(spark_half_div("s_u", "100")).cast("double") / 10000.0
+            ).alias("value_sum"),
+        )
     )
 
 

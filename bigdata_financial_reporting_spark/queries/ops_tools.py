@@ -6,6 +6,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from bigdata_financial_reporting_spark.functions.exact import (
+    cents,
+    duck_cents,
+    duck_dec2d,
+    duck_half_div,
+    duck_units,
+    micro_units,
+    spark_dec2d,
+    spark_half_div,
+)
 from bigdata_financial_reporting_spark.operators.profile import profile_table
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
@@ -98,9 +108,10 @@ def ops_validate_quality(spark, sf_dir):
 
 @register(
     "ops_compact_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT c_nationkey, count(*) AS n,
-           round(sum(c_acctbal), 4) AS acctbal
+           {duck_dec2d("sum(" + duck_cents("c_acctbal") + ")")} / 100.0
+             AS acctbal
     FROM customer GROUP BY c_nationkey
     """,
     category="ops",
@@ -125,9 +136,17 @@ def ops_compact_roundtrip(spark, sf_dir):
     c.repartition(16).write.mode("overwrite").parquet(path)
     compact_parquet(spark, path, target_file_bytes=256 * 1024 * 1024)
     back = spark.read.parquet(path)
-    return back.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("c_acctbal"), 4).alias("acctbal"),
+    return (
+        back.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("c_acctbal"))).alias("bal_c"),
+        )
+        .select(
+            "c_nationkey",
+            "n",
+            (F.expr(spark_dec2d("bal_c")) / 100.0).alias("acctbal"),
+        )
     )
 
 
@@ -306,10 +325,12 @@ def ops_zorder_layout(spark, sf_dir):
     oracle="""
     SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST({vs} AS DOUBLE) / 10000.0 AS sum_value
     FROM events
     GROUP BY user_id, strftime(ts, '%Y-%m-%d')
-    """,
+    """.format(
+        vs=duck_half_div("sum(" + duck_units("value") + ")", "100")
+    ),
     category="ops",
 )
 def ops_incremental_rollup_refresh(spark, sf_dir):
@@ -327,9 +348,18 @@ def ops_incremental_rollup_refresh(spark, sf_dir):
     daily = lambda df: (  # noqa: E731
         df.groupBy(
             "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
-        ).agg(
+        )
+        .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(micro_units(F.col("value"))).alias("s_u"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            (
+                F.expr(spark_half_div("s_u", "100")).cast("double") / 10000.0
+            ).alias("sum_value"),
         )
     )
     path = _scratch_path("rollup_refresh", "events_daily")
@@ -452,12 +482,14 @@ def ops_cdc_apply(spark, sf_dir):
     v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM appended)
     SELECT 1 AS version,
            (SELECT count(*) FROM v1) AS n_rows,
-           (SELECT round(sum(c_acctbal), 4) FROM v1) AS acctbal_sum
+           (SELECT {bal1} / 100.0 FROM v1) AS acctbal_sum
     UNION ALL
     SELECT 2,
            (SELECT count(*) FROM v2),
-           (SELECT round(sum(c_acctbal), 4) FROM v2)
-    """,
+           (SELECT {bal1} / 100.0 FROM v2)
+    """.format(
+        bal1=duck_dec2d("sum(" + duck_cents("c_acctbal") + ")")
+    ),
     category="ops",
 )
 def ops_time_travel_versions(spark, sf_dir):
@@ -498,8 +530,12 @@ def ops_time_travel_versions(spark, sf_dir):
         return df.agg(
             F.lit(version).alias("version"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("c_acctbal"), 4).alias("acctbal_sum"),
-        ).select("version", "n_rows", "acctbal_sum")
+            F.sum(cents(F.col("c_acctbal"))).alias("bal_c"),
+        ).select(
+            "version",
+            "n_rows",
+            (F.expr(spark_dec2d("bal_c")) / 100.0).alias("acctbal_sum"),
+        )
 
     return summary(v1).unionByName(summary(v2))
 

@@ -6,6 +6,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_financial_reporting_spark.functions.exact import (
+    duck_cents,
+    duck_dec2d,
+    duck_units,
+    spark_cents_sql,
+    spark_dec2d,
+    spark_units_sql,
+)
 from bigdata_financial_reporting_spark.operators.topk import top_k_per_group
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
@@ -468,9 +476,10 @@ def sql_pipe_syntax(spark, sf_dir):
 
 @register(
     "sql_session_variables",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 4) AS revenue
+           {duck_dec2d("sum(" + duck_cents("o_totalprice") + ")")} / 100.0
+             AS revenue
     FROM orders
     WHERE o_totalprice BETWEEN 50000 AND 200000
     GROUP BY o_orderpriority
@@ -482,15 +491,16 @@ def sql_session_variables(spark, sf_dir):
     queries without string interpolation — the variables resolve at
     plan time to foldable constants, so the filter still pushes into
     the scan exactly as a literal would. The oracle inlines the same
-    constants."""
+    constants; the revenue sum runs in exact integer cents."""
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("bdfr_orders_vars")
     spark.sql("DECLARE OR REPLACE VARIABLE bdfr_lo DOUBLE DEFAULT 50000.0")
     spark.sql("DECLARE OR REPLACE VARIABLE bdfr_hi DOUBLE DEFAULT 200000.0")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority, count(*) AS n,
-               round(sum(o_totalprice), 4) AS revenue
+               {spark_dec2d("sum(" + spark_cents_sql("o_totalprice") + ")")}
+                 / 100.0 AS revenue
         FROM bdfr_orders_vars
         WHERE o_totalprice BETWEEN bdfr_lo AND bdfr_hi
         GROUP BY o_orderpriority
@@ -508,14 +518,15 @@ def sql_session_variables(spark, sf_dir):
       WHERE day < last_day
     ),
     daily AS (
-      SELECT ts::DATE AS day, count(*) AS n, round(sum(value), 6) AS v
+      SELECT ts::DATE AS day, count(*) AS n,
+             {v} / 1000000.0 AS v
       FROM events WHERE event_type = 'purchase' GROUP BY ts::DATE
     )
     SELECT strftime(s.day, '%Y-%m-%d') AS day,
            coalesce(d.n, 0) AS n_purchases,
-           round(coalesce(d.v, 0.0), 6) AS total_value
+           coalesce(d.v, 0.0) AS total_value
     FROM spine s LEFT JOIN daily d ON s.day = d.day
-    """,
+    """.format(v=duck_dec2d("sum(" + duck_units("value") + ")")),
     category="relational",
 )
 def sql_recursive_cte_spine(spark, sf_dir):
@@ -535,8 +546,9 @@ def sql_recursive_cte_spine(spark, sf_dir):
     WITH RECURSIVE text."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("bdfr_events_rec")
+    v = spark_dec2d("sum(" + spark_units_sql("value") + ")")
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE spine(day, last_day) AS (
           SELECT min(CAST(ts AS DATE)), max(CAST(ts AS DATE))
           FROM bdfr_events_rec
@@ -546,13 +558,13 @@ def sql_recursive_cte_spine(spark, sf_dir):
         ),
         daily AS (
           SELECT CAST(ts AS DATE) AS day, count(*) AS n,
-                 round(sum(value), 6) AS v
+                 {v} / 1000000.0 AS v
           FROM bdfr_events_rec WHERE event_type = 'purchase'
           GROUP BY CAST(ts AS DATE)
         )
         SELECT date_format(s.day, 'yyyy-MM-dd') AS day,
                coalesce(d.n, 0) AS n_purchases,
-               round(coalesce(d.v, 0.0), 6) AS total_value
+               coalesce(d.v, 0.0) AS total_value
         FROM spine s LEFT JOIN daily d ON s.day = d.day
         """
     )
@@ -596,8 +608,9 @@ def union_by_name_missing(spark, sf_dir):
 
 @register(
     "sql_group_by_all",
-    oracle="""
-    SELECT r_name, n.n_name, count(*) AS n_sup, round(sum(s_acctbal), 4) AS bal
+    oracle=f"""
+    SELECT r_name, n.n_name, count(*) AS n_sup,
+           {duck_dec2d("sum(" + duck_cents("s_acctbal") + ")")} / 100.0 AS bal
     FROM region r
     JOIN nation n ON r.r_regionkey = n.n_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -615,9 +628,10 @@ def sql_group_by_all(spark, sf_dir):
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
     load_table(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
     return spark.sql(
-        """
+        f"""
         SELECT r_name, n.n_name, count(*) AS n_sup,
-               round(sum(s_acctbal), 4) AS bal
+               {spark_dec2d("sum(" + spark_cents_sql("s_acctbal") + ")")}
+                 / 100.0 AS bal
         FROM v_region r
         JOIN v_nation n ON r.r_regionkey = n.n_regionkey
         JOIN v_supplier s ON s.s_nationkey = n.n_nationkey
@@ -659,9 +673,10 @@ def sql_named_parameters(spark, sf_dir):
 
 @register(
     "sql_execute_immediate",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 4) AS total
+           {duck_dec2d("sum(" + duck_cents("o_totalprice") + ")")} / 100.0
+             AS total
     FROM orders
     WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
@@ -680,7 +695,8 @@ def sql_execute_immediate(spark, sf_dir):
     )
     stmt = (
         "SELECT o_orderpriority, count(*) AS n, "
-        "round(sum(o_totalprice), 4) AS total "
+        + spark_dec2d("sum(" + spark_cents_sql("o_totalprice") + ")")
+        + " / 100.0 AS total "
         "FROM v_orders_dyn WHERE o_orderstatus = 'F' "
         "GROUP BY o_orderpriority"
     )

@@ -13,6 +13,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from bigdata_financial_reporting_spark.functions import exact as _exact
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import TABLE_SCHEMAS, load_table
 from bigdata_financial_reporting_spark.sources.readers import read_csv, read_json
@@ -235,10 +236,14 @@ def src_schema_evolution_merge(spark, sf_dir):
     oracle="""
     SELECT c.c_nationkey,
            count(*) AS n_orders,
-           round(sum(o.o_totalprice), 4) AS revenue
+           {rev} / 100.0 AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_nationkey
-    """,
+    """.format(
+        rev=_exact.duck_dec2d(
+            "sum(" + _exact.duck_cents("o.o_totalprice") + ")"
+        )
+    ),
     category="sources",
 )
 def src_bucketed_colocated_join(spark, sf_dir):
@@ -268,9 +273,17 @@ def src_bucketed_colocated_join(spark, sf_dir):
         spark.table("bdfr_q_customer"),
         F.col("o_custkey") == F.col("c_custkey"),
     )
-    return joined.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_exact.cents(F.col("o_totalprice"))).alias("rev_c"),
+        )
+        .select(
+            "c_nationkey",
+            "n_orders",
+            (F.expr(_exact.spark_dec2d("rev_c")) / 100.0).alias("revenue"),
+        )
     )
 
 
