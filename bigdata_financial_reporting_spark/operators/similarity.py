@@ -1431,3 +1431,153 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+#: Hard cap on a layer's membership for ``hnsw_upper_layer_graph`` —
+#: the layer corpus is collected and broadcast (the
+#: _cosine_topk_vectorized pattern), so a mis-tuned min_layer on a
+#: huge corpus must fail loudly, not OOM the driver. 200k x 64 int64
+#: is ~100 MB broadcast — the comfortable ceiling.
+HNSW_LAYER_CAP = 200_000
+
+
+def hnsw_upper_layer_graph(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_layer: int = 4,
+    max_layer: int = 6,
+    k: int = 3,
+    cap: int = HNSW_LAYER_CAP,
+) -> DataFrame:
+    """HNSW-style upper-layer navigable graph, exactly.
+
+    HNSW assigns each node a geometric maximum level; level >= l holds
+    w.p. 2^-l, and the layer-l graph links each member to its nearest
+    members. This operator builds the EXACT layer graphs for the upper
+    (routing) levels — the part of HNSW that is small enough to compute
+    exactly and that determines routing quality; layer-0 linking over
+    the full corpus is the regime the banded/IVF operators own.
+
+    Determinism (engine-neutral, no RNG): the level comes from the
+    fixed odd-multiplier hash h = (id * 2654435761) mod 2^32 — member
+    of layer l iff h % 2^l == 0 (trailing-zero geometric levels, the
+    skip-list construction). Vectors micro-quantize to int64, so every
+    dot product and squared norm is an exact integer < 2^53 (64 dims x
+    (2e6)^2 = 2.6e14), the per-pair cosine = dot / sqrt(nq_a * nq_b)
+    is ONE identical IEEE sequence on any engine, and ranking (cosine
+    desc, neighbor id asc) is bit-stable under any partitioning — the
+    same exact-integer-matmul argument as ``_lsh_band_buckets_arrow``.
+
+    Plan shape per layer: the member set (n / 2^l rows, cap-guarded)
+    is collected and broadcast; the same member set streams through
+    ``mapInPandas``, each Arrow batch scoring against the broadcast
+    matrix in one exact integer BLAS call and keeping its own top-k —
+    no shuffle of pairs, no cartesian. At 100 TB you raise min_layer
+    (deeper levels shrink 2x per step) until the layer fits the cap.
+
+    Returns ``layer, vec_id, rank, neighbor_id, cosine`` (cosine
+    unrounded — callers render).
+    """
+    import numpy as np
+
+    if min_layer < 1 or max_layer < min_layer or k < 1:
+        raise ValueError("need 1 <= min_layer <= max_layer and k >= 1")
+    spark = df.sparkSession
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                vec_col,
+                lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+            ).alias("qv"),
+        )
+        .withColumn(
+            # wrap-free on both engines: id reduces mod the prime
+            # 1000000007 BEFORE the odd-multiplier product, so the
+            # product peaks at ~2.65e18 < int64 max (an unreduced
+            # 64-bit id * 2654435761 overflows — Spark would wrap
+            # silently with ANSI off while DuckDB raises: the
+            # int64-overflow divergence class)
+            "h",
+            F.pmod(
+                F.pmod(F.col("id"), F.lit(1000000007)) * F.lit(2654435761),
+                F.lit(4294967296),
+            ),
+        )
+        .withColumn(
+            "nq",
+            F.aggregate(
+                "qv", F.lit(0).cast("long"), lambda a, x: a + x * x
+            ),
+        )
+        .filter(F.col("nq") > 0)  # zero vectors have no cosine
+    )
+    out_schema = (
+        "layer int, vec_id long, rank int, neighbor_id long, cosine double"
+    )
+    parts = []
+    for layer in range(min_layer, max_layer + 1):
+        members = base.filter(F.col("h") % (2**layer) == 0).select(
+            "id", "qv", "nq"
+        )
+        # bounded collect: n / 2^layer rows, cap-guarded (see cap doc)
+        rows = members.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"hnsw_upper_layer_graph: layer {layer} has >{cap} members"
+                " — raise min_layer (each level halves the population)"
+            )
+        if len(rows) < 2:
+            continue
+        c_ids = np.array([r.id for r in rows], dtype=np.int64)
+        c_mat = np.array([list(r.qv) for r in rows], dtype=np.float64)
+        c_nq = np.array([r.nq for r in rows], dtype=np.float64)
+        bcast = spark.sparkContext.broadcast((c_ids, c_mat, c_nq))
+
+        def score(batches, _b=bcast, _layer=layer, _k=k):
+            import pandas as pd
+
+            cids, cmat, cnq = _b.value
+            m = len(cids)
+            chunk = max(1, int(4e7) // max(1, m))
+            for pdf in batches:
+                start = 0
+                while start < len(pdf):
+                    sl = pdf.iloc[start : start + chunk]
+                    start += chunk
+                    if sl.empty:
+                        continue
+                    qids = sl["id"].to_numpy()
+                    qmat = np.stack(sl["qv"].to_numpy()).astype(np.float64)
+                    qnq = sl["nq"].to_numpy().astype(np.float64)
+                    dots = qmat @ cmat.T  # exact: integer-valued < 2^53
+                    cos = dots / np.sqrt(np.outer(qnq, cnq))
+                    out = {
+                        "layer": [],
+                        "vec_id": [],
+                        "rank": [],
+                        "neighbor_id": [],
+                        "cosine": [],
+                    }
+                    for i in range(len(qids)):
+                        row = cos[i]
+                        mask = cids != qids[i]
+                        order = np.lexsort((cids[mask], -row[mask]))[:_k]
+                        n_ids = cids[mask][order]
+                        n_cos = row[mask][order]
+                        r_n = len(order)
+                        out["layer"].extend([_layer] * r_n)
+                        out["vec_id"].extend([qids[i]] * r_n)
+                        out["rank"].extend(range(1, r_n + 1))
+                        out["neighbor_id"].extend(n_ids)
+                        out["cosine"].extend(n_cos)
+                    yield pd.DataFrame(out)
+
+        parts.append(members.mapInPandas(score, out_schema))
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res

@@ -417,6 +417,11 @@ DEFER_NEW: frozenset[str] = frozenset(
         "fin_momentum_rank",
         "quality_perplexity_bucket",
         "emb_signbit_fingerprint",
+        # round-10 additions: two unseen keys take 2 slots after the
+        # RECHECK_FIRST retrofit re-checks; the seen-tier staleness
+        # drain keeps the rest of the ~50-key budget
+        "stat_anova_two_way",
+        "sim_hnsw_upper_graph",
     }
 )
 

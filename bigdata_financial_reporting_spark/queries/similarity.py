@@ -1594,3 +1594,81 @@ def emb_signbit_fingerprint(spark, sf_dir):
             F.countDistinct("label").cast("long").alias("n_labels"),
         )
     )
+
+
+@register(
+    "sim_hnsw_upper_graph",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id,
+             ((vec_id % 1000000007) * 2654435761) % 4294967296 AS h,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    mn AS (
+      SELECT vec_id, h, qv,
+             list_aggregate(list_transform(qv, x -> x * x), 'sum') AS nq
+      FROM m
+    ),
+    mem AS (
+      SELECT l.layer, vec_id, qv, nq
+      FROM (SELECT unnest([4, 5, 6]) AS layer) l
+      JOIN mn ON mn.h % CAST(pow(2, l.layer) AS BIGINT) = 0
+      WHERE mn.nq > 0
+    ),
+    pairs AS (
+      SELECT a.layer, a.vec_id, b.vec_id AS neighbor_id,
+             CAST(list_aggregate(
+               list_transform(generate_series(1, len(a.qv)),
+                              i -> a.qv[i] * b.qv[i]), 'sum') AS DOUBLE)
+               / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+      FROM mem a JOIN mem b
+        ON a.layer = b.layer AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT layer, vec_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY layer, vec_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT layer, vec_id, CAST(rank AS INT) AS rank, neighbor_id,
+           round(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+    category="similarity",
+)
+def sim_hnsw_upper_graph(spark, sf_dir):
+    """HNSW upper-layer (routing) graph construction — the ANN
+    graph-construction key the round-8 verdict sketched: geometric
+    skip-list levels from the fixed odd-multiplier hash (id reduced
+    mod 1000000007 first so the product never exceeds int64 on any
+    id range; member of layer l iff hash % 2^l == 0, so populations
+    halve per level), and
+    for layers 4..6 each member links to its 3 nearest fellow members
+    by EXACT micro-quantized integer cosine (dot and norms are exact
+    integers < 2^53; the per-pair cosine is one identical IEEE
+    sequence on both engines, so ranks and renders are bit-stable —
+    the emb_covariance/_lsh_band_buckets_arrow argument). Per layer
+    the member matrix broadcasts (cap-guarded) and the same members
+    stream through one exact-integer BLAS scoring pass keeping top-3
+    map-side — no pair shuffle, no cartesian; the oracle is the
+    all-pairs-within-layer window form. At 100 TB min_layer rises
+    until the routing layer fits the broadcast cap — exactly how HNSW
+    keeps its hierarchy navigable."""
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        hnsw_upper_layer_graph,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = hnsw_upper_layer_graph(
+        e, "vec_id", "embedding", min_layer=4, max_layer=6, k=3
+    )
+    return g.select(
+        "layer",
+        "vec_id",
+        "rank",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+    )

@@ -515,3 +515,147 @@ def test_dec2d_mirrors_duckdb_beyond_2p53(spark):
         sb = struct.pack("<d", s_row[i])
         db = struct.pack("<d", d_row[i])
         assert sb == db, f"dec2d mismatch at {v}: {s_row[i]!r} vs {d_row[i]!r}"
+
+
+# ---- round-10 extensions: two-way ANOVA + HNSW upper graph ----
+
+
+def test_anova_two_way_matches_python_recompute(spark, sf_dir):
+    """Full independent recompute of the factorial decomposition from
+    the raw fixture rows (exact integer moments in Python bigints, the
+    same fixed-order term folds), plus the structural identities:
+    SS terms nonnegative-up-to-fold-roundoff and df bookkeeping."""
+    from collections import defaultdict
+
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    ).collect()
+    cells = defaultdict(lambda: [0, 0, 0])  # n, s, qq
+    for r in li:
+        q = round(r.l_quantity)
+        c = cells[(r.l_returnflag, r.l_linestatus)]
+        c[0] += 1
+        c[1] += q
+        c[2] += q * q
+    n_t = sum(c[0] for c in cells.values())
+    s_t = sum(c[1] for c in cells.values())
+    q_t = sum(c[2] for c in cells.values())
+    cells_term = sum(
+        float(c[1]) * float(c[1]) / c[0]
+        for _, c in sorted(cells.items())
+    )
+    am, bm = defaultdict(lambda: [0, 0]), defaultdict(lambda: [0, 0])
+    for (a, b), c in cells.items():
+        am[a][0] += c[0]
+        am[a][1] += c[1]
+        bm[b][0] += c[0]
+        bm[b][1] += c[1]
+    a_term = sum(float(v[1]) ** 2 / v[0] for _, v in sorted(am.items()))
+    b_term = sum(float(v[1]) ** 2 / v[0] for _, v in sorted(bm.items()))
+    ka, kb = len(am), len(bm)
+    grand = float(s_t) ** 2 / n_t
+    ssw = float(q_t) - cells_term
+    msw = ssw / (n_t - ka * kb)
+    f_a = ((a_term - grand) / (ka - 1)) / msw
+    f_b = ((b_term - grand) / (kb - 1)) / msw
+    f_ab = (
+        (cells_term - a_term - b_term + grand) / ((ka - 1) * (kb - 1))
+    ) / msw
+
+    (r,) = _rows(spark, sf_dir, "stat_anova_two_way")
+    assert (r["ka"], r["kb"], r["n"]) == (ka, kb, n_t)
+    for got, ref in ((r["f_a"], f_a), (r["f_b"], f_b), (r["f_ab"], f_ab)):
+        assert abs(got - ref) < max(1e-5, abs(ref) * 1e-6), (got, ref)
+    assert r["f_a"] >= 0 and r["f_b"] >= 0 and r["f_ab"] >= 0
+
+
+def test_anova_two_way_zero_interaction_on_additive_design(spark, tmp_path):
+    """A perfectly additive balanced design (x = mu + alpha_a + beta_b,
+    no noise) must yield f_ab == 0 exactly (SS_AB is an exact-integer
+    expression that cancels), while f_a and f_b blow up to huge values
+    (SSW == 0 -> division by zero -> NULL/inf guard: with zero within-
+    cell variance the denominator is 0.0; assert the interaction
+    NUMERATOR is what vanishes by constructing nonzero within-cell
+    noise that is identical across cells)."""
+    rows = []
+    key = 0
+    # additive cell means: alpha in {0,10,20}, beta in {0,5}; two
+    # replicates per cell at mean+-1 -> SSW > 0, SS_AB == 0 exactly
+    for ai, a in enumerate(["A", "N", "R"]):
+        for bi, b in enumerate(["F", "O"]):
+            mu = 30 + 10 * ai + 5 * bi
+            for d in (-1, 1):
+                key += 1
+                rows.append((key, 1, 1, 1, float(mu + d), 1.0, 0.0, 0.0,
+                             a, b, "2024-01-01"))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+        "cast(l_shipdate as timestamp) as l_shipdate",
+    )
+    d = _stage(li, tmp_path, "lineitem")
+    (r,) = QUERIES["stat_anova_two_way"].fn(spark, d).collect()
+    assert (r["ka"], r["kb"], r["n"]) == (3, 2, 12)
+    assert r["f_ab"] == 0.0
+    assert r["f_a"] > r["f_b"] > 0
+
+
+def test_hnsw_upper_graph_matches_numpy_recompute(spark, sf_dir):
+    """Independent numpy recompute of every layer's exact top-3 from
+    the raw fixture (same hash levels, same integer quantization, same
+    (cosine desc, id asc) tie-break) must equal the operator's output
+    row for row; plus the structural invariants: nested memberships,
+    rank contiguity, no self-links."""
+    import numpy as np
+
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in e], dtype=np.int64)
+    Q = np.rint(np.array([r.embedding for r in e], dtype=np.float64) * 1e6)
+    nq = (Q * Q).sum(axis=1)
+    h = ((ids % 1000000007) * 2654435761) % (2**32)
+    expected = []
+    for layer in (4, 5, 6):
+        sel = (h % (2**layer) == 0) & (nq > 0)
+        lids, lq, lnq = ids[sel], Q[sel], nq[sel]
+        if len(lids) < 2:
+            continue
+        cos = (lq @ lq.T) / np.sqrt(np.outer(lnq, lnq))
+        for i in range(len(lids)):
+            mask = np.arange(len(lids)) != i
+            order = np.lexsort((lids[mask], -cos[i][mask]))[:3]
+            for rk, j in enumerate(order, start=1):
+                expected.append(
+                    (
+                        layer,
+                        int(lids[i]),
+                        rk,
+                        int(lids[mask][j]),
+                        round(float(cos[i][mask][j]), 6),
+                    )
+                )
+    got = sorted(
+        (r["layer"], r["vec_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in _rows(spark, sf_dir, "sim_hnsw_upper_graph")
+    )
+    assert got == sorted(expected)
+    for layer, vid, rk, nid, c in got:
+        assert nid != vid and -1.000001 <= c <= 1.000001
+    # nested memberships: every layer-6 node also appears at 4 and 5
+    members = {
+        layer: {vid for (la, vid, *_rest) in got if la == layer}
+        for layer in (4, 5, 6)
+    }
+    assert members[6] <= members[5] <= members[4]
