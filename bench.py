@@ -67,6 +67,9 @@ HEADLINE = [
     "dedup_embedding_cosine",     # production-threshold LSH near-dup (r=10)
     "agg_regression_family",      # exact-integer OLS moment family
     "fin_momentum_rank",          # per-day cross-sectional quintiles
+    # round-10 additions (first benched r10 — no prior-round baseline)
+    "stat_anova_two_way",         # factorial ANOVA on exact cell moments
+    "sim_hnsw_upper_graph",       # exact HNSW routing-layer kNN graphs
 ]
 
 
