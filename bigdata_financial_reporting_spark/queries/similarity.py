@@ -1117,14 +1117,29 @@ def emb_kmeans_lloyd_step(spark, sf_dir):
     """One Lloyd (k-means) iteration, distributed and EXACT: assign
     every vector to the nearest of k=8 seed centroids (the first 8
     vectors — deterministic seeding), then recompute centroids as
-    per-cluster means. All distance arithmetic runs on micro-quantized
-    integer components (zip_with + integer fold — |xq| ~ 1e6 keeps the
-    64-term squared sums far inside int64), ties break on the lowest
-    centroid id, and the new centroids render as exact integer
-    micro-units via half-away division — no float anywhere, so the
-    step is bit-reproducible at any scale. The corpus scans once; the
-    shuffle carries (cluster, pos, partial) rows only. Full k-means =
-    this step iterated from the emitted centroids."""
+    per-cluster means on micro-quantized integers, rendered via
+    half-away division — no order-dependent float anywhere.
+
+    Round-10 vectorization (the _lsh_band_buckets_arrow argument): the
+    assignment pass previously evaluated k x 64 interpreted
+    zip_with/aggregate lambdas per row and fed a posexplode into a
+    64 x N-row shuffle. Now each Arrow batch computes every distance
+    in ONE integer-valued float64 matmul — d = |x|^2 - 2 x.C^T + |c|^2,
+    every term an exact integer below 2^53 (64 x (4e6)^2 ~ 1e15), so
+    argmin is exact and batch-independent; ties break on the lowest
+    centroid id because the seed rows are sorted by id and argmin
+    returns the first minimum. Per-batch per-cluster column sums are
+    exact int64 (<= 4e6 x batch), so the shuffle carries k x 64
+    partial rows PER BATCH instead of 64 rows per vector — the
+    mergeable-moments shape of emb_covariance_matrix; the final
+    decimal(38,0) merge keeps the global sums exact at any scale.
+    Full k-means = this step iterated from the emitted centroids."""
+    import numpy as np
+
+    from bigdata_financial_reporting_spark.functions.exact import (
+        spark_half_div,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -1132,38 +1147,48 @@ def emb_kmeans_lloyd_step(spark, sf_dir):
             lambda x: F.round(x.cast("double") * 1000000).cast("long"),
         ).alias("xq"),
     )
+    # bounded collect: the k=8 seed rows
     seeds = sorted(
         (r["vec_id"], r["xq"]) for r in emb.filter(F.col("vec_id") < 8).collect()
     )
-    zero = F.lit(0).cast("long")
+    cids = np.array([cid for cid, _ in seeds], dtype=np.int64)
+    cmat = np.array([list(cq) for _, cq in seeds], dtype=np.float64)
+    c2 = (cmat * cmat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((cids, cmat, c2))
 
-    def dist2_to(cent):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in cent])
-        return F.aggregate(
-            F.zip_with(F.col("xq"), arr, lambda a, b: (a - b) * (a - b)),
-            zero,
-            lambda acc, x: acc + x,
-        )
+    def partial_moments(batches):
+        import pandas as pd
 
-    choices = F.array(
-        *[
-            F.struct(dist2_to(cq).alias("d"), F.lit(int(cid)).alias("c"))
-            for cid, cq in seeds
-        ]
-    )
-    assigned = emb.withColumn("cluster", F.array_min(choices)["c"])
-    g = (
-        assigned.select("cluster", F.posexplode("xq").alias("pos", "x"))
-        .groupBy("cluster", "pos")
-        .agg(
-            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    from bigdata_financial_reporting_spark.functions.exact import (
-        spark_half_div,
-    )
+        cids_, cmat_, c2_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            xi = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
+            xf = xi.astype(np.float64)
+            x2 = (xf * xf).sum(axis=1)
+            d = x2[:, None] - 2.0 * (xf @ cmat_.T) + c2_[None, :]
+            assign = np.argmin(d, axis=1)  # first min = lowest cid
+            rows = {"cluster": [], "pos": [], "s": [], "n": []}
+            dim = xi.shape[1]
+            for ci in range(len(cids_)):
+                mask = assign == ci
+                n = int(mask.sum())
+                if n == 0:
+                    continue
+                sums = xi[mask].sum(axis=0)  # int64, <= 4e6 * batch
+                rows["cluster"].extend([int(cids_[ci])] * dim)
+                rows["pos"].extend(range(dim))
+                rows["s"].extend(int(v) for v in sums)
+                rows["n"].extend([n] * dim)
+            yield pd.DataFrame(rows)
 
+    partials = emb.select("xq").mapInPandas(
+        partial_moments, "cluster int, pos int, s long, n long"
+    )
+    g = partials.groupBy("cluster", "pos").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+        F.sum("n").alias("n"),
+    )
     return g.select(
         "cluster",
         "pos",
