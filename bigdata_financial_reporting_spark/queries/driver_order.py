@@ -219,6 +219,7 @@ RECHECK_FIRST: tuple[str, ...] = (
     "tpch_q7_shape",
     "tpch_q8_shape",
     "dedup_semantic_semdedup",
+    "emb_kmeans_lloyd_step",
     "emb_label_margin",
     "join_dim_snowflake",
     "join_exists_agg",
