@@ -103,7 +103,17 @@ def test_seen_tier_is_oldest_check_first():
 def test_recheck_first_matches_gen_recheck():
     """The static RECHECK_FIRST tuple must agree with the git-derived
     computation (scripts/gen_recheck.py) so a source change after a
-    driver check can never be silently dropped from the rotation."""
+    driver check can never be silently dropped from the rotation.
+
+    Asymmetric tolerance (round-8 verdict item 1): when the external
+    driver drops a NEW CORRECTNESS_r{N}.json after the round's last
+    commit, keys it just re-checked vanish from the computed list
+    before the builder can possibly re-sync the tuple, so strict
+    equality went red at every round boundary (r8, r9). A key the
+    computation WANTS must always be present (the real staleness
+    hazard); an extra key still listed in RECHECK_FIRST is tolerated
+    iff the newest driver artifact just re-checked it green — i.e. the
+    exact boundary case, never a silently dropped recheck."""
     import subprocess
     import sys
 
@@ -118,7 +128,35 @@ def test_recheck_first_matches_gen_recheck():
     )
     assert proc.returncode == 0, proc.stderr
     want = tuple(r["key"] for r in json.loads(proc.stdout)["recheck"])
-    assert tuple(RECHECK_FIRST) == want
+    missing = set(want) - set(RECHECK_FIRST)
+    assert not missing, (
+        f"RECHECK_FIRST silently drops stale-evidence keys {sorted(missing)} "
+        "— run scripts/gen_recheck.py and re-sync driver_order.RECHECK_FIRST"
+    )
+    # computed keys must keep their oldest-check-first relative order
+    want_set = set(want)
+    assert tuple(k for k in RECHECK_FIRST if k in want_set) == want
+    extras = set(RECHECK_FIRST) - want_set
+    if extras:
+        import re
+
+        latest = max(
+            REPO_ROOT.glob("CORRECTNESS_r*.json"),
+            key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+        )
+        rows = json.loads(latest.read_text())
+        for k in sorted(extras):
+            e = rows.get(k)
+            assert e is not None and e.get("err") is None, (
+                f"{k} left the computed recheck list but was NOT just "
+                f"re-checked by the driver ({latest.name}) — stale tuple, "
+                "re-sync RECHECK_FIRST"
+            )
+            assert (
+                e.get("rows_match")
+                and e.get("schema_match")
+                and e.get("hash_match") is not False
+            ), f"{k} was driver-re-checked RED in {latest.name}: {e}"
 
 
 def test_risk_order_precedes_untriaged_unseen():
