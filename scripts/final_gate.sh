@@ -25,6 +25,22 @@ python scripts/gen_local_correctness.py || fail "LOCAL_CORRECTNESS red or crashe
 python scripts/gen_stream_equiv.py || fail "STREAM_EQUIV failed"
 python scripts/gen_sim_recall.py || fail "SIM_RECALL failed"
 python scripts/check_negzero.py || fail "NEGZERO sweep found hits"
+
+# Commit the four fast artifacts BEFORE the 10x sweep: provenance()
+# samples `git status --porcelain` at artifact WRITE time, so leaving
+# them uncommitted stamps git_dirty=true into SCALE_CORRECTNESS — the
+# exact "mid-fix snapshot" smell the round-8 verdict flagged. With a
+# clean tree here, the sweep's artifact records the clean SHA it
+# actually ran against. (Refuse if anything ELSE is dirty: a pending
+# source change would make the stamp a lie.)
+git add LOCAL_CORRECTNESS.json STREAM_EQUIV.json SIM_RECALL.json NEGZERO_SWEEP.json
+if ! git diff --cached --quiet; then
+  git commit -m "Evidence refresh: local correctness, stream equivalence, sim recall, -0.0 sweep (pre-10x-sweep gate stage)" \
+    || fail "pre-sweep artifact commit failed"
+fi
+[ -z "$(git status --porcelain)" ] \
+  || fail "tree dirty before the 10x sweep — commit or stash first so SCALE provenance is honest: $(git status --porcelain | head -5)"
+
 python scripts/gen_scale_correctness.py || fail "SCALE_CORRECTNESS red/crashed (rc=$?) — artifact NOT trustworthy"
 python scripts/gen_plans_md.py || fail "PLANS.md regen failed"
 python scripts/gen_queries_md.py || fail "QUERIES.md regen failed"
