@@ -578,3 +578,40 @@ def test_round6_tpch_shapes_posture(spark, sf_dir):
     rb = plan_report(bpe)
     assert not rb["rowbased_python_udf"] and "MapInPandas" not in physical_plan(bpe)
     assert rb["exchanges"] <= 2
+
+
+def test_round10_extension_and_vectorized_posture(spark, sf_dir):
+    """Round-10 posture pins (PLANS.md rows, committed this round):
+
+    - ``stat_anova_two_way``: exact-integer factorial moments. The
+      only joins are 1-row grand/marginal-total scalars (broadcast
+      nested loop on a bounded side — never a cartesian of data
+      rows); 8 bounded shuffles of constant-width partials.
+    - ``sim_hnsw_upper_graph``: per-layer cap-guarded broadcast of the
+      (geometrically thinned) layer membership + an exact-integer
+      matmul top-k inside one mapInPandas pass — ZERO shuffles; the
+      100 TB cost is the map-only scan.
+    - The two arrow-vectorized hot paths keep their committed shuffle
+      budgets: ``dedup_embedding_cosine`` (banded LSH, broadcast +
+      merge-hinted re-check, ≤5 exchanges) and
+      ``emb_kmeans_lloyd_step`` (one exchange of (cluster, pos)
+      partials)."""
+    anova = QUERIES["stat_anova_two_way"].fn(spark, sf_dir)
+    pa = physical_plan(anova)
+    assert count_exchanges(anova) <= 8
+    assert "CartesianProduct" not in pa
+    assert "BatchEvalPython" not in pa  # no row-Python
+
+    hnsw = QUERIES["sim_hnsw_upper_graph"].fn(spark, sf_dir)
+    ph = physical_plan(hnsw)
+    assert count_exchanges(hnsw) == 0, "HNSW layer graph grew a shuffle"
+    assert "MapInPandas" in ph  # the Arrow matmul pass, not row-Python
+    assert "BatchEvalPython" not in ph
+
+    cos = QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir)
+    assert count_exchanges(cos) <= 5
+    assert has_broadcast_hash_join(cos)
+    assert "CartesianProduct" not in physical_plan(cos)
+
+    lloyd = QUERIES["emb_kmeans_lloyd_step"].fn(spark, sf_dir)
+    assert count_exchanges(lloyd) <= 1
