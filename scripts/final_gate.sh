@@ -21,23 +21,31 @@ if [ "${SKIP_PYTEST:-0}" != "1" ]; then
   python -m pytest tests/ -q -x || fail "pytest red"
 fi
 
-python scripts/gen_local_correctness.py || fail "LOCAL_CORRECTNESS red or crashed (rc=$?)"
-python scripts/gen_stream_equiv.py || fail "STREAM_EQUIV failed"
-python scripts/gen_sim_recall.py || fail "SIM_RECALL failed"
-python scripts/check_negzero.py || fail "NEGZERO sweep found hits"
+# provenance() samples `git status --porcelain` at artifact WRITE
+# time, so an uncommitted predecessor artifact stamps git_dirty=true
+# into every later one — the exact "mid-fix snapshot" smell the
+# round-8 verdict flagged on SCALE_CORRECTNESS. Commit each artifact
+# as soon as its generator passes, so the NEXT generator runs on a
+# clean tree and every stamp records the clean SHA it ran against.
+commit_artifact() {
+  git add "$1"
+  if ! git diff --cached --quiet; then
+    git commit -m "Evidence refresh: $1 (gate stage)" \
+      || fail "artifact commit failed for $1"
+  fi
+}
 
-# Commit the four fast artifacts BEFORE the 10x sweep: provenance()
-# samples `git status --porcelain` at artifact WRITE time, so leaving
-# them uncommitted stamps git_dirty=true into SCALE_CORRECTNESS — the
-# exact "mid-fix snapshot" smell the round-8 verdict flagged. With a
-# clean tree here, the sweep's artifact records the clean SHA it
-# actually ran against. (Refuse if anything ELSE is dirty: a pending
-# source change would make the stamp a lie.)
-git add LOCAL_CORRECTNESS.json STREAM_EQUIV.json SIM_RECALL.json NEGZERO_SWEEP.json
-if ! git diff --cached --quiet; then
-  git commit -m "Evidence refresh: local correctness, stream equivalence, sim recall, -0.0 sweep (pre-10x-sweep gate stage)" \
-    || fail "pre-sweep artifact commit failed"
-fi
+python scripts/gen_local_correctness.py || fail "LOCAL_CORRECTNESS red or crashed (rc=$?)"
+commit_artifact LOCAL_CORRECTNESS.json
+python scripts/gen_stream_equiv.py || fail "STREAM_EQUIV failed"
+commit_artifact STREAM_EQUIV.json
+python scripts/gen_sim_recall.py || fail "SIM_RECALL failed"
+commit_artifact SIM_RECALL.json
+python scripts/check_negzero.py || fail "NEGZERO sweep found hits"
+commit_artifact NEGZERO_SWEEP.json
+
+# Refuse to start the 10x sweep on any remaining dirt: a pending
+# source change would make SCALE_CORRECTNESS's clean stamp a lie.
 [ -z "$(git status --porcelain)" ] \
   || fail "tree dirty before the 10x sweep — commit or stash first so SCALE provenance is honest: $(git status --porcelain | head -5)"
 
