@@ -197,50 +197,11 @@ DRIVER_SEEN: frozenset[str] = (
 # against a fresh computation by tests/test_driver_order.py. Static so
 # the driver export never needs git at import time.
 RECHECK_FIRST: tuple[str, ...] = (
-    "fn_decimal_money",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "join_range_banded",
-    "ops_compact_roundtrip",
-    "ts_theil_sen_slope",
-    "join_point_in_time_scd2",
-    "ops_incremental_rollup_refresh",
-    "sql_recursive_cte_spine",
-    "sql_session_variables",
-    "src_bucketed_colocated_join",
-    "agg_filtered_conditional",
-    "sim_ivfpq_topk",
-    "sql_execute_immediate",
-    "sql_group_by_all",
-    "tpch_q10_shape",
-    "tpch_q14_shape",
-    "tpch_q17_shape",
-    "tpch_q19_shape",
-    "tpch_q7_shape",
-    "tpch_q8_shape",
-    "dedup_semantic_semdedup",
-    "emb_kmeans_lloyd_step",
-    "emb_label_margin",
-    "join_dim_snowflake",
-    "join_exists_agg",
-    "tpch_q11_shape",
-    "tpch_q15_shape",
-    "tpch_q22_shape",
-    "tpch_q6_shape",
-    "tpch_q9_shape",
-    "join_broadcast_dims",
-    "agg_count_distinct",
-    "agg_grouping_sets",
-    "agg_regression_family",
-    "dedup_embedding_cosine",
-    "fin_vwap",
-    "join_interval_containment",
-    "ops_time_travel_versions",
-    "sim_ivf_topk",
-    "sim_ivf_trained_topk",
-    "tpch_q1",
-    "tpch_q3_shape",
-    "tpch_q5_shape",
+    # round-11 sync: scripts/gen_recheck.py computed [] against the
+    # committed CORRECTNESS_r10 artifact — every key whose source
+    # changed since its last driver row was re-verified green in r10,
+    # so the full ~50-key budget goes to the seen-tier staleness drain
+    # (50 keys last checked r01/r02) plus any round-11 DEFER_NEW keys.
 )
 
 # The 16 keys that have NEVER received a driver row after six rounds
