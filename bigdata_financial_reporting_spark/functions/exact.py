@@ -158,8 +158,23 @@ def cents(col: Column) -> Column:
     integral cents, so the per-row quantization is lossless; mirror
     with :func:`duck_cents`. Render a cents sum with
     ``spark_dec2d(...)/100.0`` (the plain decimal->double cast and
-    DuckDB's HUGEINT cast round differently past 2^53)."""
-    return F.round(col * 100).cast("long").cast("decimal(38,0)")
+    DuckDB's HUGEINT cast round differently past 2^53).
+
+    Same loud-overflow guard as :func:`micro_units` (round-10 advice):
+    ANSI-off Spark's long cast wraps silently while the duck_cents
+    BIGINT cast raises, so |col| beyond ~9.2e16 dollars must fail on
+    BOTH engines rather than diverge on one."""
+    r = F.round(col * 100)
+    guarded = F.when(F.abs(r) <= F.lit(9.2e18), r).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cents overflow: |value * 100| exceeds int64 "),
+                F.lit("— value "),
+                col.cast("string"),
+            )
+        )
+    )
+    return guarded.cast("long").cast("decimal(38,0)")
 
 
 def duck_cents(expr: str) -> str:

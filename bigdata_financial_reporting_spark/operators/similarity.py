@@ -1533,6 +1533,19 @@ def hnsw_upper_layer_graph(
         c_ids = np.array([r.id for r in rows], dtype=np.int64)
         c_mat = np.array([list(r.qv) for r in rows], dtype=np.float64)
         c_nq = np.array([r.nq for r in rows], dtype=np.float64)
+        # Loud exactness guard (round-10 advice): the bit-stability
+        # argument needs every dot/norm to be an exact integer below
+        # 2^53; micro-quantized inputs with |x| beyond ~2 (or a wider
+        # dim) silently lose that, so fail like
+        # _lsh_band_buckets_arrow does instead of diverging.
+        c_qmax = float(np.abs(c_mat).max()) if c_mat.size else 0.0
+        layer_dim = c_mat.shape[1] if c_mat.ndim == 2 else 0
+        if c_qmax * c_qmax * layer_dim >= 2.0**53:
+            raise ValueError(
+                "hnsw_upper_layer_graph: |x| too large for exact "
+                "integer dot products (qmax^2 * dim >= 2^53) — "
+                "rescale the embeddings first"
+            )
         bcast = spark.sparkContext.broadcast((c_ids, c_mat, c_nq))
 
         def score(batches, _b=bcast, _layer=layer, _k=k):
@@ -1551,6 +1564,15 @@ def hnsw_upper_layer_graph(
                     qids = sl["id"].to_numpy()
                     qmat = np.stack(sl["qv"].to_numpy()).astype(np.float64)
                     qnq = sl["nq"].to_numpy().astype(np.float64)
+                    q_qmax = float(np.abs(qmat).max()) if qmat.size else 0.0
+                    c_qmax_ = float(np.abs(cmat).max()) if cmat.size else 0.0
+                    if q_qmax * c_qmax_ * qmat.shape[1] >= 2.0**53:
+                        raise ValueError(
+                            "hnsw_upper_layer_graph: |x| too large for "
+                            "exact integer dot products (qmax_q * "
+                            "qmax_c * dim >= 2^53) — rescale the "
+                            "embeddings first"
+                        )
                     dots = qmat @ cmat.T  # exact: integer-valued < 2^53
                     cos = dots / np.sqrt(np.outer(qnq, cnq))
                     out = {

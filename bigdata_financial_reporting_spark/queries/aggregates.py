@@ -3649,7 +3649,7 @@ def stat_anova_two_way(spark, sf_dir):
         F.sum(qty.cast("decimal(38,0)") * qty).alias("qq"),
     )
 
-    def fold_terms(df, order_cols, term_col):
+    def fold_terms(order_cols, term_col):
         return F.aggregate(
             F.transform(
                 F.array_sort(
@@ -3669,17 +3669,17 @@ def stat_anova_two_way(spark, sf_dir):
         F.sum("n").alias("nt"),
         F.sum("s").alias("st"),
         F.sum("qq").alias("qt"),
-        fold_terms(cells, ["a", "b"], sq_over_n("s", "n")).alias("cells_term"),
+        fold_terms(["a", "b"], sq_over_n("s", "n")).alias("cells_term"),
     )
     am = cells.groupBy("a").agg(F.sum("n").alias("na"), F.sum("s").alias("sa"))
     ta = am.agg(
         F.count(F.lit(1)).alias("ka"),
-        fold_terms(am, ["a"], sq_over_n("sa", "na")).alias("a_term"),
+        fold_terms(["a"], sq_over_n("sa", "na")).alias("a_term"),
     )
     bm = cells.groupBy("b").agg(F.sum("n").alias("nb"), F.sum("s").alias("sb"))
     tb = bm.agg(
         F.count(F.lit(1)).alias("kb"),
-        fold_terms(bm, ["b"], sq_over_n("sb", "nb")).alias("b_term"),
+        fold_terms(["b"], sq_over_n("sb", "nb")).alias("b_term"),
     )
     j = tc.crossJoin(ta).crossJoin(tb)
     std = F.expr(spark_dec2d("st"))

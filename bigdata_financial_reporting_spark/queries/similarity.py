@@ -1165,6 +1165,21 @@ def emb_kmeans_lloyd_step(spark, sf_dir):
                 continue
             xi = np.stack(pdf["xq"].to_numpy()).astype(np.int64)
             xf = xi.astype(np.float64)
+            # Loud exactness guard (round-10 advice): d combines three
+            # integer-valued terms each bounded by 2*qmax^2*dim and the
+            # distance itself by 4*qmax^2*dim; all must stay below 2^53
+            # for the argmin to be exact, so fail loudly past that
+            # instead of silently diverging from the HUGEINT oracle.
+            qmax = max(
+                float(np.abs(xf).max()) if xf.size else 0.0,
+                float(np.abs(cmat_).max()) if cmat_.size else 0.0,
+            )
+            if 4.0 * qmax * qmax * xf.shape[1] >= 2.0**53:
+                raise ValueError(
+                    "emb_kmeans_lloyd_step: |x| too large for exact "
+                    "integer distances (4 * qmax^2 * dim >= 2^53) — "
+                    "rescale the embeddings first"
+                )
             x2 = (xf * xf).sum(axis=1)
             d = x2[:, None] - 2.0 * (xf @ cmat_.T) + c2_[None, :]
             assign = np.argmin(d, axis=1)  # first min = lowest cid

@@ -28,9 +28,16 @@ fi
 # as soon as its generator passes, so the NEXT generator runs on a
 # clean tree and every stamp records the clean SHA it ran against.
 commit_artifact() {
+  # Pathspec-scoped commit (round-10 advice): `git commit` with no
+  # pathspec sweeps anything the user had staged into the evidence
+  # commit, corrupting the clean-provenance story. Refuse to run on a
+  # dirty index instead of silently absorbing it.
+  if ! git diff --cached --quiet; then
+    fail "index not empty before committing $1 — unstage first"
+  fi
   git add "$1"
   if ! git diff --cached --quiet; then
-    git commit -m "Evidence refresh: $1 (gate stage)" \
+    git commit -m "Evidence refresh: $1 (gate stage)" -- "$1" \
       || fail "artifact commit failed for $1"
   fi
 }
