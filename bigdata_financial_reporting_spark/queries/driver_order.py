@@ -197,11 +197,42 @@ DRIVER_SEEN: frozenset[str] = (
 # against a fresh computation by tests/test_driver_order.py. Static so
 # the driver export never needs git at import time.
 RECHECK_FIRST: tuple[str, ...] = (
-    # round-11 sync: scripts/gen_recheck.py computed [] against the
-    # committed CORRECTNESS_r10 artifact — every key whose source
-    # changed since its last driver row was re-verified green in r10,
-    # so the full ~50-key budget goes to the seen-tier staleness drain
-    # (50 keys last checked r01/r02) plus any round-11 DEFER_NEW keys.
+    # round-11 sync (gen_recheck.py against CORRECTNESS_r10): keys
+    # whose source changed THIS round — the advice-guard commits and
+    # the CDC/similarity refactors — ordered oldest-driver-check
+    # first. Re-synced after every source-touching change; the
+    # remaining budget drains the r01/r02 staleness tier.
+    "ops_cdc_apply",
+    "emb_pca_power_iteration",
+    "ops_snapshot_expiry",
+    "emb_dims_variance_topk",
+    "emb_matryoshka_prefix_topk",
+    "agg_count_distinct",
+    "agg_filtered_conditional",
+    "agg_grouping_sets",
+    "agg_regression_family",
+    "dedup_semantic_semdedup",
+    "emb_label_margin",
+    "fin_vwap",
+    "fn_decimal_money",
+    "join_broadcast_dims",
+    "join_dim_snowflake",
+    "join_exists_agg",
+    "ops_compact_roundtrip",
+    "ops_time_travel_versions",
+    "sim_hnsw_upper_graph",
+    "sim_ivf_topk",
+    "sim_ivf_trained_topk",
+    "sim_ivfpq_topk",
+    "skew_salted_join",
+    "sql_session_variables",
+    "src_bucketed_colocated_join",
+    "stat_anova_two_way",
+    "tpch_q1",
+    "tpch_q17_shape",
+    "tpch_q22_shape",
+    "tpch_q6_shape",
+    "tpch_q9_shape",
 )
 
 # The 16 keys that have NEVER received a driver row after six rounds
@@ -426,6 +457,11 @@ DEFER_NEW: frozenset[str] = frozenset(
         # drain keeps the rest of the ~50-key budget
         "stat_anova_two_way",
         "sim_hnsw_upper_graph",
+        # round-11 additions (verdict item 3): three unseen keys take
+        # 3 slots; the remaining ~47 drain the r01/r02 staleness tier
+        "stream_stream_left_outer",
+        "sim_ivfpq_trained_topk",
+        "stream_cdc_upsert_sink",
     }
 )
 

@@ -389,9 +389,10 @@ def ops_incremental_rollup_refresh(spark, sf_dir):
     )
 
 
-@register(
-    "ops_cdc_apply",
-    oracle="""
+# Shared by ops_cdc_apply (batch) and stream_cdc_upsert_sink (the
+# availableNow streaming form in streaming_queries.py): both collapse
+# the SAME deterministic change log to the same snapshot.
+CDC_APPLY_ORACLE = """
     WITH log_ AS (
       SELECT c_custkey AS k, 1 AS version, 'I' AS op,
              c_acctbal AS acctbal FROM customer
@@ -413,22 +414,14 @@ def ops_incremental_rollup_refresh(spark, sf_dir):
     )
     SELECT k AS custkey, version, round(acctbal, 4) AS acctbal
     FROM ranked WHERE rn = 1 AND op <> 'D'
-    """,
-    category="ops",
-)
-def ops_cdc_apply(spark, sf_dir):
-    """CDC log application (last-write-wins materialization): a
-    versioned change stream of inserts/updates/deletes collapses to
-    the current snapshot by keeping each key's highest-version row
-    and dropping keys whose last op is a delete — the core of every
-    lakehouse MERGE/CDF consumer. One hash-partitioned window keyed
-    on the (high-cardinality) primary key; at 100 TB the log is
-    typically also bucketed by key so the window reuses the layout.
-    The change log is derived deterministically from the customer
-    fixture (10%% updated, ~6%% deleted, ~4%% fresh inserts) so both
-    engines build the identical stream."""
-    from pyspark.sql import Window
+    """
 
+
+def cdc_change_log(spark, sf_dir):
+    """The deterministic CDC change log both CDC keys replay: derived
+    from the customer fixture (10% updated, ~6% deleted, ~4% fresh
+    inserts at negative keys) so both engines build the identical
+    stream. Returns (version, DataFrame) pairs in commit order."""
     c = load_table(spark, sf_dir, "customer")
     base = c.select(
         F.col("c_custkey").alias("k"),
@@ -457,7 +450,31 @@ def ops_cdc_apply(spark, sf_dir):
         F.lit("I").alias("op"),
         F.lit(999.0).alias("acctbal"),
     )
-    log = base.unionByName(upd).unionByName(dels).unionByName(ins)
+    return [(1, base), (2, upd.unionByName(ins)), (3, dels)]
+
+
+@register(
+    "ops_cdc_apply",
+    oracle=CDC_APPLY_ORACLE,
+    category="ops",
+)
+def ops_cdc_apply(spark, sf_dir):
+    """CDC log application (last-write-wins materialization): a
+    versioned change stream of inserts/updates/deletes collapses to
+    the current snapshot by keeping each key's highest-version row
+    and dropping keys whose last op is a delete — the core of every
+    lakehouse MERGE/CDF consumer. One hash-partitioned window keyed
+    on the (high-cardinality) primary key; at 100 TB the log is
+    typically also bucketed by key so the window reuses the layout.
+    The change log is derived deterministically from the customer
+    fixture (``cdc_change_log``: 10%% updated, ~6%% deleted, ~4%% fresh
+    inserts) so both engines build the identical stream."""
+    from pyspark.sql import Window
+
+    frames = [df for _, df in cdc_change_log(spark, sf_dir)]
+    log = frames[0]
+    for f in frames[1:]:
+        log = log.unionByName(f)
     # op tie-break pins the survivor if a key ever carries two rows of
     # one version (deterministic across engines and runs)
     rn = F.row_number().over(

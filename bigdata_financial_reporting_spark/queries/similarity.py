@@ -977,6 +977,163 @@ def sim_ivfpq_topk(spark, sf_dir):
     )
 
 
+#: subvector d2 on 8-element SUBVECTOR lists (1-based, unlike
+#: _DUCK_PQ_D2 which indexes full-dim vectors at subspace offsets)
+_DUCK_SUB_D2 = (
+    "list_aggregate(list_transform(generate_series(1, 8), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+)
+
+#: one unrolled per-subspace Lloyd iteration for the PQ training
+#: oracle: assign every (vid, s) subvector to its min-d2 entry of
+#: {prev} (ties to the lower code, NULLs last — DuckDB's ASC default),
+#: recompute per-(s, code, pos) means rounded to 9 dp, carry empty
+#: cells forward. Mirrors operators.similarity.train_pq_codebook's
+#: iteration body stage for stage.
+_DUCK_PQ_LLOYD = """
+    asg{n} AS (
+      SELECT vid, s, sv, code,
+             row_number() OVER (PARTITION BY vid, s
+               ORDER BY {d2}, code) AS rn
+      FROM sub JOIN {prev} USING (s)
+    ),
+    mean{n} AS (
+      SELECT s, code, i - 1 AS pos, round(avg(sv[i]), 9) AS m
+      FROM (SELECT * FROM asg{n} WHERE rn = 1), generate_series(1, 8) g(i)
+      GROUP BY s, code, i
+    ),
+    newcv{n} AS (
+      SELECT s, code, list(m ORDER BY pos) AS cv FROM mean{n}
+      GROUP BY s, code
+    ),
+    book{n} AS (
+      SELECT p.s, p.code, coalesce(nc.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN newcv{n} nc USING (s, code)
+    )"""
+
+
+@register(
+    "sim_ivfpq_trained_topk",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id AS vid, t.s,
+             list_transform(generate_series(1, 8),
+               i -> CAST(embedding[t.s * 8 + i] AS DOUBLE)) AS sv
+      FROM embeddings, generate_series(0, 7) t(s)
+    ),
+    init AS (
+      SELECT embedding AS v,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    book0 AS (
+      SELECT t.s, code,
+             list_transform(generate_series(1, 8),
+               i -> CAST(v[t.s * 8 + i] AS DOUBLE)) AS cv
+      FROM init, generate_series(0, 7) t(s)
+    ),
+    {_DUCK_PQ_LLOYD.format(n=1, prev='book0',
+                           d2=_DUCK_SUB_D2.format(a='sv', b='cv'))},
+    {_DUCK_PQ_LLOYD.format(n=2, prev='book1',
+                           d2=_DUCK_SUB_D2.format(a='sv', b='cv'))},
+    enc AS (
+      SELECT vid AS neighbor_id, s, code,
+             row_number() OVER (PARTITION BY vid, s
+               ORDER BY {_DUCK_SUB_D2.format(a='sv', b='cv')}, code) AS rn
+      FROM sub JOIN book2 USING (s)
+    ),
+    codes AS (SELECT neighbor_id, s, code FROM enc WHERE rn = 1),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    cassign AS (
+      SELECT e.vec_id AS neighbor_id, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC, c.cent_id)
+               AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (SELECT neighbor_id, cent_id AS cell FROM cassign WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {duck_cosine('q.embedding', 'c.cv')} DESC, c.cent_id)
+               AS rn
+      FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5
+    ),
+    pcells AS (SELECT query_id, cell FROM probes WHERE rn <= 4),
+    qsub AS (
+      SELECT vec_id AS query_id, t.s,
+             list_transform(generate_series(1, 8),
+               i -> CAST(embedding[t.s * 8 + i] AS DOUBLE)) AS sv
+      FROM embeddings, generate_series(0, 7) t(s)
+      WHERE vec_id < 5
+    ),
+    qtable AS (
+      SELECT query_id, s, code,
+             {_DUCK_SUB_D2.format(a='sv', b='cv')} AS qd2
+      FROM qsub JOIN book2 USING (s)
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, s.neighbor_id
+      FROM pcells p JOIN cells s USING (cell)
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_aggregate(list(qt.qd2 ORDER BY k.s), 'sum') AS adc
+      FROM cand
+      JOIN codes k ON k.neighbor_id = cand.neighbor_id
+      JOIN qtable qt ON qt.query_id = cand.query_id
+                    AND qt.s = k.s AND qt.code = k.code
+      GROUP BY cand.query_id, cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_d2,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    category="similarity",
+)
+def sim_ivfpq_trained_topk(spark, sf_dir):
+    """IVF-PQ with a TRAINED product-quantizer codebook — the
+    production path `sim_ivfpq_topk`'s degenerate quantizer only
+    stands in for (round-10 verdict item 3b): per-subspace Lloyd
+    (lowest-id init, 2 iterations, broadcast assignment with
+    lower-code tie-break, 9-dp-rounded means, empty-cell carry) trains
+    the 8x16 codebook that then drives encoding, the per-query ADC
+    tables, and the re-rank. The TRAINING LOOP ITSELF is
+    oracle-checked: the SQL unrolls both Lloyd iterations stage for
+    stage (the `sim_ivf_trained_topk` canon, applied to the subspace
+    quantizer), so a drift anywhere in train_pq_codebook — tie-break,
+    NULL ordering, empty-cell fallback, mean rounding — hash-fails.
+    The 9-dp mean round is the pinned safe-residue float policy
+    (SURVEY §7.5): engine-order avg noise is ~1e-13 relative on O(1)
+    values, absorbed at 9 dp, as the trained-IVF key established.
+    IVF cells stay the degenerate lowest-id coarse quantizer so this
+    key isolates the PQ training path. At 100 TB the codebook is
+    model-sized state (8x16x8 doubles collected between iterations);
+    every data-sized pass is distributed — assignment is a broadcast
+    join, means one map-side-combined aggregation, and query-time
+    scoring reads only (id, cell, code_0..7)."""
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        ivfpq_topk,
+        train_pq_codebook,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cb = train_pq_codebook(
+        e, "vec_id", "embedding", n_subspaces=8, n_codes=16, iterations=2
+    )
+    return ivfpq_topk(
+        q, e, "vec_id", "vec_id",
+        n_centroids=16, n_probe=4, n_subspaces=8, n_codes=16, k=10,
+        codebook=cb,
+    )
+
+
 @register(
     "emb_pca_power_iteration",
     oracle="""

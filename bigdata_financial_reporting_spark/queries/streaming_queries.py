@@ -21,6 +21,9 @@ from bigdata_financial_reporting_spark.functions.exact import (
     micro_units,
     spark_half_div,
 )
+from bigdata_financial_reporting_spark.queries.ops_tools import (
+    CDC_APPLY_ORACLE,
+)
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 from bigdata_financial_reporting_spark.streaming.runner import (
@@ -448,3 +451,162 @@ def stream_content_dedup(spark, sf_dir):
         )
     )
     return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+    ),
+    c AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+    )
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id
+    FROM v LEFT JOIN c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+    category="streaming",
+)
+def stream_stream_left_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the stateful op the
+    inner `stream_stream_join` cannot express: a view with NO click
+    within 2 hours must still emit (with nulls), which requires the
+    engine to hold the row in state until the watermark PROVES no
+    match can arrive, then emit the null row on eviction.
+
+    The batch-equivalence subtlety this key pins: outer results only
+    surface when the global watermark passes `v_ts + 2h + delay`, so
+    `withWatermark` is applied BEFORE the analysis cutoff filter —
+    the watermark then advances over the whole fixture (through
+    2024-01-30), clearing every held row, and the availableNow drain
+    equals the batch left join exactly, null rows included. Filtering
+    before the watermark would freeze it at the cutoff and silently
+    swallow the last interval's unmatched rows — the classic
+    stream-stream outer-join production bug, here made a contract.
+
+    State is bounded: each side keeps only rows younger than the
+    watermark minus the interval (Spark evicts by the join's time
+    bound), so at 100 TB/day state is interval-sized, not corpus-
+    sized."""
+    base = events_stream(spark, sf_dir)
+    views = (
+        base.select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+            "event_type",
+        )
+        .withWatermark("v_ts", "1 hour")
+        .filter((F.col("event_type") == "view") & (F.col("v_ts") < "2024-01-05"))
+        .drop("event_type")
+    )
+    clicks = (
+        base.select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            "event_type",
+        )
+        .withWatermark("c_ts", "1 hour")
+        .filter((F.col("event_type") == "click") & (F.col("c_ts") < "2024-01-05"))
+        .drop("event_type")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left_outer",
+    ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
+    return run_available_now(joined, output_mode="append")
+
+
+@register(
+    "stream_cdc_upsert_sink",
+    # identical snapshot contract to the batch key — the oracle IS the
+    # batch semantics, so a drift in the per-batch MERGE fails the hash
+    oracle=CDC_APPLY_ORACLE,
+    category="streaming",
+)
+def stream_cdc_upsert_sink(spark, sf_dir):
+    """Streaming CDC apply (round-10 verdict item 3c): the change log
+    `ops_cdc_apply` collapses in one batch window here arrives as a
+    file stream — one file per commit version, replayed in order under
+    maxFilesPerTrigger=1 — and each micro-batch MERGEs into a parquet
+    snapshot inside foreachBatch, the lakehouse upsert consumer shape
+    (Delta/Iceberg MERGE INTO per batch).
+
+    The merge is ORDER-INDEPENDENT by construction: the snapshot keeps
+    each key's highest-(version, op)-ranked row INCLUDING delete
+    tombstones, so a late-arriving lower-version row can never revive
+    a deleted key and the final state equals the batch window whatever
+    the micro-batch carve-up; tombstones drop only at read-out. At
+    100 TB each micro-batch merge is one hash shuffle keyed on the
+    primary key (production prunes it to matched partitions /
+    merge-on-read); the log derivation and snapshot are fully
+    distributed — nothing key-sized ever reaches the driver."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from bigdata_financial_reporting_spark.queries.ops_tools import (
+        cdc_change_log,
+    )
+
+    # stage the log: one parquet file per commit version, sortable names
+    log_dir = tempfile.mkdtemp(prefix="bdfr_cdc_log_")
+    stage = tempfile.mkdtemp(prefix="bdfr_cdc_stage_")
+    for version, df in cdc_change_log(spark, sf_dir):
+        vdir = os.path.join(stage, f"v{version}")
+        df.coalesce(1).write.mode("overwrite").parquet(vdir)
+        part = next(
+            n for n in sorted(os.listdir(vdir)) if n.endswith(".parquet")
+        )
+        shutil.copyfile(
+            os.path.join(vdir, part),
+            os.path.join(log_dir, f"commit-{version:05d}.parquet"),
+        )
+
+    snap_root = tempfile.mkdtemp(prefix="bdfr_cdc_snap_")
+    state = {"path": None}
+    rn = F.row_number().over(
+        Window.partitionBy("k").orderBy(F.desc("version"), "op")
+    )
+
+    def merge(batch_df, batch_id):
+        cur = batch_df
+        if state["path"] is not None:
+            cur = batch_df.sparkSession.read.parquet(state["path"]).unionByName(
+                batch_df
+            )
+        out = os.path.join(snap_root, f"snap-{batch_id}")
+        (
+            cur.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        state["path"] = out
+
+    stream = (
+        spark.readStream.schema("k long, version int, op string, acctbal double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+    )
+    q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination()
+    snap = spark.read.parquet(state["path"])
+    return snap.filter(F.col("op") != "D").select(
+        F.col("k").alias("custkey"),
+        "version",
+        F.round("acctbal", 4).alias("acctbal"),
+    )
