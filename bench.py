@@ -47,7 +47,6 @@ HEADLINE = [
     "tpch_q5_shape",              # 6-table join w/ local-supplier constraint
     "join_broadcast_dims",        # multi-way join w/ broadcast dims
     "agg_rollup",                 # hierarchical agg
-    "window_moving_avg",          # partitioned window w/ frame
     "topk_per_group",             # rank + filter
     "dedup_minhash_pairs",        # shingle→minhash→LSH→verify
     "sim_cosine_topk",            # brute-force cosine, expression path
@@ -56,11 +55,9 @@ HEADLINE = [
     "rollup_timeseries",          # multi-granularity time rollup cascade
     "skew_salted_agg",            # two-phase salted aggregation
     # round-6 additions (first benched r6 — no prior-round baseline)
-    "tpch_q6_shape",              # pure scan: all predicates pushed
     "tpch_q18_shape",             # semi join on pre-aggregated keys
     "text_bpe_merge_step",        # vocabulary-bounded pair counting
     # round-7 additions (first benched r7 — no prior-round baseline)
-    "quality_gopher_rules",       # integer-only per-doc quality filter
     "emb_kmeans_lloyd_step",      # exact-integer distributed Lloyd step
     "join_dim_snowflake",         # 3-hop dim chain, exact-cents rollup
     # round-8 additions (first benched r8 — no prior-round baseline)
@@ -70,6 +67,15 @@ HEADLINE = [
     # round-10 additions (first benched r10 — no prior-round baseline)
     "stat_anova_two_way",         # factorial ANOVA on exact cell moments
     "sim_hnsw_upper_graph",       # exact HNSW routing-layer kNN graphs
+    # round-11 rotation (verdict item 5): three long-stable sub-0.3 s
+    # keys (window_moving_avg, tpch_q6_shape, quality_gopher_rules)
+    # out, three never-benched heavies in, so the headline keeps
+    # measuring the expensive tail; plus the round-11 extensions
+    "dedup_ngram_jaccard",        # shingle-sharing candidate near-dup
+    "fin_macd_daily",             # banded in-order EMA cascade folds
+    "emb_covariance_matrix",      # mergeable exact-integer Gram pass
+    "sim_ivfpq_trained_topk",     # trained PQ book + IVF probe + ADC
+    "stream_cdc_upsert_sink",     # per-commit foreachBatch MERGE
 ]
 
 
