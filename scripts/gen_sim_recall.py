@@ -239,6 +239,33 @@ def main() -> None:
         "floor": {"recall_at_k": 0.3},
     }
 
+    # sim_ivfpq_trained_topk (round-11 registry key) — degenerate IVF
+    # cells + TRAINED per-subspace PQ codebook, the combination whose
+    # training loop is itself oracle-checked. Same metric caveats as
+    # sim_ivfpq_topk; the hard guarantees are rerun determinism and
+    # the oracle hash (CORRECTNESS gate); recall recorded as evidence.
+    tk_rows = ivfpq_topk(
+        q, e, "vec_id", "vec_id", codebook=t_book
+    ).collect()
+    tk_rerun = ivfpq_topk(
+        q, e, "vec_id", "vec_id", codebook=t_book
+    ).collect()
+    tk_hits = sum(
+        1 for r in tk_rows if r.neighbor_id in exact_top.get(r.query_id, set())
+    )
+    out["queries"]["sim_ivfpq_trained_topk"] = {
+        "params": {
+            "n_centroids": 16, "n_probe": 4,
+            "n_subspaces": 8, "n_codes": 16, "trained_codebook": True,
+        },
+        "returned": len(tk_rows),
+        "recall_at_k": round(tk_hits / denom_pq, 4),
+        "deterministic_across_reruns": sorted(map(tuple, tk_rows))
+        == sorted(map(tuple, tk_rerun)),
+        "metric_note": "ADC ranks by quantized L2; ground truth is cosine",
+        "floor": {"recall_at_k": 0.3},
+    }
+
     # dedup_embedding_cosine — banded LSH blocking vs exact all-pairs
     # cosine at the registry threshold (0.35). The oracle gate assumes
     # pair-set equality at fixture scale; record it as hard evidence.
