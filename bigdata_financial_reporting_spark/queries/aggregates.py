@@ -3701,3 +3701,130 @@ def stat_anova_two_way(spark, sf_dir):
             (ssab / ((F.col("ka") - 1) * (F.col("kb") - 1))) / msw, 6
         ).alias("f_ab"),
     )
+
+
+@register(
+    "agg_tdigest_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT vc,
+             row_number() OVER (ORDER BY vc, l_orderkey, l_linenumber)
+               AS r,
+             count(*) OVER () AS n
+      FROM v
+    ),
+    scaled AS (
+      SELECT vc,
+             CAST(2 * r - n AS DOUBLE) / CAST(n AS DOUBLE) AS t
+      FROM ranked
+    ),
+    bucketed AS (
+      SELECT vc,
+             LEAST(CAST(floor(50.0 * (1.0 + t * t * t)) AS INT), 99)
+               AS bucket
+      FROM scaled
+    ),
+    cents_agg AS (
+      SELECT bucket,
+             count(*) AS n_rows,
+             sum(CAST(vc AS HUGEINT)) AS s,
+             min(vc) AS lo_c,
+             max(vc) AS hi_c
+      FROM bucketed GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           ({dec2d} / 100.0) AS sum_price,
+           (CAST(lo_c AS DOUBLE) / 100.0) AS lo,
+           (CAST(hi_c AS DOUBLE) / 100.0) AS hi,
+           coalesce(
+             lo_c >= lag(hi_c) OVER (ORDER BY bucket), TRUE
+           ) AS ordered_ok
+    FROM cents_agg
+    """.format(dec2d=duck_dec2d("s")),
+    category="aggregates",
+)
+def agg_tdigest_quantiles(spark, sf_dir):
+    """t-digest-style quantile sketch, built deterministically and
+    oracle-EXACT: values get a global rank under a total order, the
+    t-digest scale function maps rank quantiles to cluster ids —
+    finer clusters at the tails, the digest's defining property —
+    and each cluster emits exact centroid moments (count, integer-
+    cents sum, min/max). This is the canonical BATCH construction
+    (digest of a fully sorted stream); the merge-based streaming
+    construction is arrival-order-dependent by design and therefore
+    cannot be oracle-exact — the sorted build is what a lakehouse
+    computes at rest, and its clusters are mergeable state.
+
+    Exactness: the classic asin scale is transcendental (engine libm
+    would diverge), so this uses the all-RATIONAL tail-accurate scale
+    k(q) = 50 * (1 + (2q-1)^3), whose k'(q) = 300(2q-1)^2 is maximal
+    at the tails (fine tail clusters, one wide median cluster). With
+    integer rank r and count N (both exact doubles below 2^53), the
+    bucket floor(50*(1+t^3)), t=(2r-N)/N, is ONE identical IEEE
+    sequence on both engines — the spark_dec2d mirroring argument —
+    so cluster membership is bit-stable, and every emitted moment is
+    exact-integer. `ordered_ok` is the in-band witness that clusters
+    tile the value axis (each cluster's min >= previous cluster's
+    max — true by the rank construction, pinned so a bucketing bug
+    fails the hash).
+
+    Scale: the global rank is operators/global_window.global_row_number
+    — ONE range shuffle + a broadcast of per-partition offsets, never
+    the single-task global window. The loud N-guard keeps t exact
+    (2r-N must stay below 2^53; beyond ~4.5e15 rows, pre-aggregate to
+    distinct-value cells first)."""
+    from bigdata_financial_reporting_spark.operators.global_window import (
+        global_row_number,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("vc"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_row_number(
+        li, ["vc", "l_orderkey", "l_linenumber"], out_col="r"
+    )
+    n_total = ranked.count()
+    if not 0 < n_total < 4.5e15:
+        raise ValueError(
+            "agg_tdigest_quantiles: row count outside the exact-double "
+            "rank domain (2r-N must stay below 2^53) — pre-aggregate "
+            "to distinct-value cells first"
+        )
+    t = (2 * F.col("r") - F.lit(n_total)).cast("double") / F.lit(
+        float(n_total)
+    )
+    bucketed = ranked.select(
+        "vc",
+        F.least(
+            F.floor(F.lit(50.0) * (F.lit(1.0) + t * t * t)).cast("int"),
+            F.lit(99),
+        ).alias("bucket"),
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("vc").cast("decimal(38,0)")).alias("s"),
+        F.min("vc").alias("lo_c"),
+        F.max("vc").alias("hi_c"),
+    )
+    # 101-bucket witness window: bounded rows, plain global order is fine
+    w = Window.orderBy("bucket")
+    return agg.select(
+        "bucket",
+        "n_rows",
+        (F.expr(spark_dec2d("s")) / F.lit(100.0)).alias("sum_price"),
+        (F.col("lo_c").cast("double") / F.lit(100.0)).alias("lo"),
+        (F.col("hi_c").cast("double") / F.lit(100.0)).alias("hi"),
+        F.coalesce(
+            F.col("lo_c") >= F.lag("hi_c").over(w), F.lit(True)
+        ).alias("ordered_ok"),
+    )

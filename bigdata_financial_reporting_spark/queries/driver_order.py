@@ -199,19 +199,17 @@ DRIVER_SEEN: frozenset[str] = (
 RECHECK_FIRST: tuple[str, ...] = (
     # round-11 sync (gen_recheck.py against CORRECTNESS_r10): keys
     # whose source changed THIS round — the advice-guard commits and
-    # the CDC/similarity refactors — ordered oldest-driver-check
-    # first. Re-synced after every source-touching change; the
-    # remaining budget drains the r01/r02 staleness tier.
+    # the round-11 extension refactors — ordered as computed
+    # (oldest driver check first). Re-synced after every
+    # source-touching change; the remaining ~18 budget slots
+    # drain the r01/r02 staleness tier behind the 4 new keys.
     "ops_cdc_apply",
-    "emb_pca_power_iteration",
-    "ops_snapshot_expiry",
-    "emb_dims_variance_topk",
-    "emb_matryoshka_prefix_topk",
     "agg_count_distinct",
     "agg_filtered_conditional",
     "agg_grouping_sets",
     "agg_regression_family",
     "dedup_semantic_semdedup",
+    "emb_kmeans_lloyd_step",
     "emb_label_margin",
     "fin_vwap",
     "fn_decimal_money",
@@ -462,6 +460,7 @@ DEFER_NEW: frozenset[str] = frozenset(
         "stream_stream_left_outer",
         "sim_ivfpq_trained_topk",
         "stream_cdc_upsert_sink",
+        "agg_tdigest_quantiles",
     }
 )
 

@@ -257,3 +257,47 @@ def test_ivfpq_trained_key_shape_recall_and_determinism(spark, sf_dir):
         1 for r in rows if r["neighbor_id"] in exact.get(r["query_id"], set())
     )
     assert hits / denom >= 0.3, f"trained IVF-PQ recall {hits / denom:.2f}"
+
+
+def test_tdigest_structure_and_quantile_error(spark, sf_dir):
+    """The digest's defining properties, asserted from the emitted
+    clusters: (1) counts cover the corpus exactly; (2) clusters tile
+    the value axis (ordered_ok everywhere); (3) the rational scale
+    function actually concentrates resolution at the tails — the
+    extreme clusters hold strictly fewer rows than the median
+    cluster; (4) rank-space accuracy: any quantile estimated from
+    cluster counts is off by at most the containing cluster's count,
+    and for q=0.01/0.99 that bound is a tiny corpus fraction."""
+    rows = sorted(
+        QUERIES["agg_tdigest_quantiles"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    n_total = sum(r["n_rows"] for r in rows)
+    exact_n = load_table(spark, sf_dir, "lineitem").count()
+    assert n_total == exact_n
+    assert all(r["ordered_ok"] for r in rows)
+    by_bucket = {r["bucket"]: r for r in rows}
+    median_n = max(
+        by_bucket[b]["n_rows"] for b in (49, 50) if b in by_bucket
+    )
+    assert by_bucket[0]["n_rows"] < median_n
+    assert by_bucket[max(by_bucket)]["n_rows"] < median_n
+    # tail quantile error bound: the cluster containing rank q*N holds
+    # <= ~N*dq rows where dq is the scale function's inverse width —
+    # for q=0.01 the covering clusters (k(0.01)..) are < 1% of N each
+    for q in (0.01, 0.99):
+        target = q * n_total
+        cum = 0
+        for r in rows:
+            cum += r["n_rows"]
+            if cum >= target:
+                assert r["n_rows"] <= 0.02 * n_total, (
+                    q,
+                    r["bucket"],
+                    r["n_rows"],
+                )
+                break
+    # value-space sanity: cluster means sit inside [lo, hi]
+    for r in rows:
+        mean = r["sum_price"] / r["n_rows"]
+        assert r["lo"] - 1e-9 <= mean <= r["hi"] + 1e-9
