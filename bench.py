@@ -76,6 +76,7 @@ HEADLINE = [
     "emb_covariance_matrix",      # mergeable exact-integer Gram pass
     "sim_ivfpq_trained_topk",     # trained PQ book + IVF probe + ADC
     "stream_cdc_upsert_sink",     # per-commit foreachBatch MERGE
+    "agg_tdigest_quantiles",      # two-pass global rank + scale buckets
 ]
 
 
