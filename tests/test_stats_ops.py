@@ -659,3 +659,156 @@ def test_hnsw_upper_graph_matches_numpy_recompute(spark, sf_dir):
         for layer in (4, 5, 6)
     }
     assert members[6] <= members[5] <= members[4]
+
+
+# ---- round-11: residual invariants for the round-10 batch ----
+
+
+def test_anova_two_way_randomized_cells_recompute(spark, tmp_path):
+    """Randomized factorial designs (seeded): the Spark key must match
+    a Python-bigint recompute cell for cell, and the recomputed
+    decomposition must satisfy SSA + SSB + SS_AB + SSW == SS_total
+    (the factorial partition identity the fixed-order folds encode)."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(0xA1)
+    for trial in range(3):
+        levels_a = ["A", "N", "R", "X"][: rng.randint(2, 4)]
+        levels_b = ["F", "O", "P"][: rng.randint(2, 3)]
+        rows, key = [], 0
+        for a in levels_a:
+            for b in levels_b:
+                for _ in range(rng.randint(2, 6)):
+                    key += 1
+                    rows.append(
+                        (key, 1, 1, 1, float(rng.randint(1, 50)),
+                         1.0, 0.0, 0.0, a, b, "2024-01-01")
+                    )
+        li = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate string",
+        ).selectExpr(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus",
+            "cast(l_shipdate as timestamp) as l_shipdate",
+        )
+        d = _stage(li, tmp_path / f"t{trial}", "lineitem")
+        (r,) = QUERIES["stat_anova_two_way"].fn(spark, d).collect()
+
+        cells = defaultdict(lambda: [0, 0, 0])
+        for row in rows:
+            q = round(row[4])
+            c = cells[(row[8], row[9])]
+            c[0] += 1
+            c[1] += q
+            c[2] += q * q
+        n_t = sum(c[0] for c in cells.values())
+        s_t = sum(c[1] for c in cells.values())
+        q_t = sum(c[2] for c in cells.values())
+        cells_term = sum(
+            float(c[1]) ** 2 / c[0] for _, c in sorted(cells.items())
+        )
+        am, bm = defaultdict(lambda: [0, 0]), defaultdict(lambda: [0, 0])
+        for (a, b), c in cells.items():
+            am[a][0] += c[0]
+            am[a][1] += c[1]
+            bm[b][0] += c[0]
+            bm[b][1] += c[1]
+        a_term = sum(float(v[1]) ** 2 / v[0] for _, v in sorted(am.items()))
+        b_term = sum(float(v[1]) ** 2 / v[0] for _, v in sorted(bm.items()))
+        ka, kb = len(am), len(bm)
+        grand = float(s_t) ** 2 / n_t
+        ssa, ssb = a_term - grand, b_term - grand
+        ssab = cells_term - a_term - b_term + grand
+        ssw = float(q_t) - cells_term
+        sst = float(q_t) - grand
+        # the factorial partition identity on the recompute
+        assert abs((ssa + ssb + ssab + ssw) - sst) <= 1e-6 * max(1.0, sst)
+        msw = ssw / (n_t - ka * kb)
+        assert (r["ka"], r["kb"], r["n"]) == (ka, kb, n_t)
+        for got, ss, dff in (
+            (r["f_a"], ssa, ka - 1),
+            (r["f_b"], ssb, kb - 1),
+            (r["f_ab"], ssab, (ka - 1) * (kb - 1)),
+        ):
+            ref = (ss / dff) / msw
+            assert abs(got - ref) < max(1e-5, abs(ref) * 1e-6), (got, ref)
+
+
+def test_hnsw_layer_cap_fails_loudly(spark, sf_dir):
+    """A layer over the broadcast cap must raise the documented
+    ValueError (the OOM-proofing contract), not truncate or spill."""
+    import pytest
+
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        hnsw_upper_layer_graph,
+    )
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="members"):
+        hnsw_upper_layer_graph(
+            e, "vec_id", "embedding", min_layer=1, max_layer=1, cap=1
+        )
+
+
+def test_hnsw_exactness_guard_rejects_oversized_values(spark):
+    """Vectors whose micro-quantized magnitude breaks the exact-integer
+    dot-product bound (qmax^2 * dim >= 2^53) must fail loudly (the
+    round-10 advice guard), never silently lose bit-stability."""
+    import pytest
+
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        hnsw_upper_layer_graph,
+    )
+
+    # |x| = 16 -> qv = 1.6e7; qv^2 * 64 = 1.6e16 >= 2^53 (~9.0e15),
+    # while nq = 1.6e16 stays far below int64 max (no wrap en route)
+    vecs = [(i, [16.0] * 64) for i in range(1, 65)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="rescale"):
+        hnsw_upper_layer_graph(df, "vec_id", "embedding",
+                               min_layer=1, max_layer=1)
+
+
+def test_hnsw_negation_invariance_and_level_halving(spark, sf_dir):
+    """cos(-a,-b) == cos(a,b) and levels hash only ids, so negating the
+    whole corpus must reproduce the graph bit for bit; and each deeper
+    layer's population is a hash-deterministic ~halving of the previous
+    (asserted as a loose band — the halving is exact in expectation,
+    binomial in realization)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        hnsw_upper_layer_graph,
+    )
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    neg = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    kw = dict(min_layer=2, max_layer=4, k=3)
+    got = sorted(
+        map(tuple, hnsw_upper_layer_graph(e, "vec_id", "embedding",
+                                          **kw).collect())
+    )
+    got_neg = sorted(
+        map(tuple, hnsw_upper_layer_graph(neg, "vec_id", "embedding",
+                                          **kw).collect())
+    )
+    assert got and got == got_neg
+    sizes = {
+        layer: len({r[1] for r in got if r[0] == layer})
+        for layer in (2, 3, 4)
+    }
+    for shallow, deep in ((2, 3), (3, 4)):
+        if sizes[shallow] >= 40:
+            ratio = sizes[deep] / sizes[shallow]
+            assert 0.25 <= ratio <= 0.75, sizes
