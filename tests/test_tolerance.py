@@ -228,3 +228,52 @@ def test_micro_units_out_of_domain_fails_loudly_on_both_engines(spark, ddb):
 
     with pytest.raises(_duckdb.Error):
         ddb.execute(f"SELECT {duck_units('1e15')}").fetchone()
+
+
+def test_cents_out_of_domain_fails_loudly_on_both_engines(spark, ddb):
+    """Round-10 ADVICE item 2: cents() now carries the same loud
+    overflow guard as micro_units — ANSI-off Spark's long cast wraps
+    silently past int64 while duck_cents' BIGINT cast raises, so an
+    out-of-domain money value must error on BOTH engines rather than
+    silently diverge. In-domain values are untouched."""
+    import pytest
+
+    from bigdata_financial_reporting_spark.functions.exact import (
+        cents,
+        duck_cents,
+    )
+
+    df = spark.createDataFrame([(1e17,), (12.34,)], "x double")
+    ok = (
+        df.filter(F.col("x") < 1e16)
+        .select(cents(F.col("x")).alias("c"))
+        .collect()
+    )
+    assert int(ok[0]["c"]) == 1234
+    with pytest.raises(Exception, match="cents overflow"):
+        df.select(cents(F.col("x")).alias("c")).collect()
+    import duckdb as _duckdb
+
+    with pytest.raises(_duckdb.Error):
+        ddb.execute(f"SELECT {duck_cents('1e17')}").fetchone()
+
+
+def test_lloyd_step_exactness_guard_rejects_oversized_values(spark, tmp_path):
+    """Round-10 ADVICE item 1 (second half): emb_kmeans_lloyd_step's
+    distance terms must stay exact integers below 2^53; vectors whose
+    micro-quantized magnitude breaks 4*qmax^2*dim < 2^53 must raise
+    the documented loud error instead of silently losing bit-stable
+    argmin assignments."""
+    import pytest
+
+    from bigdata_financial_reporting_spark.queries import QUERIES
+
+    # |x| = 16 -> qv = 1.6e7; 4 * qv^2 * 64 = 6.6e16 >= 2^53 (~9.0e15)
+    vecs = [(i, [16.0] * 64, i % 3) for i in range(1, 65)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    with pytest.raises(Exception, match="2\\^53"):
+        QUERIES["emb_kmeans_lloyd_step"].fn(spark, d).collect()
