@@ -186,3 +186,54 @@ def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame
 def files_of(table_dir: str, version: int) -> list[str]:
     with open(_manifest_path(table_dir, version)) as fh:
         return list(json.load(fh)["files"])
+
+
+def vacuum_orphans(table_dir: str) -> list[str]:
+    """Delete data files no surviving manifest references and return
+    the deleted paths (sorted) — Delta's VACUUM / Iceberg's
+    remove_orphan_files reduced to the manifest essence. Orphans come
+    from two sources this module can create: an ABORTED commit (a
+    crashed writer leaves its ``commit-*`` staging parquet with no
+    manifest pointing at it) and an EXPIRED version whose files no
+    younger manifest kept. Only ``*.parquet`` under ``commit-*``
+    staging dirs are candidates; manifests themselves are never
+    touched (that is :func:`ops_snapshot_expiry`'s job), so a pinned
+    reader of a surviving version sees identical bytes before and
+    after.
+
+    Production caveat (why real VACUUM has a retention window): an
+    IN-FLIGHT commit's staging files are indistinguishable from an
+    aborted one's until its manifest publishes, so a concurrent vacuum
+    must only reap files older than the longest plausible commit (the
+    Delta default is 7 days). The engine keys call this on quiescent
+    staged tables where the distinction is exact."""
+    referenced: set[str] = set()
+    for v in range(1, latest_version(table_dir) + 1):
+        path = _manifest_path(table_dir, v)
+        if os.path.exists(path):
+            referenced.update(files_of(table_dir, v))
+    present: set[str] = set()
+    for entry in os.listdir(table_dir):
+        staging = os.path.join(table_dir, entry)
+        if entry.startswith("commit-") and os.path.isdir(staging):
+            present.update(
+                os.path.join(staging, f)
+                for f in os.listdir(staging)
+                if f.endswith(".parquet")
+            )
+    orphans = sorted(present - referenced)
+    for f in orphans:
+        os.remove(f)
+    # drop staging dirs the reap emptied of parquet (writer _SUCCESS /
+    # .crc markers go with them); dirs still holding live files stay
+    for entry in os.listdir(table_dir):
+        staging = os.path.join(table_dir, entry)
+        if (
+            entry.startswith("commit-")
+            and os.path.isdir(staging)
+            and not any(f.endswith(".parquet") for f in os.listdir(staging))
+        ):
+            for f in os.listdir(staging):
+                os.remove(os.path.join(staging, f))
+            os.rmdir(staging)
+    return orphans

@@ -3828,3 +3828,100 @@ def agg_tdigest_quantiles(spark, sf_dir):
             F.col("lo_c") >= F.lag("hi_c").over(w), F.lit(True)
         ).alias("ordered_ok"),
     )
+
+
+@register(
+    "stat_wilcoxon_signed_rank",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(round(l_tax * 100) AS BIGINT)
+             - CAST(round(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem
+    ),
+    nz AS (SELECT d, abs(d) AS ad FROM d WHERE d <> 0),
+    cells AS (
+      SELECT ad, count(*) AS t,
+             count(*) FILTER (d > 0) AS cpos
+      FROM nz GROUP BY ad
+    ),
+    runs AS (
+      SELECT ad, t, cpos,
+             sum(t) OVER (ORDER BY ad
+                          ROWS UNBOUNDED PRECEDING) AS run_t
+      FROM cells
+    ),
+    s AS (
+      SELECT sum(CAST(t AS HUGEINT)) AS n,
+             sum(CAST(cpos AS HUGEINT) * (2 * run_t - t + 1)) AS w2,
+             sum(CAST(t AS HUGEINT) * t * t - t) AS tie3
+      FROM runs
+    )
+    SELECT CAST(n AS BIGINT) AS n_nonzero,
+           CAST(w2 AS BIGINT) AS w_plus_x2,
+           round(({w2d} / 2
+                  - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 4)
+                 / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                        * (2 * CAST(n AS DOUBLE) + 1) / 24
+                        - {t3} / 48), 6) + 0 AS z
+    FROM s
+    """.format(t3=duck_dec2d("tie3"), w2d=duck_dec2d("w2")),
+    category="aggregates",
+)
+def stat_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test on the PAIRED per-row difference
+    d = cents(l_tax) - cents(l_discount) — the nonparametric paired
+    sibling of stat_mann_whitney_u (two independent samples) that
+    completes the classic rank-test family (MW-U, Kruskal-Wallis,
+    runs, Spearman, Kendall). Zeros are discarded (the standard
+    Wilcoxon reduction), |d| is ranked ascending with midranks under
+    ties via the doubled-rank identity avg_rank*2 = 2C + t + 1 over
+    the per-DISTINCT-|d| count table, so W+*2 = SUM cpos*(2*run_t - t
+    + 1) is an exact integer. The running sum goes through
+    ``global_running_sum`` (range-partitioned two-phase, no row-level
+    global sort — the stat_mann_whitney_u / agg_ks_twosample posture);
+    the cell table is AT MOST ~19 rows here (cents differences in
+    [-10, 8]) and bounded by the |d| domain generally, so the offset
+    window is trivial at any corpus size. Rank-sum and tie moments
+    accumulate in decimal(38,0) (W+*2 grows ~n*(2n+1), tie3 as t^3 —
+    both past int64 in the low billions: the Spearman wrap class);
+    the tie-corrected z is ONE fixed double expression over exact
+    integers, mirrored token-for-token in the oracle, with the
+    DuckDB-side `+ 0` normalizing a rounded -0.0."""
+    from bigdata_financial_reporting_spark.operators.global_window import (
+        global_running_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = (cents(F.col("l_tax")) - cents(F.col("l_discount"))).alias("d")
+    nz = li.select(d).filter(F.col("d") != 0)
+    cells = nz.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("cpos"),
+    )
+    runs = global_running_sum(cells, ["ad"], ["t"])
+    dec = "decimal(38,0)"
+    s = runs.agg(
+        F.sum(F.col("t").cast(dec)).alias("n"),
+        F.sum(
+            F.col("cpos").cast(dec)
+            * (2 * F.col("run_t") - F.col("t") + 1)
+        ).alias("w2"),
+        F.sum(
+            F.col("t").cast(dec) * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie3"),
+    )
+    nd = F.col("n").cast("double")
+    # w2 grows ~2n^2 and crosses 2^53 near 70M rows — render through
+    # the MIRRORED two-limb decomposition, not a plain cast (the
+    # fin_kurtosis_returns double-rounding trap on DuckDB's HUGEINT)
+    z = (
+        F.expr(spark_dec2d("w2")) / 2 - nd * (nd + 1) / 4
+    ) / F.sqrt(
+        nd * (nd + 1) * (2 * nd + 1) / 24
+        - F.expr(spark_dec2d("tie3")) / 48
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_nonzero"),
+        F.col("w2").cast("long").alias("w_plus_x2"),
+        F.round(z, 6).alias("z"),
+    )

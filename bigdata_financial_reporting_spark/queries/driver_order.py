@@ -486,6 +486,13 @@ DEFER_NEW: frozenset[str] = frozenset(
         "sim_ivfpq_trained_topk",
         "stream_cdc_upsert_sink",
         "agg_tdigest_quantiles",
+        # round-11 second batch: the paired rank test, the moment
+        # normality test, and the manifest vacuum — 7 unseen keys
+        # total this round still leave ~43 slots for the r01/r02
+        # staleness drain
+        "stat_wilcoxon_signed_rank",
+        "fin_jarque_bera",
+        "ops_vacuum_orphan_files",
     }
 )
 

@@ -1283,3 +1283,112 @@ def fin_momentum_rank(spark, sf_dir):
             / 1000000.0
         ).alias("mean_fwd_ret"),
     )
+
+
+@register(
+    "fin_jarque_bera",
+    oracle=f"""
+    WITH bars AS ({_DUCK_BARS}),
+    r AS (
+      SELECT user_id,
+             CASE WHEN close > 0 AND lag(close) OVER w > 0
+                  THEN CAST(round(ln(close / lag(close) OVER w)
+                                  * 1000000.0) AS BIGINT)
+             END AS rq
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    m AS (
+      SELECT user_id, count(rq) AS n,
+             sum(CAST(rq AS HUGEINT)) AS s1,
+             sum(CAST(rq AS HUGEINT) * rq) AS s2,
+             sum(CAST(rq AS HUGEINT) * rq * rq) AS s3,
+             sum(CAST(rq AS HUGEINT) * rq * rq * rq) AS s4
+      FROM r WHERE rq IS NOT NULL GROUP BY user_id
+      HAVING count(rq) >= 4
+    ),
+    d AS (
+      SELECT user_id, n,
+             {duck_dec2d("s1")} AS s1d, {duck_dec2d("s2")} AS s2d,
+             {duck_dec2d("s3")} AS s3d, {duck_dec2d("s4")} AS s4d
+      FROM m
+    ),
+    c AS (
+      SELECT user_id, n,
+             s3d - 3.0 * (s1d / n) * s2d
+                 + 2.0 * n * (s1d / n) * (s1d / n) * (s1d / n) AS m3s,
+             s4d
+             - 4.0 * (s1d / n) * s3d
+             + 6.0 * (s1d / n) * (s1d / n) * s2d
+             - 3.0 * n * (s1d / n) * (s1d / n) * (s1d / n) * (s1d / n)
+               AS m4s,
+             s2d - (s1d / n) * s1d AS m2s
+      FROM d
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_returns,
+           round(sqrt(CAST(n AS DOUBLE)) * m3s
+                 / sqrt(m2s * m2s * m2s), 6) + 0 AS skew_g1,
+           round(CAST(n AS DOUBLE) / 6.0
+                 * ((CAST(n AS DOUBLE) * m3s * m3s / (m2s * m2s * m2s))
+                    + (CAST(n AS DOUBLE) * m4s / (m2s * m2s) - 3.0)
+                      * (CAST(n AS DOUBLE) * m4s / (m2s * m2s) - 3.0)
+                      / 4.0), 6) + 0 AS jb
+    FROM c
+    """,
+    category="finance",
+)
+def fin_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test of daily LOG returns per instrument
+    — JB = n/6 * (g1^2 + g2^2/4) from the population skewness g1 and
+    excess kurtosis g2, the moment-based normality screen that
+    completes the fin_kurtosis_returns family (same bars, same
+    micro-quantized exact-integer return canon). The four raw moments
+    (SUM r..r^4) accumulate in decimal(38,0) (order-independent,
+    r^4 <= ~1.5e28 per row); central moment SUMS m2s/m3s/m4s and the
+    g1/g2/JB renders are fixed double expressions over the mirrored
+    two-limb dec2d renders, token-for-token identical in the oracle.
+    Groups with n < 4 are dropped (moments below the test's df).
+    Single shuffle on the instrument key; constant state per group."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    bars = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.max_by("value", key).alias("close"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("close").over(w)
+    rq = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        F.round(F.log(F.col("close") / prev) * 1000000.0).cast("long"),
+    )
+    dec = "decimal(38,0)"
+    r = bars.select("user_id", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    m = r.groupBy("user_id").agg(
+        F.count("rq").alias("n"),
+        F.sum(F.col("rq").cast(dec)).alias("s1"),
+        F.sum(F.col("rq").cast(dec) * F.col("rq")).alias("s2"),
+        F.sum(F.col("rq").cast(dec) * F.col("rq") * F.col("rq")).alias("s3"),
+        F.sum(
+            F.col("rq").cast(dec) * F.col("rq") * F.col("rq") * F.col("rq")
+        ).alias("s4"),
+    ).filter(F.col("n") >= 4)
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.expr(spark_dec2d("s1")), F.expr(spark_dec2d("s2"))
+    s3d, s4d = F.expr(spark_dec2d("s3")), F.expr(spark_dec2d("s4"))
+    mean = s1d / F.col("n")
+    m3s = s3d - 3.0 * mean * s2d + 2.0 * F.col("n") * mean * mean * mean
+    m4s = (
+        s4d
+        - 4.0 * mean * s3d
+        + 6.0 * mean * mean * s2d
+        - 3.0 * F.col("n") * mean * mean * mean * mean
+    )
+    m2s = s2d - mean * s1d
+    g1 = F.sqrt(nd) * m3s / F.sqrt(m2s * m2s * m2s)
+    g2 = nd * m4s / (m2s * m2s) - 3.0
+    jb = nd / 6.0 * (nd * m3s * m3s / (m2s * m2s * m2s) + g2 * g2 / 4.0)
+    return m.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_returns"),
+        F.round(g1, 6).alias("skew_g1"),
+        F.round(jb, 6).alias("jb"),
+    )

@@ -802,3 +802,91 @@ def ops_compaction_bins(spark, sf_dir):
         F.col("n_rows").cast("long").alias("n_rows"),
         F.expr("(run_n_rows - n_rows) div 2000").cast("long").alias("bin_id"),
     )
+
+
+@register(
+    "ops_vacuum_orphan_files",
+    oracle="""
+    SELECT 0 AS version, FALSE AS live, TRUE AS disk_clean,
+           (SELECT count(*) FROM nation WHERE n_nationkey >= 20)
+             AS n_rows
+    UNION ALL
+    SELECT 1, TRUE, TRUE,
+           (SELECT count(*) FROM nation WHERE n_nationkey < 10)
+    UNION ALL
+    SELECT 2, TRUE, TRUE,
+           (SELECT count(*) FROM nation WHERE n_nationkey < 20)
+    """,
+    category="ops",
+)
+def ops_vacuum_orphan_files(spark, sf_dir):
+    """Orphan-file VACUUM on the manifest table (Delta VACUUM /
+    Iceberg remove_orphan_files): reap data files no surviving
+    manifest references — here the staging parquet of an ABORTED
+    commit (crashed writer: files on disk, no manifest) — and prove
+    the reap touched NOTHING live. Report: version 0 = the orphan
+    row (n_rows it held before reclamation, counted from the orphan
+    files themselves pre-delete); versions 1-2 = the surviving
+    snapshots COUNTED AFTER THE DELETE, so a vacuum that over-reaps
+    breaks the count (or the read) loudly. ``disk_clean`` asserts the
+    post-vacuum disk state is exactly the union of the manifests'
+    file lists — no orphan survived, no live file vanished. At 100 TB
+    both the reference set (manifest union) and the listing are
+    metadata-scale, never data-scale; production adds the retention
+    window documented on :func:`vacuum_orphans`."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from bigdata_financial_reporting_spark.operators.manifest import (
+        commit_version,
+        files_of,
+        latest_version,
+        vacuum_orphans,
+    )
+
+    n = load_table(spark, sf_dir, "nation")
+    table_dir = os.path.join(
+        tempfile.gettempdir(), "bdfr_scratch", "vacuum_nation"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    v1 = commit_version(n.filter(F.col("n_nationkey") < 10), table_dir)
+    v2 = commit_version(
+        n.filter((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)),
+        table_dir,
+        base_files=files_of(table_dir, v1),
+    )
+    # the aborted commit: staging parquet with NO manifest (a writer
+    # that died between its data write and its manifest publish)
+    aborted = os.path.join(table_dir, f"commit-{_uuid.uuid4().hex[:12]}")
+    n.filter(F.col("n_nationkey") >= 20).write.mode("overwrite").parquet(
+        aborted
+    )
+    orphan_rows = spark.read.parquet(aborted).count()
+
+    deleted = vacuum_orphans(table_dir)
+    if not deleted:
+        raise RuntimeError("vacuum found no orphans in the staged abort")
+
+    # post-vacuum witnesses: disk == union of manifests, snapshots intact
+    referenced = set()
+    for v in range(1, latest_version(table_dir) + 1):
+        referenced.update(files_of(table_dir, v))
+    present = set()
+    for entry in os.listdir(table_dir):
+        staging = os.path.join(table_dir, entry)
+        if entry.startswith("commit-") and os.path.isdir(staging):
+            present.update(
+                os.path.join(staging, f)
+                for f in os.listdir(staging)
+                if f.endswith(".parquet")
+            )
+    disk_clean = present == referenced
+    rows = [(0, False, disk_clean, orphan_rows)]
+    for v in (v1, v2):
+        cnt = spark.read.parquet(*files_of(table_dir, v)).count()
+        rows.append((v, True, disk_clean, cnt))
+    return spark.createDataFrame(
+        rows, "version int, live boolean, disk_clean boolean, n_rows long"
+    )
