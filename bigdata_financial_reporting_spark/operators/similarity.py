@@ -1056,7 +1056,24 @@ def _pq_subspace_d2(vec, cv, s, sub_dim):
     """Squared L2 between ``vec``'s and ``cv``'s s-th subvectors as an
     IN-ORDER double fold (component order i=1..sub_dim) — the ONE
     distance both the PQ encoder and the ADC table builder use, and
-    the fold the DuckDB oracles mirror term-for-term."""
+    the fold the DuckDB oracles mirror term-for-term.
+
+    When ``sub_dim`` is a plain int (the caller probed the dimension
+    once), the fold is UNROLLED into a left-to-right codegen sum —
+    the same IEEE addition order and the same NULL propagation
+    (out-of-range element_at -> NULL poisons the whole sum, exactly
+    like the lambda fold), but whole-stage-codegen instead of an
+    interpreted per-row higher-order function: this is the encoder's
+    n_rows x n_subspaces x n_codes hot expression."""
+    if isinstance(sub_dim, int):
+        acc = F.lit(0.0)
+        for i in range(1, sub_dim + 1):
+            idx = (s * sub_dim + i).cast("int")
+            diff = F.element_at(vec, idx).cast("double") - F.element_at(
+                cv, idx
+            ).cast("double")
+            acc = acc + diff * diff
+        return acc
 
     def step(acc, i):
         idx = (s * sub_dim + i).cast("int")
@@ -1116,10 +1133,11 @@ def pq_encode(
     trade as ``ivf_topk``: identical dataflow, worse distortion).
 
     Determinism/scale posture: per-(row, subspace, code) squared L2 is
-    an IN-ORDER double fold over the 8 components (no shuffle-order
-    float merge anywhere); the argmin is a (d2, code)-ordered window;
-    the final per-row reassembly sorts by subspace and folds the
-    per-subspace errors in order. Vectors never cross a shuffle — the
+    an IN-ORDER double sum over the 8 components (no shuffle-order
+    float merge anywhere); the argmin is a (d2, code)-ordered min_by
+    hash aggregation (map-side partials, no per-key sort); the final
+    per-row reassembly sorts by subspace and folds the per-subspace
+    errors in order. Vectors never cross a shuffle — the
     codebook join is broadcast and happens before the first exchange;
     the two shuffles carry only (id, s, code, d2).
 
@@ -1128,6 +1146,19 @@ def pq_encode(
         codebook = _degenerate_pq_codebook(
             df, id_col, vec_col, n_subspaces, n_codes
         )
+    # Probe the dimension once so the hot d2 expression unrolls into
+    # codegen (the per-row _checked_sub_dim column still guards every
+    # row loudly — ragged inputs raise exactly as before; a ragged row
+    # under the probed sub_dim would only ever yield the same NULL d2
+    # the fold yields, never a wrong number).
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    static_sub = (
+        probe["d"] // n_subspaces
+        if probe is not None
+        and probe["d"] is not None
+        and probe["d"] % n_subspaces == 0
+        else None
+    )
     rows = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -1142,19 +1173,30 @@ def pq_encode(
         "code",
         "sub_dim",
         _pq_subspace_d2(
-            F.col("v"), F.col("cv"), F.col("s"), F.col("sub_dim")
+            F.col("v"),
+            F.col("cv"),
+            F.col("s"),
+            static_sub if static_sub is not None else F.col("sub_dim"),
         ).alias("d2"),
     )
-    # nulls LAST: a NULL d2 (e.g. a codebook entry shorter than the
-    # indexed slice -> out-of-range element_at) must never win the
-    # argmin — Spark's plain asc() sorts NULL first.
-    w = Window.partitionBy("id", "s").orderBy(
-        F.col("d2").asc_nulls_last(), F.col("code").asc()
+    # argmin as a min_by HASH aggregation, not a row_number window:
+    # partial aggregation collapses the n_codes candidates per (id, s)
+    # map-side before the shuffle and no per-key sort runs — the same
+    # (d2 asc, code asc) selection, strictly cheaper at scale. NULL d2
+    # (e.g. a codebook entry shorter than the indexed slice ->
+    # out-of-range element_at) must never win the argmin: coalesce to
+    # +inf (the window form used asc_nulls_last; NaN already sorts
+    # above +inf in both forms). code is unique per (id, s), so the
+    # ordering struct is total and min_by deterministic.
+    ord_ = F.struct(
+        F.coalesce(F.col("d2"), F.lit(float("inf"))), F.col("code")
     )
-    best = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", "s", "code", "sub_dim", "d2")
+    best = scored.groupBy("id", "s").agg(
+        F.min_by(F.struct("code", "d2"), ord_).alias("__b"),
+        F.max("sub_dim").alias("sub_dim"),
+    ).select(
+        "id", "s", F.col("__b.code").alias("code"), "sub_dim",
+        F.col("__b.d2").alias("d2"),
     )
     per = best.groupBy("id").agg(
         F.array_sort(F.collect_list(F.struct("s", "code", "d2"))).alias("parts"),
@@ -1249,45 +1291,68 @@ def train_pq_codebook(
     }
 
     def d2(sv, cv):
-        return F.aggregate(
-            F.zip_with(sv, cv, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # unrolled left-to-right codegen sum — identical IEEE order
+        # and NULL propagation to the zip_with/aggregate fold it
+        # replaces (shorter-array element_at -> NULL poisons the sum,
+        # as zip_with's null-padding did), without the interpreted
+        # lambda on the n_rows x n_subspaces x n_codes hot pass
+        acc = F.lit(0.0)
+        for i in range(1, sub_dim + 1):
+            diff = F.element_at(sv, i) - F.element_at(cv, i)
+            acc = acc + diff * diff
+        return acc
 
-    # asc_nulls_last, matching pq_encode's shared determinism contract:
-    # a NULL distance (ragged vector -> zip_with null-padding) must
-    # never win the argmin, or code 0 silently absorbs the ragged row
-    # and pollutes the trained means.
-    assign_w = Window.partitionBy("vid", "s").orderBy(
-        F.col("__d2").asc_nulls_last(), F.col("code").asc()
-    )
-    for _ in range(iterations):
-        cb = spark.createDataFrame(
-            [(s, c, v) for (s, c), v in sorted(book.items())],
-            "s int, code int, cv array<double>",
-        )
-        assigned = (
-            sub.join(F.broadcast(cb), "s")
-            .withColumn("__d2", d2(F.col("sv"), F.col("cv")))
-            .withColumn("__rn", F.row_number().over(assign_w))
-            .filter(F.col("__rn") == 1)
-            .select("s", "code", "sv")
-        )
-        per = (
-            assigned.select("s", "code", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("s", "code", "pos")
-            .agg(F.round(F.avg("x"), 9).alias("m"))
-            .groupBy("s", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda t: t.getField("m"),
-                ).alias("cv")
+    # argmin via min_by (pq_encode's shared determinism contract:
+    # NULL distance — ragged vector -> zip_with null-padding — must
+    # never win, or code 0 silently absorbs the ragged row and
+    # pollutes the trained means; coalesce to +inf mirrors the old
+    # window's asc_nulls_last). Hash agg with map-side partials
+    # replaces the per-(vid, s) sort — the Lloyd assignment is the
+    # data-sized pass, so this is the shuffle that matters at scale.
+    sub = sub.persist()
+    try:
+        for _ in range(iterations):
+            cb = spark.createDataFrame(
+                [(s, c, v) for (s, c), v in sorted(book.items())],
+                "s int, code int, cv array<double>",
             )
-        )
-        new = {(r.s, r.code): list(r.cv) for r in per.collect()}
-        book = {key: new.get(key, v) for key, v in book.items()}
+            assigned = (
+                sub.join(F.broadcast(cb), "s")
+                .withColumn("__d2", d2(F.col("sv"), F.col("cv")))
+                .groupBy("vid", "s")
+                .agg(
+                    F.min_by(
+                        F.struct("code", "sv"),
+                        F.struct(
+                            F.coalesce(F.col("__d2"), F.lit(float("inf"))),
+                            F.col("code"),
+                        ),
+                    ).alias("__b")
+                )
+                .select(
+                    "s",
+                    F.col("__b.code").alias("code"),
+                    F.col("__b.sv").alias("sv"),
+                )
+            )
+            per = (
+                assigned.select(
+                    "s", "code", F.posexplode("sv").alias("pos", "x")
+                )
+                .groupBy("s", "code", "pos")
+                .agg(F.round(F.avg("x"), 9).alias("m"))
+                .groupBy("s", "code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda t: t.getField("m"),
+                    ).alias("cv")
+                )
+            )
+            new = {(r.s, r.code): list(r.cv) for r in per.collect()}
+            book = {key: new.get(key, v) for key, v in book.items()}
+    finally:
+        sub.unpersist()
 
     rows = []
     for (s, c), v in sorted(book.items()):
