@@ -237,3 +237,28 @@ def vacuum_orphans(table_dir: str) -> list[str]:
                 os.remove(os.path.join(staging, f))
             os.rmdir(staging)
     return orphans
+
+
+def clone_table(src_dir: str, dst_dir: str, version: int | None = None) -> list[str]:
+    """Zero-copy SHALLOW CLONE (Delta SHALLOW CLONE / Iceberg snapshot
+    ref): publish a new table whose v1 manifest references the SOURCE
+    table's data files at ``version`` (latest by default) — no byte of
+    data moves. Because committed files are immutable (writers only
+    ever add files + a new manifest), the clone is a consistent frozen
+    snapshot: later commits to the source add new files under new
+    manifests and are invisible to the clone, and the clone can evolve
+    independently. The caveat is ownership: a VACUUM/expiry on the
+    source does not know about the clone's references, which is why
+    production formats track cross-table references or scope vacuum to
+    retention windows (:func:`vacuum_orphans`). At 100 TB a shallow
+    clone is O(manifest) — this is how you fork a corpus for an
+    experiment without copying the corpus. Returns the referenced
+    file list."""
+    v = version if version is not None else latest_version(src_dir)
+    files = files_of(src_dir, v)
+    os.makedirs(dst_dir, exist_ok=True)
+    if not _publish_manifest(dst_dir, 1, files):
+        raise RuntimeError(
+            f"clone_table: {dst_dir} already has a manifest-v1"
+        )
+    return files

@@ -3925,3 +3925,133 @@ def stat_wilcoxon_signed_rank(spark, sf_dir):
         F.col("w2").cast("long").alias("w_plus_x2"),
         F.round(z, 6).alias("z"),
     )
+
+
+@register(
+    "stat_friedman",
+    oracle="""
+    WITH cell AS (
+      SELECT user_id, event_type,
+             sum(CAST(round(value * 1000000.0) AS HUGEINT)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    kk AS (SELECT count(DISTINCT event_type) AS k FROM events),
+    blocks AS (
+      SELECT user_id, event_type, v,
+             count(*) OVER (PARTITION BY user_id) AS bs
+      FROM cell
+    ),
+    r AS (
+      SELECT user_id, event_type,
+             rank() OVER (PARTITION BY user_id ORDER BY v)
+             + count(*) OVER (PARTITION BY user_id ORDER BY v
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS r2
+      FROM blocks, kk WHERE bs = kk.k
+    ),
+    g AS (
+      SELECT event_type,
+             sum(CAST(r2 AS HUGEINT)) AS rj2,
+             sum(CAST(r2 AS HUGEINT) * r2) AS rsq,
+             count(*) AS nb
+      FROM r GROUP BY event_type
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS k,
+             CAST(max(nb) AS HUGEINT) AS n,
+             sum(rj2 * rj2) AS srj2,
+             sum(rsq) AS sr2
+      FROM g
+    ),
+    f AS (
+      SELECT k, n,
+             srj2 - n * n * k * (k + 1) * (k + 1) AS num4,
+             sr2 - n * k * (k + 1) * (k + 1) AS den4
+      FROM s
+    )
+    SELECT CAST(k AS INT) AS k, CAST(n AS BIGINT) AS n_blocks,
+           round((CAST(k AS DOUBLE) - 1.0) * {num} / {den}, 6) + 0
+             AS q_stat
+    FROM f
+    """.format(num=duck_dec2d("num4"), den=duck_dec2d("den4")),
+    category="aggregates",
+)
+def stat_friedman(spark, sf_dir):
+    """Friedman test (repeated-measures rank ANOVA) — blocks are
+    instruments (user_id), treatments are the k event types, the cell
+    statistic is the exact micro-quantized value sum. Completes the
+    classic rank-test family (Mann-Whitney U two-sample, Kruskal-
+    Wallis k independent samples, Wilcoxon signed-rank paired; this is
+    the k-treatment blocked design). Only COMPLETE blocks enter (the
+    textbook reduction): a block must hold all k treatments, checked
+    against the global distinct-treatment count. Within-block doubled
+    midranks are exact integers from ONE window spec — r2 = rank() +
+    count(RANGE <= current) = 2*cnt_less + t + 1 — so both window
+    functions share the single (block) exchange and sort; blocks are
+    k-row groups, so the per-block sort is constant-size at any corpus
+    scale. Rank sums, their squares, and the tie-adjusted total
+    SUM r2^2 accumulate in decimal(38,0); the tie-corrected statistic
+    Q = (k-1)(4*sum Rj^2 - n^2 k(k+1)^2) / (4*sum r^2 - n k(k+1)^2)
+    (stated here in doubled-rank form, so every term is integer) is
+    ONE mirrored double expression over two-limb dec2d renders."""
+    ev = load_table(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1000000.0).cast("long")
+    dec = "decimal(38,0)"
+    cell = ev.groupBy("user_id", "event_type").agg(
+        F.sum(micro.cast(dec)).alias("v")
+    )
+    kk = ev.agg(F.countDistinct("event_type").alias("k"))
+    w_blk = Window.partitionBy("user_id")
+    w_ord = Window.partitionBy("user_id").orderBy("v")
+    w_le = (
+        Window.partitionBy("user_id")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blocks = cell.withColumn("bs", F.count(F.lit(1)).over(w_blk))
+    r = (
+        blocks.crossJoin(F.broadcast(kk))
+        .filter(F.col("bs") == F.col("k"))
+        .select(
+            "user_id",
+            "event_type",
+            (F.rank().over(w_ord) + F.count(F.lit(1)).over(w_le)).alias(
+                "r2"
+            ),
+        )
+    )
+    g = r.groupBy("event_type").agg(
+        F.sum(F.col("r2").cast(dec)).alias("rj2"),
+        F.sum(F.col("r2").cast(dec) * F.col("r2")).alias("rsq"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.max("nb").cast(dec).alias("n"),
+        F.sum(F.col("rj2") * F.col("rj2")).alias("srj2"),
+        F.sum("rsq").alias("sr2"),
+    )
+    f = s.select(
+        "k",
+        "n",
+        (
+            F.col("srj2")
+            - F.col("n") * F.col("n") * F.col("k")
+            * (F.col("k") + 1) * (F.col("k") + 1)
+        ).alias("num4"),
+        (
+            F.col("sr2")
+            - F.col("n") * F.col("k")
+            * (F.col("k") + 1) * (F.col("k") + 1)
+        ).alias("den4"),
+    )
+    q = (
+        (F.col("k").cast("double") - 1.0)
+        * F.expr(spark_dec2d("num4"))
+        / F.expr(spark_dec2d("den4"))
+    )
+    return f.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round(q, 6).alias("q_stat"),
+    )

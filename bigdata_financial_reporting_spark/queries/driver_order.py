@@ -229,6 +229,7 @@ RECHECK_FIRST: tuple[str, ...] = (
     # source-touching change; the remaining ~18 budget slots
     # drain the r01/r02 staleness tier behind the 4 new keys.
     "ops_cdc_apply",
+    "sim_pq_encode",
     "agg_count_distinct",
     "agg_filtered_conditional",
     "agg_grouping_sets",
@@ -493,6 +494,12 @@ DEFER_NEW: frozenset[str] = frozenset(
         "stat_wilcoxon_signed_rank",
         "fin_jarque_bera",
         "ops_vacuum_orphan_files",
+        # round-11 third batch: the blocked rank test, range
+        # volatility, and the zero-copy clone — 10 unseen keys total
+        # this round, still ~40 slots for the staleness drain
+        "stat_friedman",
+        "fin_parkinson_vol",
+        "ops_clone_shallow",
     }
 )
 

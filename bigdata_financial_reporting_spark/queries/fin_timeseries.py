@@ -1392,3 +1392,108 @@ def fin_jarque_bera(spark, sf_dir):
         F.round(g1, 6).alias("skew_g1"),
         F.round(jb, 6).alias("jb"),
     )
+
+
+# The closest double to ln(2), written as the SAME 17-digit literal on
+# both engines so the range-volatility constants are bit-identical
+# (libm vs java.lang.Math could differ by 1 ulp on ln(2.0) computed at
+# runtime).
+_LN2 = "0.6931471805599453"
+
+
+@register(
+    "fin_parkinson_vol",
+    oracle=f"""
+    WITH bars AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             max(value) AS high, min(value) AS low,
+             arg_min(value, {_DUCK_TICK_KEY}) AS open_px,
+             arg_max(value, {_DUCK_TICK_KEY}) AS close_px
+      FROM events GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT user_id,
+             CAST(round(ln(high / low) * 1000000.0) AS BIGINT) AS hq,
+             CAST(round(ln(close_px / open_px) * 1000000.0) AS BIGINT)
+               AS cq
+      FROM bars WHERE low > 0
+    ),
+    m AS (
+      SELECT user_id, count(*) AS n,
+             sum(CAST(hq AS HUGEINT) * hq) AS sh2,
+             sum(CAST(cq AS HUGEINT) * cq) AS sc2
+      FROM q GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_days,
+           round({duck_dec2d("sh2")} / 1000000000000.0
+                 / (4.0 * {_LN2} * CAST(n AS DOUBLE)), 6) AS parkinson_var,
+           round((0.5 * {duck_dec2d("sh2")} / 1000000000000.0
+                  - (2.0 * {_LN2} - 1.0)
+                    * {duck_dec2d("sc2")} / 1000000000000.0)
+                 / CAST(n AS DOUBLE), 6) + 0 AS garman_klass_var
+    FROM m
+    """,
+    category="finance",
+)
+def fin_parkinson_vol(spark, sf_dir):
+    """Parkinson and Garman-Klass range-based daily variance per
+    instrument — the high-low volatility estimators that complete the
+    close-to-close family (fin_kurtosis_returns / fin_jarque_bera use
+    returns; these use the intraday RANGE, ~5-7x more efficient per
+    day of data). Per day: hq = micro-quantized ln(high/low), cq =
+    micro-quantized ln(close/open) (open/close by the (ts, event_id)
+    tick key, the fin_ohlc_bars canon); days with low <= 0 are
+    dropped (log-range undefined). Parkinson = E[hq^2]/(4 ln 2),
+    Garman-Klass = E[0.5 hq^2 - (2 ln 2 - 1) cq^2]. The squared-range
+    sums accumulate in decimal(38,0) (exact, order-independent); each
+    estimator renders as ONE fixed double expression over the mirrored
+    two-limb dec2d renders with ln 2 as the same 17-digit double
+    literal on both engines. One shuffle on (instrument, day), one on
+    instrument — both map-side combined; constant state per group.
+    GK can legitimately go negative (its cq^2 term subtracts), hence
+    the DuckDB-side -0.0 normalization; Parkinson is a scaled square,
+    never negative."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    bars = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min_by("value", key).alias("open_px"),
+        F.max_by("value", key).alias("close_px"),
+    )
+    q = bars.filter(F.col("low") > 0).select(
+        "user_id",
+        F.round(F.log(F.col("high") / F.col("low")) * 1000000.0)
+        .cast("long")
+        .alias("hq"),
+        F.round(F.log(F.col("close_px") / F.col("open_px")) * 1000000.0)
+        .cast("long")
+        .alias("cq"),
+    )
+    dec = "decimal(38,0)"
+    m = q.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("hq").cast(dec) * F.col("hq")).alias("sh2"),
+        F.sum(F.col("cq").cast(dec) * F.col("cq")).alias("sc2"),
+    )
+    nd = F.col("n").cast("double")
+    ln2 = float(_LN2)
+    sh2d = F.expr(spark_dec2d("sh2"))
+    sc2d = F.expr(spark_dec2d("sc2"))
+    return m.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(
+            sh2d / 1000000000000.0 / (4.0 * ln2 * nd), 6
+        ).alias("parkinson_var"),
+        F.round(
+            (
+                0.5 * sh2d / 1000000000000.0
+                - (2.0 * ln2 - 1.0) * sc2d / 1000000000000.0
+            )
+            / nd,
+            6,
+        ).alias("garman_klass_var"),
+    )

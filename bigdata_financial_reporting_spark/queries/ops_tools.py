@@ -890,3 +890,82 @@ def ops_vacuum_orphan_files(spark, sf_dir):
     return spark.createDataFrame(
         rows, "version int, live boolean, disk_clean boolean, n_rows long"
     )
+
+
+@register(
+    "ops_clone_shallow",
+    oracle="""
+    SELECT 'src' AS side, 1 AS version,
+           (SELECT count(*) FROM nation WHERE n_nationkey < 10) AS n_rows,
+           TRUE AS zero_copy
+    UNION ALL
+    SELECT 'src', 2,
+           (SELECT count(*) FROM nation WHERE n_nationkey < 20), TRUE
+    UNION ALL
+    SELECT 'src', 3, (SELECT count(*) FROM nation), TRUE
+    UNION ALL
+    SELECT 'clone', 1,
+           (SELECT count(*) FROM nation WHERE n_nationkey < 20), TRUE
+    """,
+    category="ops",
+)
+def ops_clone_shallow(spark, sf_dir):
+    """Zero-copy shallow clone on the manifest table (Delta SHALLOW
+    CLONE): fork the source at v2 into a new table via
+    :func:`operators.manifest.clone_table`, then commit v3 to the
+    SOURCE and prove isolation — the clone still reads exactly the v2
+    content (counted AFTER the source moved on). ``zero_copy`` is the
+    witness that no data moved: the clone directory holds no parquet
+    of its own AND its manifest references exactly the source's v2
+    file set. At 100 TB the clone is O(manifest) — the fork-a-corpus
+    primitive for experiments; completes the manifest family
+    (commit / time travel / expiry / vacuum / clone)."""
+    import os
+    import shutil
+    import tempfile
+
+    from bigdata_financial_reporting_spark.operators.manifest import (
+        clone_table,
+        commit_version,
+        files_of,
+    )
+
+    n = load_table(spark, sf_dir, "nation")
+    root = os.path.join(tempfile.gettempdir(), "bdfr_scratch")
+    src = os.path.join(root, "clone_src_nation")
+    dst = os.path.join(root, "clone_dst_nation")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    v1 = commit_version(n.filter(F.col("n_nationkey") < 10), src)
+    v2 = commit_version(
+        n.filter((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)),
+        src,
+        base_files=files_of(src, v1),
+    )
+    cloned = clone_table(src, dst, version=v2)
+    # source moves on AFTER the clone — the clone must not see v3
+    v3 = commit_version(
+        n.filter(F.col("n_nationkey") >= 20),
+        src,
+        base_files=files_of(src, v2),
+    )
+    clone_files = files_of(dst, 1)
+    has_own_parquet = any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(dst)
+        for f in fs
+    )
+    zero_copy = (
+        not has_own_parquet
+        and set(clone_files) == set(files_of(src, v2))
+        and set(cloned) == set(clone_files)
+    )
+    rows = []
+    for v in (v1, v2, v3):
+        cnt = spark.read.parquet(*files_of(src, v)).count()
+        rows.append(("src", v, cnt, zero_copy))
+    rows.append(("clone", 1, spark.read.parquet(*clone_files).count(),
+                 zero_copy))
+    return spark.createDataFrame(
+        rows, "side string, version int, n_rows long, zero_copy boolean"
+    )
