@@ -4055,3 +4055,121 @@ def stat_friedman(spark, sf_dir):
         F.col("n").cast("long").alias("n_blocks"),
         F.round(q, 6).alias("q_stat"),
     )
+
+
+@register(
+    "stat_bartlett",
+    oracle="""
+    WITH q AS (
+      SELECT event_type AS grp,
+             CAST(round(value * 1000000.0) AS BIGINT) AS vq
+      FROM events
+    ),
+    g AS (
+      SELECT grp, count(*) AS n,
+             sum(CAST(vq AS HUGEINT)) AS s1,
+             sum(CAST(vq AS HUGEINT) * vq) AS s2
+      FROM q GROUP BY grp HAVING count(*) >= 2
+    ),
+    ss AS (
+      SELECT grp, n, CAST(n AS HUGEINT) * s2 - s1 * s1 AS ssn FROM g
+    ),
+    terms AS (
+      SELECT count(*) AS k, sum(n) AS nt,
+             list_aggregate(list({ssnd} / CAST(n AS DOUBLE)
+                                 ORDER BY grp), 'sum') AS ssp,
+             list_aggregate(list((CAST(n AS DOUBLE) - 1.0)
+                                 * ln({ssnd}
+                                      / (CAST(n AS DOUBLE)
+                                         * (CAST(n AS DOUBLE) - 1.0)))
+                                 ORDER BY grp), 'sum') AS lnsum,
+             list_aggregate(list(1.0 / (CAST(n AS DOUBLE) - 1.0)
+                                 ORDER BY grp), 'sum') AS invsum
+      FROM ss
+    )
+    SELECT CAST(k AS INT) AS k, CAST(nt AS BIGINT) AS nt,
+           round(((CAST(nt AS DOUBLE) - CAST(k AS DOUBLE))
+                  * ln(ssp / (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE)))
+                  - lnsum)
+                 / (1.0 + (invsum
+                           - 1.0 / (CAST(nt AS DOUBLE)
+                                    - CAST(k AS DOUBLE)))
+                          / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6) + 0
+             AS bartlett_t
+    FROM terms
+    """.format(ssnd=duck_dec2d("ssn")),
+    category="aggregates",
+)
+def stat_bartlett(spark, sf_dir):
+    """Bartlett's variance-homogeneity test across the event types —
+    the parametric sibling of stat_levene (Brown-Forsythe), completing
+    the homoscedasticity pair: T = [(N-k) ln Sp^2 - SUM (n_i-1) ln
+    S_i^2] / C with C the small-sample correction. Values
+    micro-quantize to exact integers; each group's corrected
+    sum-of-squares NUMERATOR ssn = n*s2 - s1^2 is an exact
+    decimal(38,0), so the only floats are the per-group doubles
+    ssn/n (= SS_i) and the ln terms, every one folded in FIXED group
+    order (array_sort + F.aggregate <-> list(ORDER BY grp) +
+    list_aggregate, the stat_anova_f canon) and mirrored
+    token-for-token. The micro^2 unit cancels identically: SUM
+    (n_i-1) = N-k, so the unit's ln offsets subtract out of T —
+    no rescale is needed or applied. ln is the SURVEY 7.5
+    mirrored-IEEE single-expression float class (1-ulp libm
+    divergence only moves the 6dp round at measure-zero boundaries).
+    Groups need n_i >= 2 (variance df). One shuffle on the group key;
+    k-row state thereafter."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    vq = F.round(F.col("value") * 1000000.0).cast("long")
+    g = (
+        ev.select(F.col("event_type").alias("grp"), vq.alias("vq"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("vq").cast(dec)).alias("s1"),
+            F.sum(F.col("vq").cast(dec) * F.col("vq")).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    ss = g.select(
+        "grp",
+        "n",
+        (F.col("n").cast(dec) * F.col("s2") - F.col("s1") * F.col("s1")).alias(
+            "ssn"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    ssnd = F.expr(spark_dec2d("ssn"))
+
+    def fold(term):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("grp", term.alias("t")))),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    terms = ss.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        fold(ssnd / nd).alias("ssp"),
+        fold(
+            (nd - 1.0) * F.log(ssnd / (nd * (nd - 1.0)))
+        ).alias("lnsum"),
+        fold(1.0 / (nd - 1.0)).alias("invsum"),
+    )
+    ntd = F.col("nt").cast("double")
+    kd = F.col("k").cast("double")
+    t = (
+        (ntd - kd) * F.log(F.col("ssp") / (ntd - kd)) - F.col("lnsum")
+    ) / (
+        1.0
+        + (F.col("invsum") - 1.0 / (ntd - kd)) / (3.0 * (kd - 1.0))
+    )
+    return terms.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("nt").cast("long").alias("nt"),
+        F.round(t, 6).alias("bartlett_t"),
+    )

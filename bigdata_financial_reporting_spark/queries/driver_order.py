@@ -500,6 +500,10 @@ DEFER_NEW: frozenset[str] = frozenset(
         "stat_friedman",
         "fin_parkinson_vol",
         "ops_clone_shallow",
+        # round-11 fourth batch: Bartlett and the nearest as-of —
+        # 12 unseen keys this round, ~38 slots left for the drain
+        "stat_bartlett",
+        "join_asof_nearest",
     }
 )
 

@@ -888,3 +888,107 @@ def join_grid_neighbors(spark, sf_dir):
         .filter((F.col("a_id") < F.col("b_id")) & (dist2 <= 64))
         .select("a_id", "b_id", dist2.alias("dist2"))
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             TIMESTAMP '2023-12-24'
+               + INTERVAL (o_orderkey % 1080) HOUR AS asof_ts
+      FROM orders
+    ),
+    b AS (
+      SELECT o.o_orderkey, e.event_id, e.value, e.ts,
+             row_number() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM o JOIN events e
+        ON e.user_id = o.o_custkey AND e.ts <= o.asof_ts
+    ),
+    f AS (
+      SELECT o.o_orderkey, e.event_id, e.value, e.ts,
+             row_number() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY e.ts ASC, e.event_id ASC) AS rn
+      FROM o JOIN events e
+        ON e.user_id = o.o_custkey AND e.ts > o.asof_ts
+    ),
+    bb AS (SELECT * FROM b WHERE rn = 1),
+    ff AS (SELECT * FROM f WHERE rn = 1),
+    j AS (
+      SELECT o.o_orderkey,
+             bb.event_id AS b_id, bb.value AS b_val,
+             epoch_us(o.asof_ts) - epoch_us(bb.ts) AS dt_b,
+             ff.event_id AS f_id, ff.value AS f_val,
+             epoch_us(ff.ts) - epoch_us(o.asof_ts) AS dt_f
+      FROM o
+      LEFT JOIN bb ON bb.o_orderkey = o.o_orderkey
+      LEFT JOIN ff ON ff.o_orderkey = o.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN b_id IS NOT NULL
+                     AND (f_id IS NULL OR dt_b <= dt_f)
+                THEN b_id ELSE f_id END AS nearest_event_id,
+           round(CASE WHEN b_id IS NOT NULL
+                           AND (f_id IS NULL OR dt_b <= dt_f)
+                      THEN b_val ELSE f_val END, 6) AS nearest_value,
+           CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                WHEN b_id IS NOT NULL AND (f_id IS NULL OR dt_b <= dt_f)
+                THEN 'b' ELSE 'f' END AS direction,
+           CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR dt_b <= dt_f)
+                THEN dt_b ELSE dt_f END AS dt_us
+    FROM j
+    """,
+    category="joins",
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join (pandas merge_asof
+    direction='nearest'): each order attaches the event closest to its
+    as-of time in EITHER direction, ties to the backward side —
+    completes the as-of family (backward `join_asof`, bounded
+    `join_asof_tolerance`). Both candidates come from ONE
+    key-partitioned ordered window pass over the tagged union
+    (`operators/asof.py::asof_join_nearest`): `last` over the
+    preceding frame is the backward candidate (equal-ts ties to the
+    largest event_id, the backward convention), `first` over the
+    strictly-following frame is the forward one (smallest id) — a
+    single shuffle, no range-join candidate blowup on hot keys. The
+    microsecond distance is exact integer arithmetic on both engines
+    (unix_micros / epoch_us), so the direction choice can never be
+    float-ambiguous. The oracle is the two ranked range joins
+    composed with the same tie rule. The as-of times derive from the
+    order key over 2023-12-24..2024-02-07 (the
+    join_interval_containment trick), straddling the 30-day event
+    window so BOTH directions and the no-match case all occur."""
+    from bigdata_financial_reporting_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "asof_ts",
+        F.expr(
+            "timestampadd(HOUR, CAST(o_orderkey % 1080 AS INT),"
+            " TIMESTAMP '2023-12-24')"
+        ),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join_nearest(
+        left=o.select(
+            "o_orderkey", F.col("o_custkey").alias("user_id"), "asof_ts"
+        ),
+        right=e,
+        on="user_id",
+        left_ts="asof_ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        right_id="event_id",
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("event_id").alias("nearest_event_id"),
+        F.round("value", 6).alias("nearest_value"),
+        F.col("__dir").alias("direction"),
+        F.col("__dt_us").alias("dt_us"),
+    )
