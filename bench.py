@@ -77,6 +77,8 @@ HEADLINE = [
     "sim_ivfpq_trained_topk",     # trained PQ book + IVF probe + ADC
     "stream_cdc_upsert_sink",     # per-commit foreachBatch MERGE
     "agg_tdigest_quantiles",      # two-pass global rank + scale buckets
+    "join_asof_nearest",          # two-direction asof via one window pass
+    "stat_friedman",              # blocked midranks, one window spec
 ]
 
 
