@@ -219,13 +219,59 @@ def scan_dir(sf_dir: str) -> dict:
     return {"checked": checked, "hits": hits}
 
 
+def _scan_dir_subprocess(sf_dir: str) -> dict:
+    """Run scan_dir(sf_dir) in a FRESH child process and return its
+    result. One process per scale dir, because the failure mode the
+    per-oracle reconnects can't fix is PROCESS-heap poisoning: the
+    round-11 gate run finished the sf0.1 scan clean, then died with a
+    2 KB bad_alloc (then segfaulted) while merely opening the next
+    dir's connection — monotonic allocator growth across hundreds of
+    heavy oracle executions outlives every duckdb.connect()/close()
+    pair. A child crash is a loud per-dir error, never a poisoned
+    remainder of the sweep."""
+    import subprocess
+
+    env = dict(os.environ, _NEGZERO_CHILD="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), sf_dir],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    if proc.returncode != 0:
+        return {
+            "checked": 0,
+            "hits": {
+                "__errors__": [
+                    f"child process rc={proc.returncode}: "
+                    f"{(proc.stderr or '').strip()[-500:]}"
+                ]
+            },
+        }
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return {
+            "checked": 0,
+            "hits": {
+                "__errors__": [
+                    f"child produced no JSON: {proc.stdout[-300:]!r}"
+                ]
+            },
+        }
+
+
 def main() -> int:
+    if os.environ.get("_NEGZERO_CHILD"):
+        (d,) = sys.argv[1:]
+        print(json.dumps(scan_dir(d)))
+        return 0
     _probe_selftest()
     dirs = sys.argv[1:] or [d for d in DEFAULT_DIRS if os.path.isdir(d)]
     report = {}
     bad = False
     for d in dirs:
-        r = scan_dir(d)
+        r = _scan_dir_subprocess(d)
         real = {
             k: v
             for k, v in r["hits"].items()
@@ -237,6 +283,11 @@ def main() -> int:
             f"{d}: {r['checked']} oracles scanned, {len(real)} with -0.0"
             + (f", {nto} capped at {PER_QUERY_SECONDS:.0f}s" if nto else "")
         )
+        if not r["checked"]:
+            # a dir whose child scanned nothing (crash, no JSON) must
+            # fail the sweep loudly — an unscanned scale is not clean
+            print(f"  DIR FAILED: {r['hits'].get('__errors__', [])[:1]}")
+            bad = True
         for k, v in real.items():
             print(f"  HIT {k}: {v[:2]}")
             bad = True
