@@ -144,13 +144,20 @@ def _connect(sf_dir: str):
 RECONNECT_EVERY = 40
 
 
-def scan_dir(sf_dir: str) -> dict:
+def _oracle_names() -> list[str]:
+    return [name for name, spec in QUERIES.items() if spec.oracle is not None]
+
+
+def scan_dir(sf_dir: str, names: list[str] | None = None) -> dict:
     con = _connect(sf_dir)
     hits: dict[str, list] = {}
     checked = 0
     since_reconnect = 0
+    wanted = set(names) if names is not None else None
     for name, spec in QUERIES.items():
         if spec.oracle is None:
+            continue
+        if wanted is not None and name not in wanted:
             continue
         if since_reconnect >= RECONNECT_EVERY:
             con.close()
@@ -231,40 +238,51 @@ def _scan_dir_subprocess(sf_dir: str) -> dict:
     remainder of the sweep."""
     import subprocess
 
-    env = dict(os.environ, _NEGZERO_CHILD="1")
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), sf_dir],
-        capture_output=True,
-        text=True,
-        env=env,
-    )
-    if proc.returncode != 0:
-        return {
-            "checked": 0,
-            "hits": {
-                "__errors__": [
-                    f"child process rc={proc.returncode}: "
-                    f"{(proc.stderr or '').strip()[-500:]}"
-                ]
-            },
-        }
-    try:
-        return json.loads(proc.stdout.strip().splitlines()[-1])
-    except (ValueError, IndexError):
-        return {
-            "checked": 0,
-            "hits": {
-                "__errors__": [
-                    f"child produced no JSON: {proc.stdout[-300:]!r}"
-                ]
-            },
-        }
+    # Chunk the registry across children too: one child for all 354
+    # oracles still segfaulted at the 10x corpus (heap growth within
+    # the single process, despite the every-40 reconnects) — every new
+    # heavy oracle nudges the ceiling. ~48 oracles per process keeps
+    # each child's lifetime allocator footprint near the regime the
+    # r8 reconnect fix validated.
+    names = _oracle_names()
+    chunk = 48
+    merged: dict = {"checked": 0, "hits": {}}
+    for i in range(0, len(names), chunk):
+        piece = names[i : i + chunk]
+        env = dict(os.environ, _NEGZERO_CHILD=",".join(piece))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        if proc.returncode != 0:
+            merged["hits"].setdefault("__errors__", []).append(
+                f"child rc={proc.returncode} for {piece[0]}..{piece[-1]}: "
+                f"{(proc.stderr or '').strip()[-300:]}"
+            )
+            merged["child_failed"] = True
+            continue
+        try:
+            part = json.loads(proc.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            merged["hits"].setdefault("__errors__", []).append(
+                f"child produced no JSON for {piece[0]}..{piece[-1]}: "
+                f"{proc.stdout[-200:]!r}"
+            )
+            merged["child_failed"] = True
+            continue
+        merged["checked"] += part["checked"]
+        for k, v in part["hits"].items():
+            merged["hits"].setdefault(k, []).extend(v)
+    return merged
 
 
 def main() -> int:
-    if os.environ.get("_NEGZERO_CHILD"):
+    child_names = os.environ.get("_NEGZERO_CHILD")
+    if child_names:
         (d,) = sys.argv[1:]
-        print(json.dumps(scan_dir(d)))
+        print(json.dumps(scan_dir(d, names=child_names.split(","))))
         return 0
     _probe_selftest()
     dirs = sys.argv[1:] or [d for d in DEFAULT_DIRS if os.path.isdir(d)]
@@ -283,9 +301,9 @@ def main() -> int:
             f"{d}: {r['checked']} oracles scanned, {len(real)} with -0.0"
             + (f", {nto} capped at {PER_QUERY_SECONDS:.0f}s" if nto else "")
         )
-        if not r["checked"]:
-            # a dir whose child scanned nothing (crash, no JSON) must
-            # fail the sweep loudly — an unscanned scale is not clean
+        if not r["checked"] or r.get("child_failed"):
+            # any crashed/JSON-less child chunk must fail the sweep
+            # loudly — an unscanned slice of a scale is not clean
             print(f"  DIR FAILED: {r['hits'].get('__errors__', [])[:1]}")
             bad = True
         for k, v in real.items():
