@@ -239,13 +239,20 @@ def _scan_dir_subprocess(sf_dir: str) -> dict:
     import subprocess
 
     # Chunk the registry across children too: one child for all 354
-    # oracles still segfaulted at the 10x corpus (heap growth within
-    # the single process, despite the every-40 reconnects) — every new
-    # heavy oracle nudges the ceiling. ~48 oracles per process keeps
-    # each child's lifetime allocator footprint near the regime the
-    # r8 reconnect fix validated.
+    # oracles still segfaulted at the 10x corpus — and at 10x even a
+    # 48-oracle chunk died, because the failure is the round-8
+    # vm.max_map_count ceiling hit ACROSS connections: an 8 GB window
+    # oracle (fin_ema_window) leaves the process's mmap space
+    # fragmented, so the NEXT connection's 2 KB allocation fails with
+    # 120 GB physically free, and con.close() between oracles does not
+    # give the mappings back. Process isolation is the only full fix:
+    # at the multi-file 10x staging dir every oracle gets its own
+    # child (~1 s import overhead each, ~7 min over the dir); the
+    # single-file fixture dirs never approach the ceiling and keep the
+    # 48-oracle chunks.
     names = _oracle_names()
-    chunk = 48
+    multi_file = os.path.isdir(os.path.join(sf_dir, "lineitem.parquet"))
+    chunk = 1 if multi_file else 48
     merged: dict = {"checked": 0, "hits": {}}
     for i in range(0, len(names), chunk):
         piece = names[i : i + chunk]
