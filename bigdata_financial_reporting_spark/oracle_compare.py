@@ -269,3 +269,47 @@ def tune_duck(con) -> None:
     con.execute(f"SET temp_directory='{spill}'")
     con.execute(f"SET memory_limit='{duck_memory_limit_gb()}GB'")
     con.execute("SET preserve_insertion_order=false")
+
+
+def canon_digest(cols, rows) -> dict:
+    """Engine-agnostic comparison DIGEST: column names, per-column
+    kinds, row count, and a sha256 over the canonical row multiset.
+    Two result sets are compare_entry-equal iff their digests are
+    compare_digest_entry-equal: canon_value's outputs (None, ints,
+    bools, strings, and tagged tuples for floats/decimals) repr
+    injectively, so hashing reprs of the sorted canon rows preserves
+    the multiset equality — except int-vs-bool cells, where the digest
+    is stricter and kind_match already fails the entry. The point is
+    PROCESS separation: one engine's side can be computed in a child
+    process (the 10x DuckDB sweep, whose mmap footprint must not share
+    the Spark JVM's process) and shipped back as this small dict
+    instead of millions of raw rows."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for t in canon_rows(cols, rows):
+        h.update(repr(t).encode("utf-8"))
+        h.update(b"\n")
+    return {
+        "cols": list(cols),
+        "kinds": col_kinds(cols, rows),
+        "n_rows": len(rows),
+        "canon_sha": h.hexdigest(),
+    }
+
+
+def compare_digest_entry(s: dict, d: dict) -> dict:
+    """compare_entry over two canon_digest() dicts (same record shape)."""
+    kinds_ok = all(
+        s["kinds"][c] == d["kinds"][c]
+        or s["kinds"][c] is None
+        or d["kinds"][c] is None
+        for c in s["kinds"]
+        if c in d["kinds"]
+    )
+    return {
+        "rows_match": s["n_rows"] == d["n_rows"],
+        "schema_match": sorted(s["cols"]) == sorted(d["cols"]),
+        "values_match": s["canon_sha"] == d["canon_sha"],
+        "kind_match": kinds_ok,
+    }

@@ -47,7 +47,8 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 import duckdb  # noqa: E402
 
 from bigdata_financial_reporting_spark.oracle_compare import (  # noqa: E402
-    compare_entry,
+    canon_digest,
+    compare_digest_entry,
     entry_green,
     fetch_spark,
     is_jvm_death,
@@ -129,7 +130,64 @@ def _views(con, sf_dir: str) -> None:
             )
 
 
+def _duck_digest_child_main(name: str, sf_dir: str) -> int:
+    """Child-process mode: run ONE oracle at sf_dir and print its
+    comparison digest as a JSON line. The DuckDB side runs
+    out-of-process because its 10x mmap footprint must never share the
+    Spark JVM's process: the round-11 sweep segfaulted after heavy
+    window oracles exhausted vm.max_map_count — mappings that
+    con.close() does not return — killing the whole run. Structured
+    outcomes (digest / timeout / error) exit 0; a crash surfaces as a
+    nonzero rc the parent records per-key."""
+    spec = QUERIES.get(name)
+    if spec is None or spec.oracle is None:
+        print(json.dumps({"error": f"unknown or oracle-less key {name!r}"}))
+        return 0
+    try:
+        con = _connect(sf_dir)
+        cols, rows = _execute_capped(
+            con, spec.oracle, seconds=PER_QUERY_SECONDS
+        )
+        print(json.dumps({"digest": canon_digest(cols, rows)}))
+    except duckdb.InterruptException:
+        print(json.dumps({"timeout": True}))
+    except Exception as exc:  # structured per-key error, not a crash
+        print(json.dumps({"error": f"{type(exc).__name__}: {exc}"[:300]}))
+    return 0
+
+
+def _duck_digest_subprocess(name: str, sf_dir: str) -> dict:
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--duck-digest",
+                name,
+                sf_dir,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=PER_QUERY_SECONDS + 120,
+        )
+    except subprocess.TimeoutExpired:
+        return {"timeout": True}
+    if proc.returncode != 0:
+        return {
+            "error": f"duck child rc={proc.returncode}: "
+            f"{(proc.stderr or '').strip()[-300:]}"
+        }
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return {"error": f"duck child produced no JSON: {proc.stdout[-200:]!r}"}
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--duck-digest":
+        return _duck_digest_child_main(sys.argv[2], sys.argv[3])
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1x"
     if not os.path.isdir(sf_dir):
         print(f"{sf_dir} not staged — run scripts/gen_scale10x.py first")
@@ -143,7 +201,6 @@ def main() -> int:
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    con = _connect(sf_dir)
 
     out: dict[str, dict] = {}
     t_all = time.time()
@@ -158,24 +215,22 @@ def main() -> int:
                 entry["mode"] = "rows_only"
                 entry["non_empty"] = len(s_rows) > 0
             else:
-                try:
-                    d_cols, rows = _execute_capped(
-                        con, spec.oracle, seconds=PER_QUERY_SECONDS
+                # DuckDB side in a per-key CHILD process (see
+                # _duck_digest_child_main); only the digest comes back
+                dig = _duck_digest_subprocess(name, sf_dir)
+                if dig.get("timeout"):
+                    entry["timeout"] = "duckdb"
+                elif "error" in dig:
+                    entry["error"] = dig["error"]
+                else:
+                    d = dig["digest"]
+                    entry["mode"] = "oracle"
+                    entry["oracle_rows"] = d["n_rows"]
+                    entry.update(
+                        compare_digest_entry(
+                            canon_digest(s_cols, s_rows), d
+                        )
                     )
-                except duckdb.InterruptException:
-                    raise
-                except duckdb.Error:
-                    # allocator-state-dependent failure (e.g. OOM after
-                    # hundreds of queries): retry ONCE on a fresh
-                    # connection before recording an error
-                    con.close()
-                    con = _connect(sf_dir)
-                    d_cols, rows = _execute_capped(
-                        con, spec.oracle, seconds=PER_QUERY_SECONDS
-                    )
-                entry["mode"] = "oracle"
-                entry["oracle_rows"] = len(rows)
-                entry.update(compare_entry(s_cols, s_rows, d_cols, rows))
         except _SparkTimeout:
             entry["timeout"] = "spark"
         except duckdb.InterruptException:
