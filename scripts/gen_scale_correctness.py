@@ -170,7 +170,14 @@ def _duck_digest_subprocess(name: str, sf_dir: str) -> dict:
             ],
             capture_output=True,
             text=True,
-            timeout=PER_QUERY_SECONDS + 120,
+            # The ENGINE cap is enforced in-child by _execute_capped's
+            # interrupt; this outer wall only needs to cover fetchall +
+            # canon_digest of multi-million-row ground-truth outputs
+            # (fn_math/join_self: ~6-10M rows, minutes of Python-side
+            # sort+hash — the cost the old in-process compare also
+            # paid, uncapped). A tight 2-minute wall here recorded 4
+            # false "timeouts" for keys whose DB time was in-cap.
+            timeout=PER_QUERY_SECONDS + 900,
         )
     except subprocess.TimeoutExpired:
         return {"timeout": True}
