@@ -222,20 +222,26 @@ def vacuum_orphans(table_dir: str) -> list[str]:
                 if f.endswith(".parquet")
             )
     orphans = sorted(present - referenced)
+    reaped_dirs = {os.path.dirname(f) for f in orphans}
     for f in orphans:
         os.remove(f)
-    # drop staging dirs the reap emptied of parquet (writer _SUCCESS /
-    # .crc markers go with them); dirs still holding live files stay
-    for entry in os.listdir(table_dir):
-        staging = os.path.join(table_dir, entry)
-        if (
-            entry.startswith("commit-")
-            and os.path.isdir(staging)
-            and not any(f.endswith(".parquet") for f in os.listdir(staging))
+    # drop staging dirs THIS reap emptied of parquet (writer _SUCCESS /
+    # .crc markers go with them); dirs still holding live files stay.
+    # Round-11 advice guards: only dirs the reap actually removed an
+    # orphan from are candidates (a freshly created, still-empty
+    # staging dir of an in-flight writer is not ours), and only plain
+    # files are swept — a subdirectory (e.g. a live writer's
+    # _temporary, or a partitioned layout) leaves that dir in place
+    # instead of crashing the vacuum mid-delete on IsADirectoryError.
+    for staging in sorted(reaped_dirs):
+        remaining = os.listdir(staging)
+        if any(f.endswith(".parquet") for f in remaining) or not all(
+            os.path.isfile(os.path.join(staging, f)) for f in remaining
         ):
-            for f in os.listdir(staging):
-                os.remove(os.path.join(staging, f))
-            os.rmdir(staging)
+            continue
+        for f in remaining:
+            os.remove(os.path.join(staging, f))
+        os.rmdir(staging)
     return orphans
 
 

@@ -1147,10 +1147,15 @@ def pq_encode(
             df, id_col, vec_col, n_subspaces, n_codes
         )
     # Probe the dimension once so the hot d2 expression unrolls into
-    # codegen (the per-row _checked_sub_dim column still guards every
-    # row loudly — ragged inputs raise exactly as before; a ragged row
-    # under the probed sub_dim would only ever yield the same NULL d2
-    # the fold yields, never a wrong number).
+    # codegen. The unrolled sum indexes with the PROBED sub_dim for
+    # EVERY row, so it is only sound on a uniform-length column: a row
+    # of a different length that is also divisible by n_subspaces
+    # (probe dim 8, row dim 16) would get a finite d2 over the wrong
+    # slice — a silent wrong answer, and one that depends on which row
+    # first() sampled (round-11 advice, medium). When the unroll is
+    # active, every row's length is therefore checked against the
+    # probed length and mismatches RAISE; rows whose length is merely
+    # indivisible keep the original _checked_sub_dim error.
     probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
     static_sub = (
         probe["d"] // n_subspaces
@@ -1159,12 +1164,26 @@ def pq_encode(
         and probe["d"] % n_subspaces == 0
         else None
     )
+    sub_dim_col = _checked_sub_dim(F.col(vec_col), n_subspaces, "pq_encode")
+    if static_sub is not None:
+        sub_dim_col = F.when(
+            F.size(F.col(vec_col)) == int(probe["d"]), sub_dim_col
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pq_encode: vector lengths must be uniform "
+                        f"(probed length {int(probe['d'])}, got length "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("int")
+        )
     rows = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        _checked_sub_dim(F.col(vec_col), n_subspaces, "pq_encode").alias(
-            "sub_dim"
-        ),
+        sub_dim_col.alias("sub_dim"),
         F.explode(F.array(*[F.lit(s) for s in range(n_subspaces)])).alias("s"),
     )
     scored = rows.join(F.broadcast(codebook), "s").select(
@@ -1184,12 +1203,21 @@ def pq_encode(
     # map-side before the shuffle and no per-key sort runs — the same
     # (d2 asc, code asc) selection, strictly cheaper at scale. NULL d2
     # (e.g. a codebook entry shorter than the indexed slice ->
-    # out-of-range element_at) must never win the argmin: coalesce to
-    # +inf (the window form used asc_nulls_last; NaN already sorts
-    # above +inf in both forms). code is unique per (id, s), so the
+    # out-of-range element_at) must never win the argmin. The ordering
+    # struct leads with an explicit is-null flag (false < true) rather
+    # than coalescing NULL to +inf: +inf sorts BELOW NaN, so the
+    # coalesce form let a former-NULL candidate beat a NaN one —
+    # flipping the window form's asc_nulls_last precedence (NaN before
+    # NULL) in the degenerate all-NaN/NULL group (round-11 advice).
+    # With the flag, non-null d2 (NaN greatest, Spark sort order)
+    # compete first and NULLs strictly last — bit-for-bit the old
+    # window selection, and DuckDB's ORDER BY d2, code (NULLS LAST,
+    # NaN > +inf) semantics. code is unique per (id, s), so the
     # ordering struct is total and min_by deterministic.
     ord_ = F.struct(
-        F.coalesce(F.col("d2"), F.lit(float("inf"))), F.col("code")
+        F.col("d2").isNull(),
+        F.coalesce(F.col("d2"), F.lit(0.0)),
+        F.col("code"),
     )
     best = scored.groupBy("id", "s").agg(
         F.min_by(F.struct("code", "d2"), ord_).alias("__b"),
@@ -1305,10 +1333,14 @@ def train_pq_codebook(
     # argmin via min_by (pq_encode's shared determinism contract:
     # NULL distance — ragged vector -> zip_with null-padding — must
     # never win, or code 0 silently absorbs the ragged row and
-    # pollutes the trained means; coalesce to +inf mirrors the old
-    # window's asc_nulls_last). Hash agg with map-side partials
-    # replaces the per-(vid, s) sort — the Lloyd assignment is the
-    # data-sized pass, so this is the shuffle that matters at scale.
+    # pollutes the trained means). The ordering struct leads with an
+    # is-null flag instead of coalescing NULL to +inf, because +inf
+    # sorts BELOW NaN and the coalesce form would let a former-NULL
+    # candidate beat a NaN one — flipping the old asc_nulls_last
+    # precedence (round-11 advice; same fix as pq_encode's argmin).
+    # Hash agg with map-side partials replaces the per-(vid, s)
+    # sort — the Lloyd assignment is the data-sized pass, so this is
+    # the shuffle that matters at scale.
     sub = sub.persist()
     try:
         for _ in range(iterations):
@@ -1324,7 +1356,8 @@ def train_pq_codebook(
                     F.min_by(
                         F.struct("code", "sv"),
                         F.struct(
-                            F.coalesce(F.col("__d2"), F.lit(float("inf"))),
+                            F.col("__d2").isNull(),
+                            F.coalesce(F.col("__d2"), F.lit(0.0)),
                             F.col("code"),
                         ),
                     ).alias("__b")

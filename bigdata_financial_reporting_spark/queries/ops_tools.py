@@ -32,6 +32,26 @@ def _scratch_path(op: str, table: str) -> str:
     os.makedirs(d, exist_ok=True)
     return os.path.join(d, table)
 
+
+def _private_scratch(name: str) -> str:
+    """Per-PROCESS scratch dir for the manifest-table keys that
+    ``shutil.rmtree`` their staging at key start (vacuum, clone):
+    those tables are append-only manifests, not overwrite-mode
+    writers, so two concurrent harness runs (pytest + bench/sweep) on
+    one machine sharing a fixed path could rmtree each other's live
+    table mid-key (round-11 advice). The pid segment makes the path
+    private to the run; the key's own rmtree keeps reruns within a
+    process clean, and the leaked per-pid copy is a few KB of nation
+    rows in the OS temp dir."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(), "bdfr_scratch", f"pid-{os.getpid()}"
+    )
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
 _COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
 _ORACLE = " UNION ALL ".join(
@@ -836,7 +856,6 @@ def ops_vacuum_orphan_files(spark, sf_dir):
     window documented on :func:`vacuum_orphans`."""
     import os
     import shutil
-    import tempfile
     import uuid as _uuid
 
     from bigdata_financial_reporting_spark.operators.manifest import (
@@ -847,9 +866,7 @@ def ops_vacuum_orphan_files(spark, sf_dir):
     )
 
     n = load_table(spark, sf_dir, "nation")
-    table_dir = os.path.join(
-        tempfile.gettempdir(), "bdfr_scratch", "vacuum_nation"
-    )
+    table_dir = _private_scratch("vacuum_nation")
     shutil.rmtree(table_dir, ignore_errors=True)
     v1 = commit_version(n.filter(F.col("n_nationkey") < 10), table_dir)
     v2 = commit_version(
@@ -922,7 +939,6 @@ def ops_clone_shallow(spark, sf_dir):
     (commit / time travel / expiry / vacuum / clone)."""
     import os
     import shutil
-    import tempfile
 
     from bigdata_financial_reporting_spark.operators.manifest import (
         clone_table,
@@ -931,9 +947,8 @@ def ops_clone_shallow(spark, sf_dir):
     )
 
     n = load_table(spark, sf_dir, "nation")
-    root = os.path.join(tempfile.gettempdir(), "bdfr_scratch")
-    src = os.path.join(root, "clone_src_nation")
-    dst = os.path.join(root, "clone_dst_nation")
+    src = _private_scratch("clone_src_nation")
+    dst = _private_scratch("clone_dst_nation")
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(dst, ignore_errors=True)
     v1 = commit_version(n.filter(F.col("n_nationkey") < 10), src)

@@ -293,6 +293,7 @@ def main() -> int:
         return 0
     _probe_selftest()
     dirs = sys.argv[1:] or [d for d in DEFAULT_DIRS if os.path.isdir(d)]
+    expected = len(_oracle_names())
     report = {}
     bad = False
     for d in dirs:
@@ -304,14 +305,28 @@ def main() -> int:
         }
         report[d] = r
         nto = len(r["hits"].get("__timeouts__", []))
+        nerr = len(r["hits"].get("__errors__", []))
         print(
             f"{d}: {r['checked']} oracles scanned, {len(real)} with -0.0"
             + (f", {nto} capped at {PER_QUERY_SECONDS:.0f}s" if nto else "")
         )
-        if not r["checked"] or r.get("child_failed"):
-            # any crashed/JSON-less child chunk must fail the sweep
-            # loudly — an unscanned slice of a scale is not clean
-            print(f"  DIR FAILED: {r['hits'].get('__errors__', [])[:1]}")
+        # An unscanned slice of a scale is not clean (round-11 advice:
+        # per-oracle __errors__ recorded inside an rc=0 child used to
+        # pass silently — 47 of 48 oracles erroring still read as
+        # green). Fatal: a crashed child, ANY structured oracle error,
+        # or coverage below the registry's oracle count (timeouts are
+        # the one non-fatal, loudly-counted shortfall).
+        if not r["checked"] or r.get("child_failed") or nerr:
+            print(
+                f"  DIR FAILED: {nerr} oracle errors: "
+                f"{r['hits'].get('__errors__', [])[:3]}"
+            )
+            bad = True
+        elif r["checked"] + nto < expected:
+            print(
+                f"  DIR FAILED: only {r['checked']} scanned + {nto} "
+                f"capped of {expected} registered oracles"
+            )
             bad = True
         for k, v in real.items():
             print(f"  HIT {k}: {v[:2]}")

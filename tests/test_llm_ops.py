@@ -467,6 +467,52 @@ def test_pq_encode_rejects_indivisible_vector_length(spark):
         pq_encode(df, "vec_id", "embedding", n_subspaces=8, n_codes=4).collect()
 
 
+def test_pq_encode_rejects_mixed_divisible_lengths(spark):
+    """Round-11 advice (medium): the unrolled d2 sum indexes every row
+    with the PROBED sub_dim, so a row of a DIFFERENT length that is
+    also divisible by n_subspaces (dim 8 probed, dim 16 row, n=4)
+    would silently score the wrong slice — and the answer would depend
+    on which row first() sampled. Mixed lengths must raise."""
+    import pytest
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0] * 8),
+         Row(vec_id=1, embedding=[2.0] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="uniform"):
+        pq_encode(df, "vec_id", "embedding", n_subspaces=4, n_codes=1).collect()
+
+
+def test_pq_encode_argmin_nan_beats_null(spark):
+    """Round-11 advice: the min_by argmin must keep the old window's
+    asc_nulls_last precedence — a NaN-distance candidate outranks a
+    NULL-distance one (coalescing NULL to +inf would flip it, since
+    +inf sorts BELOW NaN). Codebook: code 0's entry is too short
+    (out-of-range element_at -> NULL d2), code 1's is NaN-valued
+    (NaN d2); the encoder must pick code 1."""
+    from pyspark.sql import Row
+
+    from bigdata_financial_reporting_spark.operators.similarity import pq_encode
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cb = spark.createDataFrame(
+        [(0, 0, [1.0]), (0, 1, [nan, nan])],
+        "s int, code int, cv array<double>",
+    )
+    rows = pq_encode(
+        df, "vec_id", "embedding", n_subspaces=1, n_codes=2, codebook=cb
+    ).collect()
+    assert len(rows) == 1 and rows[0].pq_code == "1", rows
+
+
 def test_covariance_exact_under_tiny_arrow_batches(spark, ddb, sf_dir):
     """Review finding: the int64 Gram partial must be exact under ANY
     Arrow batch size (numpy overflow wraps silently). The 64k-row

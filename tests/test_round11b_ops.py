@@ -173,6 +173,42 @@ def test_vacuum_deletes_only_orphans_and_is_idempotent(spark, tmp_path):
     assert vacuum_orphans(table_dir) == []
 
 
+def test_vacuum_survives_subdirs_and_spares_inflight_staging(spark, tmp_path):
+    """Round-11 advice guards: (a) an orphan staging dir that also
+    holds a SUBDIRECTORY (a killed writer's _temporary) must have its
+    orphan parquet reaped without the cleanup crashing on
+    IsADirectoryError — the dir itself stays because not every entry
+    was this vacuum's to remove; (b) a freshly created, still-EMPTY
+    staging dir (an in-flight writer that hasn't written yet) is not
+    touched at all."""
+    from bigdata_financial_reporting_spark.operators.manifest import (
+        commit_version,
+        vacuum_orphans,
+    )
+
+    table_dir = os.path.join(str(tmp_path), "vac2")
+    commit_version(spark.range(5).withColumnRenamed("id", "k"), table_dir)
+
+    aborted = os.path.join(table_dir, "commit-cafecafe0000")
+    spark.range(50, 55).write.parquet(aborted)
+    os.makedirs(os.path.join(aborted, "_temporary", "0"))
+    orphan_files = {
+        os.path.join(aborted, f)
+        for f in os.listdir(aborted)
+        if f.endswith(".parquet")
+    }
+    inflight = os.path.join(table_dir, "commit-0123456789ab")
+    os.makedirs(inflight)
+
+    deleted = vacuum_orphans(table_dir)
+    assert set(deleted) == orphan_files
+    # dir with the leftover subdirectory survives (cleanup skipped it)
+    assert os.path.isdir(os.path.join(aborted, "_temporary"))
+    assert not any(f.endswith(".parquet") for f in os.listdir(aborted))
+    # the empty in-flight staging dir was not this vacuum's to reap
+    assert os.path.isdir(inflight)
+
+
 def test_vacuum_key_reports_clean_disk(spark, sf_dir):
     rows = {r["version"]: r for r in _rows(spark, sf_dir, "ops_vacuum_orphan_files")}
     assert set(rows) == {0, 1, 2}
