@@ -1146,85 +1146,8 @@ def pq_encode(
         codebook = _degenerate_pq_codebook(
             df, id_col, vec_col, n_subspaces, n_codes
         )
-    # Probe the dimension once so the hot d2 expression unrolls into
-    # codegen. The unrolled sum indexes with the PROBED sub_dim for
-    # EVERY row, so it is only sound on a uniform-length column: a row
-    # of a different length that is also divisible by n_subspaces
-    # (probe dim 8, row dim 16) would get a finite d2 over the wrong
-    # slice — a silent wrong answer, and one that depends on which row
-    # first() sampled (round-11 advice, medium). When the unroll is
-    # active, every row's length is therefore checked against the
-    # probed length and mismatches RAISE; rows whose length is merely
-    # indivisible keep the original _checked_sub_dim error.
-    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    static_sub = (
-        probe["d"] // n_subspaces
-        if probe is not None
-        and probe["d"] is not None
-        and probe["d"] % n_subspaces == 0
-        else None
-    )
-    sub_dim_col = _checked_sub_dim(F.col(vec_col), n_subspaces, "pq_encode")
-    if static_sub is not None:
-        sub_dim_col = F.when(
-            F.size(F.col(vec_col)) == int(probe["d"]), sub_dim_col
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "pq_encode: vector lengths must be uniform "
-                        f"(probed length {int(probe['d'])}, got length "
-                    ),
-                    F.size(F.col(vec_col)).cast("string"),
-                    F.lit(")"),
-                )
-            ).cast("int")
-        )
-    rows = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        sub_dim_col.alias("sub_dim"),
-        F.explode(F.array(*[F.lit(s) for s in range(n_subspaces)])).alias("s"),
-    )
-    scored = rows.join(F.broadcast(codebook), "s").select(
-        "id",
-        "s",
-        "code",
-        "sub_dim",
-        _pq_subspace_d2(
-            F.col("v"),
-            F.col("cv"),
-            F.col("s"),
-            static_sub if static_sub is not None else F.col("sub_dim"),
-        ).alias("d2"),
-    )
-    # argmin as a min_by HASH aggregation, not a row_number window:
-    # partial aggregation collapses the n_codes candidates per (id, s)
-    # map-side before the shuffle and no per-key sort runs — the same
-    # (d2 asc, code asc) selection, strictly cheaper at scale. NULL d2
-    # (e.g. a codebook entry shorter than the indexed slice ->
-    # out-of-range element_at) must never win the argmin. The ordering
-    # struct leads with an explicit is-null flag (false < true) rather
-    # than coalescing NULL to +inf: +inf sorts BELOW NaN, so the
-    # coalesce form let a former-NULL candidate beat a NaN one —
-    # flipping the window form's asc_nulls_last precedence (NaN before
-    # NULL) in the degenerate all-NaN/NULL group (round-11 advice).
-    # With the flag, non-null d2 (NaN greatest, Spark sort order)
-    # compete first and NULLs strictly last — bit-for-bit the old
-    # window selection, and DuckDB's ORDER BY d2, code (NULLS LAST,
-    # NaN > +inf) semantics. code is unique per (id, s), so the
-    # ordering struct is total and min_by deterministic.
-    ord_ = F.struct(
-        F.col("d2").isNull(),
-        F.coalesce(F.col("d2"), F.lit(0.0)),
-        F.col("code"),
-    )
-    best = scored.groupBy("id", "s").agg(
-        F.min_by(F.struct("code", "d2"), ord_).alias("__b"),
-        F.max("sub_dim").alias("sub_dim"),
-    ).select(
-        "id", "s", F.col("__b.code").alias("code"), "sub_dim",
-        F.col("__b.d2").alias("d2"),
+    best = _pq_best_codes(
+        df, id_col, vec_col, n_subspaces, codebook, "pq_encode"
     )
     per = best.groupBy("id").agg(
         F.array_sort(F.collect_list(F.struct("s", "code", "d2"))).alias("parts"),
@@ -1247,6 +1170,119 @@ def pq_encode(
     )
 
 
+def _pq_scored(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int,
+    codebook: DataFrame,
+    caller: str,
+) -> DataFrame:
+    """Pre-argmin PQ candidate distances — one row per (id, subspace,
+    code) with the in-order squared L2 ``d2``: the shared hot pass
+    under ``pq_encode``'s per-(id, s) argmin and ``ivfpq_topk``'s
+    single-shuffle WIDE index build (per-subspace filtered min_by in
+    one groupBy(id) — the former route through the long form joined
+    and re-aggregated 8 rows per candidate at query time)."""
+    # Probe the dimension once so the hot d2 expression unrolls into
+    # codegen. The unrolled sum indexes with the PROBED sub_dim for
+    # EVERY row, so it is only sound on a uniform-length column: a row
+    # of a different length that is also divisible by n_subspaces
+    # (probe dim 8, row dim 16) would get a finite d2 over the wrong
+    # slice — a silent wrong answer, and one that depends on which row
+    # first() sampled (round-11 advice, medium). When the unroll is
+    # active, every row's length is therefore checked against the
+    # probed length and mismatches RAISE; rows whose length is merely
+    # indivisible keep the original _checked_sub_dim error.
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    static_sub = (
+        probe["d"] // n_subspaces
+        if probe is not None
+        and probe["d"] is not None
+        and probe["d"] % n_subspaces == 0
+        else None
+    )
+    sub_dim_col = _checked_sub_dim(F.col(vec_col), n_subspaces, caller)
+    if static_sub is not None:
+        sub_dim_col = F.when(
+            F.size(F.col(vec_col)) == int(probe["d"]), sub_dim_col
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{caller}: vector lengths must be uniform "
+                        f"(probed length {int(probe['d'])}, got length "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("int")
+        )
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sub_dim_col.alias("sub_dim"),
+        F.explode(F.array(*[F.lit(s) for s in range(n_subspaces)])).alias("s"),
+    )
+    return rows.join(F.broadcast(codebook), "s").select(
+        "id",
+        "s",
+        "code",
+        "sub_dim",
+        _pq_subspace_d2(
+            F.col("v"),
+            F.col("cv"),
+            F.col("s"),
+            static_sub if static_sub is not None else F.col("sub_dim"),
+        ).alias("d2"),
+    )
+
+
+def _pq_argmin_ord():
+    """The ONE PQ argmin ordering (shared determinism contract with
+    train_pq_codebook's assignment): (d2 asc, code asc) with NULL d2
+    strictly last. The struct leads with an explicit is-null flag
+    (false < true) rather than coalescing NULL to +inf: +inf sorts
+    BELOW NaN, so the coalesce form let a former-NULL candidate beat
+    a NaN one — flipping the old window form's asc_nulls_last
+    precedence (NaN before NULL) in the degenerate all-NaN/NULL group
+    (round-11 advice). With the flag, non-null d2 (NaN greatest,
+    Spark sort order) compete first and NULLs strictly last —
+    bit-for-bit the old window selection, and DuckDB's ORDER BY
+    d2, code (NULLS LAST, NaN > +inf) semantics. code is unique per
+    (id, s), so the ordering is total and min_by deterministic."""
+    return F.struct(
+        F.col("d2").isNull(),
+        F.coalesce(F.col("d2"), F.lit(0.0)),
+        F.col("code"),
+    )
+
+
+def _pq_best_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int,
+    codebook: DataFrame,
+    caller: str,
+) -> DataFrame:
+    """Long-form PQ argmin — one row per (id, subspace) with the
+    winning ``code`` (plus ``sub_dim``/``d2``), as a min_by HASH
+    aggregation, not a row_number window: partial aggregation
+    collapses the n_codes candidates per (id, s) map-side before the
+    shuffle and no per-key sort runs — the same (d2 asc, code asc)
+    selection (see :func:`_pq_argmin_ord`), strictly cheaper at
+    scale."""
+    scored = _pq_scored(df, id_col, vec_col, n_subspaces, codebook, caller)
+    return scored.groupBy("id", "s").agg(
+        F.min_by(F.struct("code", "d2"), _pq_argmin_ord()).alias("__b"),
+        F.max("sub_dim").alias("sub_dim"),
+    ).select(
+        "id", "s", F.col("__b.code").alias("code"), "sub_dim",
+        F.col("__b.d2").alias("d2"),
+    )
+
+
 def train_pq_codebook(
     df: DataFrame,
     id_col: str,
@@ -1261,15 +1297,16 @@ def train_pq_codebook(
 
     Init: each subspace's entries are the ``n_codes`` lowest-id
     vectors' subvectors (no RNG). Each iteration: assign every
-    subvector to its min-distance entry (broadcast join, in-order
-    distance fold, ties to the lower code), recompute entry means per
-    (subspace, code, pos) with one map-side-combined aggregation —
-    subvectors never cross a shuffle whole — rounded to 9 dp so
-    accumulation-order noise cannot make reruns diverge; empty cells
-    keep their previous entry. The model state collected between
-    iterations is n_subspaces x n_codes x sub_dim doubles (8x16x8
-    here) — the textbook small-model pattern, all data-sized work
-    distributed.
+    subvector to its min-distance entry (broadcast join of the
+    model-sized book, in-order distance fold, ties to the lower
+    code), then recompute entry means per (subspace, code, pos) with
+    ONE map-side-combined hash aggregation — subvectors never cross
+    a shuffle whole — rounded to 9 dp so accumulation-order noise
+    cannot make reruns diverge; empty cells keep their previous
+    entry. The model state collected between iterations is
+    n_subspaces x n_codes x sub_dim doubles (8x16x8 here) — the
+    textbook small-model pattern, all data-sized work distributed,
+    one job and two exchanges per Lloyd iteration.
 
     Returns the ``(s, code, cv)`` frame ``pq_encode`` expects, with
     each entry embedded at its subspace's slice of a zero-padded
@@ -1295,6 +1332,15 @@ def train_pq_codebook(
     sub_dim = dim // n_subspaces
 
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+
+    init = base.orderBy("vid").limit(n_codes).collect()
+    # {(s, code): [sub_dim floats]}
+    book = {
+        (s, i): [float(x) for x in r.v[s * sub_dim : (s + 1) * sub_dim]]
+        for i, r in enumerate(init)
+        for s in range(n_subspaces)
+    }
+
     sub = base.select(
         "vid",
         "v",
@@ -1309,14 +1355,6 @@ def train_pq_codebook(
             lambda x: x.cast("double"),
         ).alias("sv"),
     )
-
-    init = base.orderBy("vid").limit(n_codes).collect()
-    # {(s, code): [sub_dim floats]}
-    book = {
-        (s, i): [float(x) for x in r.v[s * sub_dim : (s + 1) * sub_dim]]
-        for i, r in enumerate(init)
-        for s in range(n_subspaces)
-    }
 
     def d2(sv, cv):
         # unrolled left-to-right codegen sum — identical IEEE order
@@ -1340,7 +1378,20 @@ def train_pq_codebook(
     # precedence (round-11 advice; same fix as pq_encode's argmin).
     # Hash agg with map-side partials replaces the per-(vid, s)
     # sort — the Lloyd assignment is the data-sized pass, so this is
-    # the shuffle that matters at scale.
+    # the shuffle that matters at scale. (An alternative that inlines
+    # the codebook as literal expressions to skip the join + argmin
+    # shuffle entirely was tried and REJECTED: the 16-candidate x
+    # 8-subspace unrolled tree is ~15k expression nodes and Catalyst's
+    # optimizer spends ~30 s/iteration on it — plan-time dominates at
+    # any SF. The broadcast-join form keeps the plan small and pays
+    # with a 16x row blowup, which partial aggregation absorbs.)
+    # (A fully-fused lazy form — iteration i+1 broadcasting iteration
+    # i's means FRAME, one terminal collect — was tried and measured
+    # SLOWER at sf0.1: AQE materializes each computed broadcast as
+    # its own stage plus a carry-forward join, costing more than the
+    # 128-row collect + literal re-create per iteration it saved. The
+    # per-iteration collect is model-sized driver state, the textbook
+    # Lloyd pattern.)
     sub = sub.persist()
     try:
         for _ in range(iterations):
@@ -1368,21 +1419,22 @@ def train_pq_codebook(
                     F.col("__b.sv").alias("sv"),
                 )
             )
-            per = (
-                assigned.select(
-                    "s", "code", F.posexplode("sv").alias("pos", "x")
-                )
-                .groupBy("s", "code", "pos")
-                .agg(F.round(F.avg("x"), 9).alias("m"))
-                .groupBy("s", "code")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                        lambda t: t.getField("m"),
-                    ).alias("cv")
-                )
+            # per-entry means in ONE hash aggregation (map-side
+            # partials; only 9-dp-rounded sums cross the shuffle) —
+            # the former posexplode + two-stage groupBy spent two
+            # extra exchanges per iteration on the same result.
+            per = assigned.groupBy("s", "code").agg(
+                *[
+                    F.round(
+                        F.avg(F.element_at(F.col("sv"), i + 1)), 9
+                    ).alias(f"m{i}")
+                    for i in range(sub_dim)
+                ]
             )
-            new = {(r.s, r.code): list(r.cv) for r in per.collect()}
+            new = {
+                (r["s"], r["code"]): [r[f"m{i}"] for i in range(sub_dim)]
+                for r in per.collect()
+            }
             book = {key: new.get(key, v) for key, v in book.items()}
     finally:
         sub.unpersist()
@@ -1455,14 +1507,23 @@ def ivfpq_topk(
     cells = _nearest_cells(c, "neighbor_id", "__cv", "__cn", cents, 1).select(
         "neighbor_id", "cell"
     )
-    codes = pq_encode(
-        corpus, corpus_id, vec_col, n_subspaces, n_codes, codebook=cb
-    ).select(
-        F.col("id").alias("neighbor_id"),
-        F.posexplode(F.split("pq_code", ",")).alias("s", "code_s"),
-    ).select(
-        "neighbor_id", "s", F.col("code_s").cast("int").alias("code")
-    )
+    # WIDE codes in ONE groupBy(id) shuffle: per-subspace filtered
+    # min_by (min_by skips rows whose ordering expr is NULL, so the
+    # F.when(s == k, ...) restriction selects exactly subspace k's
+    # candidates) — the same per-(id, s) argmin as the long form, but
+    # the index row is (id, code_0..7) directly, so query-time scoring
+    # is a single join + in-order map-lookup fold instead of an 8x
+    # fan-out join and a re-aggregation.
+    sc = _pq_scored(corpus, corpus_id, vec_col, n_subspaces, cb, "ivfpq_topk")
+    ordx = _pq_argmin_ord()
+    codes_wide = sc.groupBy("id").agg(
+        *[
+            F.min_by(
+                F.col("code"), F.when(F.col("s") == s, ordx)
+            ).alias(f"code_{s}")
+            for s in range(n_subspaces)
+        ]
+    ).withColumnRenamed("id", "neighbor_id")
 
     # --- query side: probed cells + per-subspace distance tables
     q = queries.select(
@@ -1494,27 +1555,37 @@ def ivfpq_topk(
         ).alias("qd2"),
     )
 
-    # --- candidate scoring: (id, cell, codes) join probed cells, look
-    # up the broadcast distance table, fold per-subspace terms in order
+    # --- candidate scoring: (id, cell, code_0..7) join probed cells,
+    # then the ADC sum is an in-order subspace fold of lookups into
+    # the per-query BROADCAST distance map (key s*n_codes + code) —
+    # a pure projection: no fan-out join, no re-aggregation, and the
+    # fold order (s = 0..n_subspaces-1, left to right) is exactly the
+    # old array_sort-then-fold order, so values are bit-identical.
+    # Every (s, code) key exists in the map by construction (qtable is
+    # the full cross of subspaces x codebook entries per query), so
+    # the lookups cannot miss on any input the old inner join kept.
+    qmap = qtable.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("s") * n_codes + F.col("code")).alias("k"),
+                    F.col("qd2").alias("v"),
+                )
+            )
+        ).alias("qm")
+    )
     cand = cells.join(F.broadcast(probes), "cell").select(
         "query_id", "neighbor_id"
     )
+    adc = F.lit(0.0)
+    for s in range(n_subspaces):
+        adc = adc + F.element_at(
+            F.col("qm"), F.col(f"code_{s}") + F.lit(s * n_codes)
+        )
     scored = (
-        cand.join(codes, "neighbor_id")
-        .join(F.broadcast(qtable), ["query_id", "s", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("s", "qd2"))).alias("parts")
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.transform("parts", lambda p: p.getField("qd2")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("adc"),
-        )
+        cand.join(codes_wide, "neighbor_id")
+        .join(F.broadcast(qmap), "query_id")
+        .select("query_id", "neighbor_id", adc.alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc_nulls_last(), F.col("neighbor_id").asc()
