@@ -28,6 +28,15 @@ import time
 
 RUNS = 3
 
+#: Per-key sample-count overrides (round-11 verdict item 5): keys whose
+#: round-over-round median drifted >15% with no source change get >= 5
+#: timed runs so scheduler noise and a real regression are separable
+#: from the artifact alone (median-of-3 hid a +74% swing once before).
+RUNS_OVERRIDE = {
+    "fin_momentum_rank": 5,   # r10 0.684 -> r11 0.853 s, source untouched
+    "sim_cosine_topk": 5,     # r10 0.423 -> r11 0.506 s, source untouched
+}
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bigdata_financial_reporting_spark.operators.cache import (  # noqa: E402
@@ -67,10 +76,16 @@ HEADLINE = [
     # round-10 additions (first benched r10 — no prior-round baseline)
     "stat_anova_two_way",         # factorial ANOVA on exact cell moments
     "sim_hnsw_upper_graph",       # exact HNSW routing-layer kNN graphs
-    # round-11 rotation (verdict item 5): three long-stable sub-0.3 s
-    # keys (window_moving_avg, tpch_q6_shape, quality_gopher_rules)
-    # out, three never-benched heavies in, so the headline keeps
-    # measuring the expensive tail; plus the round-11 extensions
+    # round-12 re-pin (verdict item 4): the round-11 rotation dropped
+    # three keys and broke r10->r11 comparability for them — the
+    # headline set is now PINNED: keys are only ever ADDED, so every
+    # BENCH_rN key set is a subset of BENCH_r(N+1)'s and every key has
+    # an unbroken round-over-round series from its introduction.
+    "window_moving_avg",          # partition+frame window (restored)
+    "tpch_q6_shape",              # pure scan-filter-agg (restored)
+    "quality_gopher_rules",       # multi-signal text filter (restored)
+    # round-11 additions: three never-benched heavies, so the headline
+    # keeps measuring the expensive tail; plus the round-11 extensions
     "dedup_ngram_jaccard",        # shingle-sharing candidate near-dup
     "fin_macd_daily",             # banded in-order EMA cascade folds
     "emb_covariance_matrix",      # mergeable exact-integer Gram pass
@@ -123,7 +138,7 @@ def main() -> None:
             # construction + optimization stay inside the measurement.
             spec.fn(spark, sf_dir).count()
             samples = []
-            for _ in range(RUNS):
+            for _ in range(RUNS_OVERRIDE.get(name, RUNS)):
                 t0 = time.perf_counter()
                 df = spec.fn(spark, sf_dir)
                 n = df.count()
@@ -162,6 +177,7 @@ def main() -> None:
         "noisy_queries": noisy,
         "sf": sf_num,
         "runs_per_query": RUNS,
+        "runs_override": RUNS_OVERRIDE,
         "stat": "median",
     }
     if errors:

@@ -68,6 +68,13 @@ def _probe_selftest() -> None:
 #: a cap is visible, never silent.
 PER_QUERY_SECONDS = 75.0
 
+#: Per-key overrides for the deliberately-quadratic ground truths
+#: (shared rationale with gen_scale_correctness.ORACLE_SECONDS_OVERRIDE):
+#: dedup_ngram_jaccard's exact all-pairs Jaccard CTE needs ~383 s at
+#: the 10x corpus — still worth scanning rather than recording a
+#: permanent per-scale timeout asterisk.
+PER_KEY_SECONDS = {"dedup_ngram_jaccard": 600.0}
+
 
 def _execute_capped(con, sql, seconds: float = None):
     import threading
@@ -191,7 +198,9 @@ def scan_dir(sf_dir: str, names: list[str] | None = None) -> dict:
                     for i, c in enumerate(fcols)
                 )
                 _, counts = _execute_capped(
-                    con, f"SELECT {probes} FROM ({spec.oracle}) __nz"
+                    con,
+                    f"SELECT {probes} FROM ({spec.oracle}) __nz",
+                    seconds=PER_KEY_SECONDS.get(name, PER_QUERY_SECONDS),
                 )
                 checked += 1
                 found = []
@@ -201,6 +210,9 @@ def scan_dir(sf_dir: str, names: list[str] | None = None) -> dict:
                             con,
                             f'SELECT "{c}" FROM ({spec.oracle}) __nz '
                             f'WHERE "{c}" = 0 AND signbit("{c}") LIMIT 5',
+                            seconds=PER_KEY_SECONDS.get(
+                                name, PER_QUERY_SECONDS
+                            ),
                         )
                         found.extend(
                             {
