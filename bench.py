@@ -94,6 +94,10 @@ HEADLINE = [
     "agg_tdigest_quantiles",      # two-pass global rank + scale buckets
     "join_asof_nearest",          # two-direction asof via one window pass
     "stat_friedman",              # blocked midranks, one window spec
+    # round-12 additions (new keys enter the pinned set on arrival)
+    "stream_stream_full_outer",   # two-sided watermark-evicted outer join
+    "stream_dedup_exactly_once",  # at-least-once -> exactly-once collapse
+    "sim_opq_rotation_encode",    # integer Hadamard rotation + dual PQ
 ]
 
 

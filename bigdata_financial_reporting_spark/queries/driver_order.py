@@ -40,88 +40,111 @@ from pathlib import Path
 
 from bigdata_financial_reporting_spark.queries.registry import QUERIES
 
-# Union of CORRECTNESS_r01..r10 keys (342) — fallback only; the live
+# Union of CORRECTNESS_r01..r11 keys (354) — fallback only; the live
 # set below re-reads every CORRECTNESS_r*.json so later rounds are
-# picked up automatically. Regenerated round 11 from the artifacts.
+# picked up automatically. Regenerated round 12 from the artifacts.
 _STATIC_SEEN: frozenset[str] = frozenset(
     {
         "agg_approx_count_distinct", "agg_approx_quantiles",
         "agg_benford_digits", "agg_bitmap_distinct",
         "agg_bool_bitwise", "agg_chi2_independence",
-        "agg_collect_sorted", "agg_corr_covar", "agg_count_distinct",
-        "agg_countmin_heavy_hitters", "agg_crosstab_stat", "agg_cube",
+        "agg_collect_sorted", "agg_corr_covar",
+        "agg_count_distinct", "agg_countmin_heavy_hitters",
+        "agg_crosstab_stat", "agg_cube",
         "agg_equidepth_histogram", "agg_filtered_conditional",
-        "agg_gini_coefficient", "agg_global", "agg_grouping_sets",
-        "agg_histogram", "agg_hll_sketch_mergeable",
-        "agg_kmv_distinct_sketch", "agg_ks_twosample",
-        "agg_median_percentile", "agg_min_by_max_by",
-        "agg_mode_per_group", "agg_pivot", "agg_regression_family",
-        "agg_rollup", "agg_stats", "agg_subsample_ci",
+        "agg_gini_coefficient", "agg_global",
+        "agg_grouping_sets", "agg_histogram",
+        "agg_hll_sketch_mergeable", "agg_kmv_distinct_sketch",
+        "agg_ks_twosample", "agg_median_percentile",
+        "agg_min_by_max_by", "agg_mode_per_group",
+        "agg_pivot", "agg_regression_family",
+        "agg_rollup", "agg_stats",
+        "agg_subsample_ci", "agg_tdigest_quantiles",
         "agg_theta_sketch_intersection", "agg_unpivot",
         "agg_weighted_median", "agg_welch_ttest",
         "batch_length_buckets", "boolean_combinators",
-        "case_when_coalesce", "cast_types", "dedup_bloom_prefilter",
-        "dedup_chunk_lines", "dedup_clusters",
-        "dedup_embedding_cosine", "dedup_exact", "dedup_exact_groups",
+        "case_when_coalesce", "cast_types",
+        "dedup_bloom_prefilter", "dedup_chunk_lines",
+        "dedup_clusters", "dedup_embedding_cosine",
+        "dedup_exact", "dedup_exact_groups",
         "dedup_incremental", "dedup_minhash_pairs",
         "dedup_ngram_jaccard", "dedup_semantic_semdedup",
         "dedup_simhash", "dedup_survivor_quality",
         "dedup_url_canonicalize", "dedup_winnow_pairs",
-        "derived_column", "distinct_pairs", "dropdup_keys_pinned",
-        "emb_covariance_matrix", "emb_dims_variance_topk",
-        "emb_kmeans_lloyd_step", "emb_label_margin",
-        "emb_matryoshka_prefix_topk", "emb_pca_power_iteration",
-        "emb_signbit_fingerprint", "filter_in_like_null",
-        "filter_range", "fin_atr_14", "fin_beta_market",
-        "fin_bollinger_bands", "fin_drawdown", "fin_ema_window",
-        "fin_gapfill_interpolate", "fin_hhi_concentration",
-        "fin_kurtosis_returns", "fin_macd_daily", "fin_momentum_rank",
-        "fin_obv", "fin_ohlc_bars", "fin_return_corr_pairs",
-        "fin_rsi_window", "fin_sharpe_by_instrument", "fin_sortino",
-        "fin_stochastic_k", "fin_var_expected_shortfall", "fin_vwap",
-        "fn_array", "fn_array_explode", "fn_bitwise_family",
-        "fn_collated_groupby", "fn_date", "fn_decimal_money",
-        "fn_exists_forall_filterpos", "fn_explode_outer", "fn_hash",
-        "fn_higher_order_maps", "fn_interval_family", "fn_json",
-        "fn_listagg_within_group", "fn_map", "fn_math",
-        "fn_nondeterministic_ids", "fn_regex_family", "fn_string",
-        "fn_struct", "fn_try_arithmetic", "fn_url_parse",
-        "fn_variant_json", "fn_xml_xpath", "intersect_except",
-        "join_anti", "join_asof", "join_asof_tolerance",
-        "join_broadcast_dims", "join_cross", "join_dim_snowflake",
-        "join_exists_agg", "join_full_outer", "join_fuzzy_levenshtein",
-        "join_grid_neighbors", "join_inner",
-        "join_interval_containment", "join_interval_overlap",
-        "join_lateral_topn", "join_left_outer", "join_null_safe",
+        "derived_column", "distinct_pairs",
+        "dropdup_keys_pinned", "emb_covariance_matrix",
+        "emb_dims_variance_topk", "emb_kmeans_lloyd_step",
+        "emb_label_margin", "emb_matryoshka_prefix_topk",
+        "emb_pca_power_iteration", "emb_signbit_fingerprint",
+        "filter_in_like_null", "filter_range",
+        "fin_atr_14", "fin_beta_market",
+        "fin_bollinger_bands", "fin_drawdown",
+        "fin_ema_window", "fin_gapfill_interpolate",
+        "fin_hhi_concentration", "fin_jarque_bera",
+        "fin_kurtosis_returns", "fin_macd_daily",
+        "fin_momentum_rank", "fin_obv",
+        "fin_ohlc_bars", "fin_parkinson_vol",
+        "fin_return_corr_pairs", "fin_rsi_window",
+        "fin_sharpe_by_instrument", "fin_sortino",
+        "fin_stochastic_k", "fin_var_expected_shortfall",
+        "fin_vwap", "fn_array",
+        "fn_array_explode", "fn_bitwise_family",
+        "fn_collated_groupby", "fn_date",
+        "fn_decimal_money", "fn_exists_forall_filterpos",
+        "fn_explode_outer", "fn_hash",
+        "fn_higher_order_maps", "fn_interval_family",
+        "fn_json", "fn_listagg_within_group",
+        "fn_map", "fn_math",
+        "fn_nondeterministic_ids", "fn_regex_family",
+        "fn_string", "fn_struct",
+        "fn_try_arithmetic", "fn_url_parse",
+        "fn_variant_json", "fn_xml_xpath",
+        "intersect_except", "join_anti",
+        "join_asof", "join_asof_nearest",
+        "join_asof_tolerance", "join_broadcast_dims",
+        "join_cross", "join_dim_snowflake",
+        "join_exists_agg", "join_full_outer",
+        "join_fuzzy_levenshtein", "join_grid_neighbors",
+        "join_inner", "join_interval_containment",
+        "join_interval_overlap", "join_lateral_topn",
+        "join_left_outer", "join_null_safe",
         "join_point_in_time_scd2", "join_range_banded",
-        "join_right_outer", "join_self", "join_semi", "join_theta",
-        "limit_offset", "mix_apply_sample", "mix_domain_rebalance",
-        "mix_epoch_upsample", "mix_temperature_sample",
-        "mm_ahash_dedup_groups", "mm_audio_rms_windows",
-        "mm_base64_roundtrip", "mm_binary_metadata",
-        "mm_decode_features", "mm_decode_wav", "mm_frame_extract",
-        "mm_frame_sampling", "mm_resize_ppm", "null_fill_drop",
-        "ops_cdc_apply", "ops_compact_roundtrip",
+        "join_right_outer", "join_self",
+        "join_semi", "join_theta",
+        "limit_offset", "mix_apply_sample",
+        "mix_domain_rebalance", "mix_epoch_upsample",
+        "mix_temperature_sample", "mm_ahash_dedup_groups",
+        "mm_audio_rms_windows", "mm_base64_roundtrip",
+        "mm_binary_metadata", "mm_decode_features",
+        "mm_decode_wav", "mm_frame_extract",
+        "mm_frame_sampling", "mm_resize_ppm",
+        "null_fill_drop", "ops_cdc_apply",
+        "ops_clone_shallow", "ops_compact_roundtrip",
         "ops_compaction_bins", "ops_delete_update_cow",
         "ops_incremental_rollup_refresh", "ops_partition_skew_report",
-        "ops_scd2_build", "ops_snapshot_expiry", "ops_table_profile",
-        "ops_time_travel_versions", "ops_upsert_roundtrip",
+        "ops_scd2_build", "ops_snapshot_expiry",
+        "ops_table_profile", "ops_time_travel_versions",
+        "ops_upsert_roundtrip", "ops_vacuum_orphan_files",
         "ops_validate_quality", "ops_zorder_layout",
         "pipeline_pretrain_end2end", "quality_filter_reasons",
         "quality_gopher_rules", "quality_perplexity_bucket",
         "ref_avg_daily_return", "ref_daily_returns",
         "ref_daily_returns_scalable", "ref_per_user_returns",
-        "ref_report_bundle", "rename_drop", "rollup_timeseries",
-        "sample_per_stratum_topk", "sample_seeded",
-        "sample_stratified", "sample_weighted_topk", "select_prune",
+        "ref_report_bundle", "rename_drop",
+        "rollup_timeseries", "sample_per_stratum_topk",
+        "sample_seeded", "sample_stratified",
+        "sample_weighted_topk", "select_prune",
         "sim_centroid_per_label", "sim_cosine_topk",
         "sim_cosine_topk_vectorized", "sim_embedding_outliers",
-        "sim_euclidean_topk", "sim_hnsw_upper_graph", "sim_ivf_topk",
-        "sim_ivf_trained_topk", "sim_ivfpq_topk",
-        "sim_knn_graph_mutual", "sim_lsh_topk", "sim_maxdot_topk",
-        "sim_pairwise_matrix", "sim_pq_encode", "sim_quantize_int8",
-        "sim_random_projection", "skew_salted_agg", "skew_salted_join",
-        "sort_multi_key_limit", "split_contamination", "split_kfold",
+        "sim_euclidean_topk", "sim_hnsw_upper_graph",
+        "sim_ivf_topk", "sim_ivf_trained_topk",
+        "sim_ivfpq_topk", "sim_ivfpq_trained_topk",
+        "sim_knn_graph_mutual", "sim_lsh_topk",
+        "sim_maxdot_topk", "sim_pairwise_matrix",
+        "sim_pq_encode", "sim_quantize_int8",
+        "sim_random_projection", "skew_salted_agg",
+        "skew_salted_join", "sort_multi_key_limit",
+        "split_contamination", "split_kfold",
         "split_leakage_safe", "split_train_test",
         "sql_execute_immediate", "sql_group_by_all",
         "sql_named_parameters", "sql_pipe_syntax",
@@ -129,62 +152,76 @@ _STATIC_SEEN: frozenset[str] = frozenset(
         "src_binaryfile_scan", "src_bucketed_colocated_join",
         "src_compressed_roundtrip", "src_csv_corrupt_handling",
         "src_csv_roundtrip", "src_file_metadata_column",
-        "src_in_memory", "src_json_roundtrip", "src_orc_roundtrip",
-        "src_parquet_partitioned_roundtrip", "src_parquet_scan",
-        "src_partition_pruning_scan", "src_python_datasource",
-        "src_schema_evolution_merge", "src_single_csv_sink",
-        "src_split_export_roundtrip", "src_text_lines_roundtrip",
-        "src_xml_roundtrip", "stat_anova_f", "stat_anova_two_way",
-        "stat_chisq_gof", "stat_cohens_d", "stat_kendall_tau_b",
-        "stat_kruskal_wallis", "stat_levene", "stat_mann_whitney_u",
-        "stat_runs_test", "stat_spearman_corr", "stream_content_dedup",
-        "stream_dedup_watermark", "stream_foreach_batch_sink",
-        "stream_rate_source", "stream_session_window",
-        "stream_sliding_window", "stream_stateful_counters",
-        "stream_static_join", "stream_stream_join",
+        "src_in_memory", "src_json_roundtrip",
+        "src_orc_roundtrip", "src_parquet_partitioned_roundtrip",
+        "src_parquet_scan", "src_partition_pruning_scan",
+        "src_python_datasource", "src_schema_evolution_merge",
+        "src_single_csv_sink", "src_split_export_roundtrip",
+        "src_text_lines_roundtrip", "src_xml_roundtrip",
+        "stat_anova_f", "stat_anova_two_way",
+        "stat_bartlett", "stat_chisq_gof",
+        "stat_cohens_d", "stat_friedman",
+        "stat_kendall_tau_b", "stat_kruskal_wallis",
+        "stat_levene", "stat_mann_whitney_u",
+        "stat_runs_test", "stat_spearman_corr",
+        "stat_wilcoxon_signed_rank", "stream_cdc_upsert_sink",
+        "stream_content_dedup", "stream_dedup_watermark",
+        "stream_foreach_batch_sink", "stream_rate_source",
+        "stream_session_window", "stream_sliding_window",
+        "stream_stateful_counters", "stream_static_join",
+        "stream_stream_join", "stream_stream_left_outer",
         "stream_tumbling_window", "text_bigram_logprob",
         "text_bigrams", "text_bpe_merge_step",
         "text_charclass_profile", "text_chunk_overlap",
         "text_collocations_pmi", "text_distinctive_ngrams",
         "text_fingerprint", "text_flesch_readability",
         "text_global_shuffle", "text_html_strip",
-        "text_keywords_tfidf_topk", "text_lang_slice", "text_langid",
-        "text_length_band_filter", "text_normalize_stem",
-        "text_pack_sequences", "text_pagerank_keywords",
-        "text_quality_logreg", "text_quality_score", "text_redact",
-        "text_repetition_score", "text_source_overlap", "text_tfidf",
-        "text_token_count_bpe", "text_token_counts",
-        "text_token_entropy", "text_tokenize", "text_top_shingles",
+        "text_keywords_tfidf_topk", "text_lang_slice",
+        "text_langid", "text_length_band_filter",
+        "text_normalize_stem", "text_pack_sequences",
+        "text_pagerank_keywords", "text_quality_logreg",
+        "text_quality_score", "text_redact",
+        "text_repetition_score", "text_source_overlap",
+        "text_tfidf", "text_token_count_bpe",
+        "text_token_counts", "text_token_entropy",
+        "text_tokenize", "text_top_shingles",
         "text_unigram_logprob", "text_vocab_coverage",
         "text_winnow_fingerprint", "text_word_run_lengths",
-        "text_zipf_fit", "topk_per_group", "tpch_q1", "tpch_q10_shape",
-        "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",
-        "tpch_q14_shape", "tpch_q15_shape", "tpch_q16_shape",
-        "tpch_q17_shape", "tpch_q18_shape", "tpch_q19_shape",
-        "tpch_q20_shape", "tpch_q21_shape", "tpch_q22_shape",
-        "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape",
-        "tpch_q5_shape", "tpch_q6_shape", "tpch_q7_shape",
-        "tpch_q8_shape", "tpch_q9_shape", "ts_autocorrelation",
-        "ts_backward_fill", "ts_calendar_features",
-        "ts_changepoint_cusum", "ts_cohort_retention",
-        "ts_event_rate_anomaly", "ts_forward_fill", "ts_funnel",
+        "text_zipf_fit", "topk_per_group",
+        "tpch_q1", "tpch_q10_shape",
+        "tpch_q11_shape", "tpch_q12_shape",
+        "tpch_q13_shape", "tpch_q14_shape",
+        "tpch_q15_shape", "tpch_q16_shape",
+        "tpch_q17_shape", "tpch_q18_shape",
+        "tpch_q19_shape", "tpch_q20_shape",
+        "tpch_q21_shape", "tpch_q22_shape",
+        "tpch_q2_shape", "tpch_q3_shape",
+        "tpch_q4_shape", "tpch_q5_shape",
+        "tpch_q6_shape", "tpch_q7_shape",
+        "tpch_q8_shape", "tpch_q9_shape",
+        "ts_autocorrelation", "ts_backward_fill",
+        "ts_calendar_features", "ts_changepoint_cusum",
+        "ts_cohort_retention", "ts_event_rate_anomaly",
+        "ts_forward_fill", "ts_funnel",
         "ts_inter_event_gaps", "ts_mann_kendall_trend",
         "ts_minmax_downsample", "ts_seasonal_decompose",
-        "ts_sessionize", "ts_snapshot_diff", "ts_theil_sen_slope",
-        "ts_value_histogram2d", "udf_apply_in_pandas",
-        "udf_arrow_optimized_scalar", "udf_map_in_arrow",
-        "udf_map_in_pandas", "udf_pandas_grouped_agg",
-        "udf_pandas_scalar", "udf_python_udtf", "udf_scalar_python",
-        "udf_sql_function", "udf_sql_registered", "udf_udtf_arrow",
-        "union_all_distinct", "union_by_name_missing",
-        "window_distinct_count_frame", "window_first_last",
-        "window_gaps_islands", "window_global_small",
-        "window_hampel_outliers", "window_lag_lead",
-        "window_longest_streak", "window_moving_avg",
-        "window_nth_value_frames", "window_ntile_quartiles",
-        "window_percent_rank_cume", "window_range_frame",
-        "window_ranks", "window_running_agg", "window_running_median",
-        "window_zscore_anomaly", "winsorize_by_group"
+        "ts_sessionize", "ts_snapshot_diff",
+        "ts_theil_sen_slope", "ts_value_histogram2d",
+        "udf_apply_in_pandas", "udf_arrow_optimized_scalar",
+        "udf_map_in_arrow", "udf_map_in_pandas",
+        "udf_pandas_grouped_agg", "udf_pandas_scalar",
+        "udf_python_udtf", "udf_scalar_python",
+        "udf_sql_function", "udf_sql_registered",
+        "udf_udtf_arrow", "union_all_distinct",
+        "union_by_name_missing", "window_distinct_count_frame",
+        "window_first_last", "window_gaps_islands",
+        "window_global_small", "window_hampel_outliers",
+        "window_lag_lead", "window_longest_streak",
+        "window_moving_avg", "window_nth_value_frames",
+        "window_ntile_quartiles", "window_percent_rank_cume",
+        "window_range_frame", "window_ranks",
+        "window_running_agg", "window_running_median",
+        "window_zscore_anomaly", "winsorize_by_group",
     }
 )
 
@@ -222,41 +259,39 @@ DRIVER_SEEN: frozenset[str] = (
 # against a fresh computation by tests/test_driver_order.py. Static so
 # the driver export never needs git at import time.
 RECHECK_FIRST: tuple[str, ...] = (
-    # round-11 sync (gen_recheck.py against CORRECTNESS_r10): keys
-    # whose source changed THIS round — the advice-guard commits and
-    # the round-11 extension refactors — ordered as computed
-    # (oldest driver check first). Re-synced after every
-    # source-touching change; the remaining ~18 budget slots
-    # drain the r01/r02 staleness tier behind the 4 new keys.
-    "ops_cdc_apply",
-    "sim_pq_encode",
-    "agg_count_distinct",
-    "agg_filtered_conditional",
-    "agg_grouping_sets",
-    "agg_regression_family",
-    "dedup_semantic_semdedup",
-    "emb_kmeans_lloyd_step",
-    "emb_label_margin",
-    "fin_vwap",
-    "fn_decimal_money",
-    "join_broadcast_dims",
-    "join_dim_snowflake",
-    "join_exists_agg",
-    "ops_compact_roundtrip",
-    "ops_time_travel_versions",
-    "sim_hnsw_upper_graph",
-    "sim_ivf_topk",
-    "sim_ivf_trained_topk",
+    # round-12 sync (gen_recheck.py against CORRECTNESS_r01..r11):
+    # keys whose source changed since their LAST driver row — the
+    # round-11-advice PQ argmin/unroll fixes and the trained-IVF-PQ
+    # perf rewrite (operators/similarity.py), plus the per-pid scratch
+    # isolation in the manifest keys — ordered as computed (oldest
+    # driver check first). The three emb_* rows are older drift the
+    # r11 sync missed (their spans were touched by the r11 similarity
+    # refactors after their r06-r08 checks). 8 recheck slots + the
+    # 41-key r02 staleness tier = 49 of the ~50-key budget; the three
+    # round-12 NEW keys rank BEHIND the stale drain (DEFER_BEHIND_
+    # STALE) so growth cannot preempt it (round-11 verdict item 1).
+    "emb_pca_power_iteration",
+    "emb_matryoshka_prefix_topk",
+    "emb_signbit_fingerprint",
+    "ops_clone_shallow",
+    "ops_vacuum_orphan_files",
     "sim_ivfpq_topk",
-    "skew_salted_join",
-    "sql_session_variables",
-    "src_bucketed_colocated_join",
-    "stat_anova_two_way",
-    "tpch_q1",
-    "tpch_q17_shape",
-    "tpch_q22_shape",
-    "tpch_q6_shape",
-    "tpch_q9_shape",
+    "sim_ivfpq_trained_topk",
+    "sim_pq_encode",
+)
+
+# Round-12 NEW keys: never driver-checked, but deliberately ranked
+# AFTER the r02-stale seen tier (not the usual unseen-before-seen
+# order) — the round-11 verdict's budget math needs all 41 r02 rows
+# refreshed this round, and these three are locally hash-green +
+# gate-swept in the meantime. They drain in r13 once the backlog is
+# gone (the DRIVER_SEEN gate makes this set inert after that).
+DEFER_BEHIND_STALE: frozenset[str] = frozenset(
+    {
+        "stream_stream_full_outer",
+        "stream_dedup_exactly_once",
+        "sim_opq_rotation_encode",
+    }
 )
 
 # The 16 keys that have NEVER received a driver row after six rounds
@@ -504,6 +539,13 @@ DEFER_NEW: frozenset[str] = frozenset(
         # 12 unseen keys this round, ~38 slots left for the drain
         "stat_bartlett",
         "join_asof_nearest",
+        # round-12 additions (verdict item 7): exactly THREE new keys,
+        # so the recheck tier + these still leave enough of the
+        # ~50-key budget to drain the whole 41-key r02-stale tail
+        # (verdict item 1)
+        "stream_stream_full_outer",
+        "stream_dedup_exactly_once",
+        "sim_opq_rotation_encode",
     }
 )
 
@@ -546,6 +588,12 @@ def ordered_names() -> list[str]:
             # expected evidence value)
             return (0, RECHECK_FIRST.index(name), 0)
         if name not in DRIVER_SEEN:
+            if name in DEFER_BEHIND_STALE:
+                # round-12 new keys: behind the r02 staleness drain
+                # (seen tier sorts by last round ascending, so 2.5
+                # slots these between last_round<=2 and >=3)
+                return (2, 2.5, cat_rank.get(spec.category, len(cat_rank)),
+                        reg_rank[name])
             if name in backlog_rank:
                 # the starved r6 backlog outranks every other unseen
                 # key — one driver round clears it (then these become

@@ -890,6 +890,93 @@ _DUCK_PQ_D2 = (
 )
 
 
+def _duck_pq_encode_ctes(src: str, mse_alias: str) -> str:
+    """The sim_pq_encode oracle canon as named CTEs over source table
+    ``src`` (degenerate lowest-16 codebook, per-subspace in-order d2,
+    (d2, code) argmin, subspace-ordered reassembly) — reused by the
+    OPQ rotation key over both the raw and the rotated vectors."""
+    d2 = _DUCK_PQ_D2.format(a="e.embedding", b="c.cv", s="c.s")
+    return f"""
+    lowest_{src} AS (
+      SELECT embedding AS cv,
+             row_number() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT * FROM {src} ORDER BY vec_id LIMIT 16)
+    ),
+    cb_{src} AS (
+      SELECT s, code, cv FROM lowest_{src}, generate_series(0, 7) t(s)
+    ),
+    scored_{src} AS (
+      SELECT e.vec_id, c.s, c.code, {d2} AS d2
+      FROM {src} e CROSS JOIN cb_{src} c
+    ),
+    best_{src} AS (
+      SELECT vec_id, s, code, d2,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rn
+      FROM scored_{src}
+    ),
+    enc_{src} AS (
+      SELECT vec_id AS id,
+             string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS pq_code,
+             round(list_aggregate(list(d2 ORDER BY s), 'sum') / 64, 6)
+               AS {mse_alias}
+      FROM best_{src} WHERE rn = 1
+      GROUP BY vec_id
+    )"""
+
+
+@register(
+    "sim_opq_rotation_encode",
+    oracle=f"""
+    WITH rot AS (
+      SELECT vec_id, list_transform(generate_series(0, 63), i ->
+        CAST(list_aggregate(list_transform(generate_series(0, 63), j ->
+          CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 1000000)
+               AS BIGINT)
+          * CASE WHEN bit_count(CAST(i AS BIGINT) & CAST(j AS BIGINT))
+                      % 2 = 1
+                 THEN -1 ELSE 1 END), 'sum') AS DOUBLE) / 8000000.0
+      ) AS embedding
+      FROM embeddings
+    ),
+    {_duck_pq_encode_ctes('rot', 'mse_rot')},
+    {_duck_pq_encode_ctes('embeddings', 'mse_raw')}
+    SELECT r.id, r.pq_code, r.mse_rot, p.mse_raw
+    FROM enc_rot r JOIN enc_embeddings p USING (id)
+    """,
+    category="similarity",
+)
+def sim_opq_rotation_encode(spark, sf_dir):
+    """OPQ rotation step on the PQ path (round-11 verdict item 7): the
+    corpus is rotated by the normalized Walsh-Hadamard matrix —
+    Optimized Product Quantization's structured-rotation baseline
+    (Ge et al. 2013; FAISS's OPQ/ROTATE pre-transform) — and then
+    PQ-encoded; the key emits each vector's rotated code and BOTH
+    reconstruction MSEs (rotated vs raw) so the rotation's effect on
+    quantization error is a first-class, oracle-hashed witness.
+    Exactness: the rotation is an integer matmul on half-away-rounded
+    1e-6 units (order-free, both engines bit-identical; see
+    operators.similarity.hadamard_rotate) rendered with ONE division
+    by sqrt(64)*1e6, and both encodes are the pinned sim_pq_encode
+    canon. At 100 TB the rotation is a pure scan-shaped map (Arrow
+    numpy int64 product per partition, no shuffle) ahead of the
+    unchanged PQ dataflow."""
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        hadamard_rotate,
+        pq_encode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rot = hadamard_rotate(e, "vec_id", "embedding", dim=64)
+    enc_rot = pq_encode(rot, "vec_id", "embedding", n_subspaces=8, n_codes=16)
+    enc_raw = pq_encode(
+        e, "vec_id", "embedding", n_subspaces=8, n_codes=16
+    ).select("id", F.col("mse").alias("mse_raw"))
+    return enc_rot.select(
+        "id", "pq_code", F.col("mse").alias("mse_rot")
+    ).join(enc_raw, "id")
+
+
 @register(
     "sim_ivfpq_topk",
     oracle=f"""

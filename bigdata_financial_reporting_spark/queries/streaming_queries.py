@@ -610,3 +610,123 @@ def stream_cdc_upsert_sink(spark, sf_dir):
         "version",
         F.round("acctbal", 4).alias("acctbal"),
     )
+
+
+@register(
+    "stream_stream_full_outer",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+    ),
+    c AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+    )
+    SELECT COALESCE(v.user_id, c.user_id) AS user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id
+    FROM v FULL JOIN c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+    category="streaming",
+)
+def stream_stream_full_outer(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — the completion of the
+    outer-join family over `stream_stream_join` (inner) and
+    `stream_stream_left_outer`: BOTH sides' unmatched rows must
+    surface, which means the engine holds state on both sides and
+    emits each side's null-padded rows only when the watermark proves
+    no match can arrive. A view with no click within 2 hours emits
+    (user, view_id, NULL); a click no view preceded within 2 hours
+    emits (user, NULL, click_id).
+
+    Same batch-equivalence subtlety the left-outer key pinned
+    (round-11): `withWatermark` is applied BEFORE the analysis cutoff
+    filter so the watermark advances over the whole fixture and
+    flushes every held row on BOTH sides — filtering first would
+    freeze it at the cutoff and swallow the last interval's unmatched
+    rows on each side. State is bounded by the join's time bound
+    (interval-sized, never corpus-sized) exactly as in the left-outer
+    case, now symmetric."""
+    base = events_stream(spark, sf_dir)
+    views = (
+        base.select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+            "event_type",
+        )
+        .withWatermark("v_ts", "1 hour")
+        .filter((F.col("event_type") == "view") & (F.col("v_ts") < "2024-01-05"))
+        .drop("event_type")
+    )
+    clicks = (
+        base.select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            "event_type",
+        )
+        .withWatermark("c_ts", "1 hour")
+        .filter((F.col("event_type") == "click") & (F.col("c_ts") < "2024-01-05"))
+        .drop("event_type")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+        "view_id",
+        "click_id",
+    )
+    return run_available_now(joined, output_mode="append")
+
+
+@register(
+    "stream_dedup_exactly_once",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, {vs} AS value_sum
+    FROM (SELECT DISTINCT event_id, event_type, value FROM events) t
+    GROUP BY event_type
+    """.format(vs=duck_sum("value", 10_000)),
+    category="streaming",
+)
+def stream_dedup_exactly_once(spark, sf_dir):
+    """At-least-once -> exactly-once collapse: every event is
+    deliberately delivered TWICE in the same stream (the retry /
+    redelivery shape of an at-least-once source — here an explode
+    duplication, so the duplicate provably shares its original's
+    micro-batch and event time) and `dropDuplicatesWithinWatermark`
+    on the record identity must collapse the stream back to
+    exactly-once: the drained per-type counts and exact value sums
+    equal the plain batch aggregate over the fixture, so even ONE
+    surviving duplicate fails the hash (count +1, sum shifted).
+
+    Differs from `stream_dedup_watermark` (key-projection dedup, no
+    duplicates injected): here full VALUE-carrying rows survive, so
+    the key also pins that the survivor is the duplicate-identical
+    row, and the downstream aggregate is the witness. At 100 TB the
+    dedup state is one (event_id, within-watermark) entry per live
+    key — the standard exactly-once ingestion front of a CDC/event
+    pipeline; eviction by watermark keeps it horizon-sized."""
+    s = events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value", "ts"
+    )
+    dup = s.withColumn(
+        "__copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("__copy")
+    deduped = (
+        dup.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    drained = run_available_now(deduped, output_mode="append")
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value"), 10_000).alias("value_sum"),
+    )

@@ -9,6 +9,7 @@ from pathlib import Path
 
 from bigdata_financial_reporting_spark.queries.driver_order import (
     _STATIC_SEEN,
+    DEFER_BEHIND_STALE,
     DRIVER_LAST_ROUND,
     DRIVER_SEEN,
     RECHECK_FIRST,
@@ -43,9 +44,16 @@ def test_ordered_names_is_a_permutation_of_registry():
 
 def test_unseen_keys_fit_in_driver_budget():
     """Every never-checked key must appear before the driver's ~50-key
-    truncation point, else it can be starved for another round."""
+    truncation point, else it can be starved for another round — with
+    the ONE sanctioned exception of DEFER_BEHIND_STALE (round-12:
+    growth must not preempt the r02 staleness drain, so those keys
+    deliberately queue behind it and land in the next round)."""
     names = ordered_names()
-    unseen = [n for n in QUERIES if n not in DRIVER_SEEN]
+    unseen = [
+        n
+        for n in QUERIES
+        if n not in DRIVER_SEEN and n not in DEFER_BEHIND_STALE
+    ]
     if len(unseen) + len(RECHECK_FIRST) > DRIVER_BUDGET:
         # More unseen keys than budget: at least the budget must be spent
         # entirely on recheck+unseen keys.
@@ -55,6 +63,31 @@ def test_unseen_keys_fit_in_driver_budget():
         head = set(names[: len(unseen) + len(RECHECK_FIRST)])
         assert set(unseen) <= head
         assert set(RECHECK_FIRST) <= head
+
+
+def test_defer_behind_stale_sits_between_stale_and_fresh():
+    """The round-12 deferral contract: a DEFER_BEHIND_STALE key (while
+    unseen) ranks after every r02-or-older seen key (so it cannot eat
+    a staleness-drain slot) and before every r03-or-fresher seen key
+    (so it cannot itself starve once the drain completes)."""
+    names = ordered_names()
+    deferred = [n for n in DEFER_BEHIND_STALE if n not in DRIVER_SEEN]
+    if not deferred:
+        return  # inert once driver-checked
+    last_def = max(names.index(n) for n in deferred)
+    first_def = min(names.index(n) for n in deferred)
+    for n in names:
+        if n in DRIVER_SEEN and n not in RECHECK_FIRST:
+            rnd = DRIVER_LAST_ROUND.get(n, 0)
+            if rnd <= 2:
+                assert names.index(n) < first_def, (
+                    f"stale key {n} (r{rnd:02d}) ranked after deferred "
+                    f"new keys — growth is preempting the drain"
+                )
+            else:
+                assert names.index(n) > last_def, (
+                    f"deferred new keys ranked after fresh key {n}"
+                )
 
 
 def test_recheck_first_keys_lead():
