@@ -264,15 +264,10 @@ RECHECK_FIRST: tuple[str, ...] = (
     # round-11-advice PQ argmin/unroll fixes and the trained-IVF-PQ
     # perf rewrite (operators/similarity.py), plus the per-pid scratch
     # isolation in the manifest keys — ordered as computed (oldest
-    # driver check first). The three emb_* rows are older drift the
-    # r11 sync missed (their spans were touched by the r11 similarity
-    # refactors after their r06-r08 checks). 8 recheck slots + the
-    # 41-key r02 staleness tier = 49 of the ~50-key budget; the three
-    # round-12 NEW keys rank BEHIND the stale drain (DEFER_BEHIND_
-    # STALE) so growth cannot preempt it (round-11 verdict item 1).
-    "emb_pca_power_iteration",
-    "emb_matryoshka_prefix_topk",
-    "emb_signbit_fingerprint",
+    # driver check first). 5 recheck slots + the 41-key r02 staleness
+    # tier + the three round-12 NEW keys (ranked BEHIND the stale
+    # drain via DEFER_BEHIND_STALE so growth cannot preempt it —
+    # round-11 verdict item 1) = 49 of the ~50-key budget.
     "ops_clone_shallow",
     "ops_vacuum_orphan_files",
     "sim_ivfpq_topk",
