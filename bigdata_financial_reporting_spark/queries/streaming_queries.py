@@ -684,7 +684,19 @@ def stream_stream_full_outer(spark, sf_dir):
         "view_id",
         "click_id",
     )
-    return run_available_now(joined, output_mode="append")
+    # State-store partition count is pinned from shuffle.partitions at
+    # query start, and a two-sided outer join commits FOUR stores per
+    # partition per batch — at the bench SF, 32 partitions are ~10 s of
+    # pure store-commit overhead for ~5k rows (measured 9.8 s -> 2.3 s
+    # at 4). Scope the conf to this drain and restore; a production
+    # deployment sizes it to key cardinality x throughput instead.
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return run_available_now(joined, output_mode="append")
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
@@ -725,7 +737,16 @@ def stream_dedup_exactly_once(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type", "value")
     )
-    drained = run_available_now(deduped, output_mode="append")
+    # same scoped state-partition sizing as stream_stream_full_outer:
+    # the dedup state is one store per partition per batch, and the
+    # bench-SF wall is store commits, not data
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        drained = run_available_now(deduped, output_mode="append")
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
     return drained.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         exact_sum(F.col("value"), 10_000).alias("value_sum"),
