@@ -169,6 +169,25 @@ def _duck_digest_child_main(name: str, sf_dir: str) -> int:
 
 
 def _duck_digest_subprocess(name: str, sf_dir: str) -> dict:
+    """One fresh child per oracle, with ONE retry on a structured
+    error: the only error class ever seen here is allocation-state-
+    dependent (DuckDB bad_alloc while co-resident with the 8g Spark
+    JVM — fin_macd_daily OOM'd once in the r12 sweep and passed on
+    rerun), and check_negzero's scan already retries the same class
+    on a fresh connection. A deterministic oracle bug fails BOTH
+    attempts and still surfaces."""
+    out = _duck_digest_subprocess_once(name, sf_dir)
+    if "error" in out:
+        retry = _duck_digest_subprocess_once(name, sf_dir)
+        if "error" in retry:
+            # keep the FIRST error (the retry's may be a cascade)
+            return out
+        retry["retried"] = True
+        return retry
+    return out
+
+
+def _duck_digest_subprocess_once(name: str, sf_dir: str) -> dict:
     import subprocess
 
     try:
