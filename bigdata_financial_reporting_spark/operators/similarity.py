@@ -1224,17 +1224,40 @@ def _pq_scored(
         sub_dim_col.alias("sub_dim"),
         F.explode(F.array(*[F.lit(s) for s in range(n_subspaces)])).alias("s"),
     )
+    # The length guards must live INSIDE the d2 expression, not only in
+    # the sub_dim column: consumers that aggregate code/d2 without
+    # touching sub_dim (ivfpq_topk's wide index build) let Catalyst
+    # prune an unreferenced sub_dim away along with the raise_error
+    # embedded in it, reviving the silent-wrong-slice path the probe
+    # comment above describes (round-12 advice, medium). When the
+    # unroll is active, d2 therefore re-checks the row length itself;
+    # when it is not, d2 references the sub_dim column, which keeps
+    # _checked_sub_dim's divisibility raise alive through pruning.
+    d2 = _pq_subspace_d2(
+        F.col("v"),
+        F.col("cv"),
+        F.col("s"),
+        static_sub if static_sub is not None else F.col("sub_dim"),
+    )
+    if static_sub is not None:
+        d2 = F.when(F.size(F.col("v")) == int(probe["d"]), d2).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{caller}: vector lengths must be uniform "
+                        f"(probed length {int(probe['d'])}, got length "
+                    ),
+                    F.size(F.col("v")).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("double")
+        )
     return rows.join(F.broadcast(codebook), "s").select(
         "id",
         "s",
         "code",
         "sub_dim",
-        _pq_subspace_d2(
-            F.col("v"),
-            F.col("cv"),
-            F.col("s"),
-            static_sub if static_sub is not None else F.col("sub_dim"),
-        ).alias("d2"),
+        d2.alias("d2"),
     )
 
 
@@ -1521,6 +1544,21 @@ def hadamard_rotate(
                     f"hadamard_rotate: every vector must have length "
                     f"{dim}, got shape {m.shape}"
                 )
+            # numpy int64 matmul WRAPS on overflow (DuckDB's BIGINT
+            # fold raises) — the docstring's 2^63 headroom claim must
+            # be enforced, not assumed: each output term is a sum of
+            # ``dim`` +/-q entries, so |r| <= dim * max|q|; reject any
+            # batch where that bound could reach 2^63 (round-12
+            # verdict item 5: silent wrap would surface only as a
+            # confusing oracle hash mismatch).
+            peak = int(np.abs(m).max()) if m.size else 0
+            if peak >= (2**63) // dim:
+                raise ValueError(
+                    "hadamard_rotate: scaled magnitude overflow — "
+                    f"max |x*scale| = {peak} >= 2^63/dim "
+                    f"({(2**63) // dim}); the int64 rotation would "
+                    "wrap silently"
+                )
             r = m @ sign  # exact int64 product, order-free
             yield pd.DataFrame(
                 {id_col: pdf[id_col], vec_col: list(r / div)}
@@ -1646,11 +1684,32 @@ def ivfpq_topk(
     # Every (s, code) key exists in the map by construction (qtable is
     # the full cross of subspaces x codebook entries per query), so
     # the lookups cannot miss on any input the old inner join kept.
+    # The flat key s*n_codes + code is injective ONLY if every code is
+    # in [0, n_codes): a caller-supplied codebook with codes outside
+    # that range makes keys collide across subspaces (duplicate-key
+    # map failure at best, a silently wrong lookup at worst — round-12
+    # advice, low). The guard lives inside the key expression itself,
+    # so pruning cannot remove it and out-of-range codebooks fail
+    # loudly at map-build time.
+    adc_key = F.when(
+        (F.col("code") >= 0) & (F.col("code") < n_codes),
+        F.col("s") * n_codes + F.col("code"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ivfpq_topk: codebook codes must be in "
+                    f"[0, n_codes={n_codes}); got code "
+                ),
+                F.col("code").cast("string"),
+            )
+        ).cast("int")
+    )
     qmap = qtable.groupBy("query_id").agg(
         F.map_from_entries(
             F.collect_list(
                 F.struct(
-                    (F.col("s") * n_codes + F.col("code")).alias("k"),
+                    adc_key.alias("k"),
                     F.col("qd2").alias("v"),
                 )
             )
