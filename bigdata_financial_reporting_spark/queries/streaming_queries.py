@@ -27,8 +27,10 @@ from bigdata_financial_reporting_spark.queries.ops_tools import (
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 from bigdata_financial_reporting_spark.streaming.runner import (
+    ephemeral_checkpoint_dir,
     events_stream,
     run_available_now,
+    scoped_state_partitions,
 )
 
 
@@ -65,7 +67,8 @@ def stream_tumbling_window(spark, sf_dir):
             "value_sum",
         )
     )
-    return run_available_now(agg, output_mode="complete")
+    with scoped_state_partitions(spark):
+        return run_available_now(agg, output_mode="complete")
 
 
 @register(
@@ -116,7 +119,8 @@ def stream_sliding_window(spark, sf_dir):
             ).alias("value_avg"),
         )
     )
-    return run_available_now(agg, output_mode="complete")
+    with scoped_state_partitions(spark):
+        return run_available_now(agg, output_mode="complete")
 
 
 @register(
@@ -166,7 +170,8 @@ def stream_session_window(spark, sf_dir):
             "value_sum",
         )
     )
-    return run_available_now(agg, output_mode="complete")
+    with scoped_state_partitions(spark):
+        return run_available_now(agg, output_mode="complete")
 
 
 @register(
@@ -185,7 +190,8 @@ def stream_dedup_watermark(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_available_now(deduped, output_mode="append")
+    with scoped_state_partitions(spark):
+        return run_available_now(deduped, output_mode="append")
 
 
 @register(
@@ -242,7 +248,8 @@ def stream_stateful_counters(spark, sf_dir):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    result = run_available_now(out, output_mode="update")
+    with scoped_state_partitions(spark):
+        result = run_available_now(out, output_mode="update")
     # update-mode emits one row per key per batch; keep the final state
     # (max n_events per user = last emission). value_sum renders from
     # the exact 1e-4-unit integer with one division and NO float round.
@@ -302,7 +309,8 @@ def stream_stream_join(spark, sf_dir):
         & (F.col("c_ts") > F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
     ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
-    return run_available_now(joined, output_mode="append")
+    with scoped_state_partitions(spark):
+        return run_available_now(joined, output_mode="append")
 
 
 @register(
@@ -331,6 +339,7 @@ def stream_foreach_batch_sink(spark, sf_dir):
     q = (
         s.select("event_id", "event_type", "value")
         .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ephemeral_checkpoint_dir())
         .trigger(availableNow=True)
         .start()
     )
@@ -450,7 +459,8 @@ def stream_content_dedup(spark, sf_dir):
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
-    return run_available_now(agg, output_mode="complete")
+    with scoped_state_partitions(spark):
+        return run_available_now(agg, output_mode="complete")
 
 
 @register(
@@ -524,7 +534,8 @@ def stream_stream_left_outer(spark, sf_dir):
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
         "left_outer",
     ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
-    return run_available_now(joined, output_mode="append")
+    with scoped_state_partitions(spark):
+        return run_available_now(joined, output_mode="append")
 
 
 @register(
@@ -561,12 +572,28 @@ def stream_cdc_upsert_sink(spark, sf_dir):
         cdc_change_log,
     )
 
-    # stage the log: one parquet file per commit version, sortable names
+    # stage the log: one parquet file per commit version, sortable
+    # names. ONE partitioned write job stages every version (a write
+    # job's fixed commit-protocol cost dominates the 15k-row data at
+    # this SF — the former per-version coalesce(1) loop spent ~1 s of
+    # wall PER VERSION on job scheduling + _temporary renames). The
+    # partition column is a duplicate (__v) because partitionBy drops
+    # its column from the data files and the stream schema needs
+    # `version` in-file.
     log_dir = tempfile.mkdtemp(prefix="bdfr_cdc_log_")
     stage = tempfile.mkdtemp(prefix="bdfr_cdc_stage_")
-    for version, df in cdc_change_log(spark, sf_dir):
-        vdir = os.path.join(stage, f"v{version}")
-        df.coalesce(1).write.mode("overwrite").parquet(vdir)
+    versions = cdc_change_log(spark, sf_dir)
+    log = versions[0][1].withColumn("__v", F.col("version"))
+    for _, df in versions[1:]:
+        log = log.unionByName(df.withColumn("__v", F.col("version")))
+    (
+        log.repartition(len(versions), "__v")
+        .write.mode("overwrite")
+        .partitionBy("__v")
+        .parquet(stage)
+    )
+    for version, _ in versions:
+        vdir = os.path.join(stage, f"__v={version}")
         part = next(
             n for n in sorted(os.listdir(vdir)) if n.endswith(".parquet")
         )
@@ -602,8 +629,19 @@ def stream_cdc_upsert_sink(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(log_dir)
     )
-    q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
-    q.awaitTermination()
+    # each per-version micro-batch MERGE plans a key-hash window
+    # shuffle from the live conf — 32 partitions x 15 sequential
+    # micro-batches is pure task-launch overhead on a ~1.5k-row
+    # snapshot; scope the width to the drain like the other stateful
+    # keys (see scoped_state_partitions)
+    with scoped_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ephemeral_checkpoint_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     snap = spark.read.parquet(state["path"])
     return snap.filter(F.col("op") != "D").select(
         F.col("k").alias("custkey"),
@@ -684,19 +722,13 @@ def stream_stream_full_outer(spark, sf_dir):
         "view_id",
         "click_id",
     )
-    # State-store partition count is pinned from shuffle.partitions at
-    # query start, and a two-sided outer join commits FOUR stores per
-    # partition per batch — at the bench SF, 32 partitions are ~10 s of
-    # pure store-commit overhead for ~5k rows (measured 9.8 s -> 2.3 s
-    # at 4). Scope the conf to this drain and restore; a production
-    # deployment sizes it to key cardinality x throughput instead.
-    conf = spark.conf
-    prev = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    # A two-sided outer join commits FOUR stores per partition per
+    # batch — at the bench SF, 32 partitions are ~10 s of pure
+    # store-commit overhead for ~5k rows (measured 9.8 s -> 2.3 s at
+    # 4). See scoped_state_partitions for the sizing/threading
+    # contract.
+    with scoped_state_partitions(spark):
         return run_available_now(joined, output_mode="append")
-    finally:
-        conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
@@ -740,13 +772,8 @@ def stream_dedup_exactly_once(spark, sf_dir):
     # same scoped state-partition sizing as stream_stream_full_outer:
     # the dedup state is one store per partition per batch, and the
     # bench-SF wall is store commits, not data
-    conf = spark.conf
-    prev = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with scoped_state_partitions(spark):
         drained = run_available_now(deduped, output_mode="append")
-    finally:
-        conf.set("spark.sql.shuffle.partitions", prev)
     return drained.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         exact_sum(F.col("value"), 10_000).alias("value_sum"),
