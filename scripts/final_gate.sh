@@ -42,6 +42,17 @@ commit_artifact() {
   fi
 }
 
+# PLANS.md / QUERIES.md regenerate FIRST and are committed
+# individually: in round 12 they sat behind the 10x sweep, which
+# failed, leaving both docs stale at the r11 registry (round-12
+# verdict item 2). The freshness check makes a registry/doc row-count
+# mismatch fail the gate mechanically.
+python scripts/gen_plans_md.py || fail "PLANS.md regen failed"
+commit_artifact PLANS.md
+python scripts/gen_queries_md.py || fail "QUERIES.md regen failed"
+commit_artifact QUERIES.md
+python scripts/check_doc_freshness.py || fail "PLANS.md/QUERIES.md row counts do not match the live registry"
+
 python scripts/gen_local_correctness.py || fail "LOCAL_CORRECTNESS red or crashed (rc=$?)"
 commit_artifact LOCAL_CORRECTNESS.json
 python scripts/gen_stream_equiv.py || fail "STREAM_EQUIV failed"
@@ -57,8 +68,6 @@ commit_artifact NEGZERO_SWEEP.json
   || fail "tree dirty before the 10x sweep — commit or stash first so SCALE provenance is honest: $(git status --porcelain | head -5)"
 
 python scripts/gen_scale_correctness.py || fail "SCALE_CORRECTNESS red/crashed (rc=$?) — artifact NOT trustworthy"
-python scripts/gen_plans_md.py || fail "PLANS.md regen failed"
-python scripts/gen_queries_md.py || fail "QUERIES.md regen failed"
 
 git add LOCAL_CORRECTNESS.json STREAM_EQUIV.json SIM_RECALL.json \
         NEGZERO_SWEEP.json SCALE_CORRECTNESS.json PLANS.md QUERIES.md
