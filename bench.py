@@ -98,6 +98,9 @@ HEADLINE = [
     "stream_stream_full_outer",   # two-sided watermark-evicted outer join
     "stream_dedup_exactly_once",  # at-least-once -> exactly-once collapse
     "sim_opq_rotation_encode",    # integer Hadamard rotation + dual PQ
+    # round-13 additions
+    "sim_ivf_probe_sweep",        # recall/cost curve over probe counts
+    "sim_ivfpq_residual_encode",  # production residual-PQ encode
 ]
 
 

@@ -259,20 +259,43 @@ DRIVER_SEEN: frozenset[str] = (
 # against a fresh computation by tests/test_driver_order.py. Static so
 # the driver export never needs git at import time.
 RECHECK_FIRST: tuple[str, ...] = (
-    # round-12 sync (gen_recheck.py against CORRECTNESS_r01..r11):
+    # round-13 sync (gen_recheck.py against CORRECTNESS_r01..r12):
     # keys whose source changed since their LAST driver row — the
-    # round-11-advice PQ argmin/unroll fixes and the trained-IVF-PQ
-    # perf rewrite (operators/similarity.py), plus the per-pid scratch
-    # isolation in the manifest keys — ordered as computed (oldest
-    # driver check first). 5 recheck slots + the 41-key r02 staleness
-    # tier + the three round-12 NEW keys (ranked BEHIND the stale
-    # drain via DEFER_BEHIND_STALE so growth cannot preempt it —
-    # round-11 verdict item 1) = 49 of the ~50-key budget.
-    "ops_clone_shallow",
-    "ops_vacuum_orphan_files",
+    # streaming family's scoped state-partition/checkpoint sizing
+    # (queries/streaming_queries.py, streaming/runner.py), the
+    # similarity guard/argmin work and the two new operators
+    # (operators/similarity.py — adjacent-span keys like
+    # sim_pairwise_matrix are conservative hunk-overlap flags, and
+    # cheap: most are r03-r07 rows, so they double as staleness
+    # refreshes) — ordered as computed (oldest driver check first).
+    # 24 recheck slots (4 of them r03) + 26 more r03-stale keys fill
+    # the ~50-key budget; the two round-13 NEW keys rank BEHIND both
+    # stale tiers (DEFER_BEHIND_STALE_R13) so growth cannot preempt
+    # the drain.
+    "sim_pairwise_matrix",
+    "stream_dedup_watermark",
+    "stream_rate_source",
+    "stream_stream_join",
+    "sim_random_projection",
+    "stream_content_dedup",
+    "emb_pca_power_iteration",
+    "emb_dims_variance_topk",
+    "emb_matryoshka_prefix_topk",
+    "stream_foreach_batch_sink",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_stateful_counters",
+    "stream_static_join",
+    "stream_tumbling_window",
+    "dedup_semantic_semdedup",
+    "stream_cdc_upsert_sink",
+    "stream_stream_left_outer",
     "sim_ivfpq_topk",
     "sim_ivfpq_trained_topk",
+    "sim_opq_rotation_encode",
     "sim_pq_encode",
+    "stream_dedup_exactly_once",
+    "stream_stream_full_outer",
 )
 
 # Round-12 NEW keys: never driver-checked, but deliberately ranked
@@ -286,6 +309,19 @@ DEFER_BEHIND_STALE: frozenset[str] = frozenset(
         "stream_stream_full_outer",
         "stream_dedup_exactly_once",
         "sim_opq_rotation_encode",
+    }
+)
+
+# Round-13 NEW keys: ranked behind BOTH stale tiers (r03 AND r04).
+# The round-13 budget is exactly consumed — 17 changed-source
+# rechecks + the 32 remaining r03 keys = 49 of ~50 slots — so these
+# two must not displace a single stale row; they are locally
+# hash-green at all three SFs + gate-swept and will drain in r14
+# (the DRIVER_SEEN gate makes this set inert once their rows land).
+DEFER_BEHIND_STALE_R13: frozenset[str] = frozenset(
+    {
+        "sim_ivf_probe_sweep",
+        "sim_ivfpq_residual_encode",
     }
 )
 
@@ -583,6 +619,12 @@ def ordered_names() -> list[str]:
             # expected evidence value)
             return (0, RECHECK_FIRST.index(name), 0)
         if name not in DRIVER_SEEN:
+            if name in DEFER_BEHIND_STALE_R13:
+                # round-13 new keys: behind BOTH stale tiers (4.5
+                # sorts after last_round<=4) so the exactly-budgeted
+                # r13 drain (17 rechecks + 32 r03 keys) is untouched
+                return (2, 4.5, cat_rank.get(spec.category, len(cat_rank)),
+                        reg_rank[name])
             if name in DEFER_BEHIND_STALE:
                 # round-12 new keys: behind the r02 staleness drain
                 # (seen tier sorts by last round ascending, so 2.5

@@ -978,6 +978,154 @@ def sim_opq_rotation_encode(spark, sf_dir):
 
 
 @register(
+    "sim_ivf_probe_sweep",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS v, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cells AS (SELECT neighbor_id, v, cent_id AS cell FROM assigned WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qv, c.cent_id AS cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {duck_cosine('q.embedding', 'c.cv')} DESC, c.cent_id)
+               AS cell_rank
+      FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5
+    ),
+    ring AS (SELECT query_id, qv, cell, cell_rank FROM probes WHERE cell_rank <= 8),
+    scored AS (
+      SELECT p.query_id, s.neighbor_id, p.cell_rank,
+             {duck_cosine('p.qv', 's.v')} AS cos_raw
+      FROM ring p JOIN cells s USING (cell)
+    ),
+    plist(n_probe) AS (VALUES (1), (2), (4), (8)),
+    swept AS (
+      SELECT pl.n_probe, sc.query_id, sc.neighbor_id, sc.cos_raw
+      FROM scored sc CROSS JOIN plist pl WHERE sc.cell_rank <= pl.n_probe
+    ),
+    cand AS (
+      SELECT n_probe, count(*) AS candidates_scored FROM swept GROUP BY 1
+    ),
+    ak AS (
+      SELECT n_probe, query_id, neighbor_id FROM (
+        SELECT n_probe, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY n_probe, query_id
+                 ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM swept
+      ) WHERE rank <= 10
+    ),
+    ek AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {duck_cosine('q.embedding', 'c.embedding')} DESC,
+                          c.vec_id) AS rank
+        FROM embeddings c
+        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT n_probe, count(*) AS n_hits
+      FROM ak JOIN ek USING (query_id, neighbor_id) GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 5) AS nq,
+             (SELECT count(*) FROM embeddings) AS nc
+    )
+    SELECT c.n_probe,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / (t.nq * 10), 6)
+             AS recall_at_k,
+           c.candidates_scored,
+           round(CAST(c.candidates_scored AS DOUBLE) / (t.nq * t.nc), 6)
+             AS candidate_fraction
+    FROM cand c LEFT JOIN hits h USING (n_probe) CROSS JOIN tot t
+    """,
+    category="similarity",
+)
+def sim_ivf_probe_sweep(spark, sf_dir):
+    """IVF probe-count sweep — the recall/cost operating curve as an
+    oracle-hashed first-class result (round-12 verdict item 8, the
+    learned-IVF probe-count witness): for n_probe in (1, 2, 4, 8),
+    recall@10 of the IVF selection vs exact brute force AND the
+    candidates actually scored (count + corpus fraction). ONE pass:
+    the corpus is cell-assigned once, candidates in the deepest ring
+    are scored once with the pinned cosine, and each p-slice is a
+    filter on the probed cell's rank — so every slice equals
+    ivf_topk(n_probe=p) exactly, and the curve is the tuning artifact
+    an ANN deployment reads. Recall/fraction are exact-integer
+    divisions rounded 6 dp; both engines compute identical doubles.
+    See operators.similarity.ivf_probe_sweep for the 100 TB posture
+    (cost = one deepest-ring ivf_topk + count aggs)."""
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        ivf_probe_sweep,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_probe_sweep(
+        q, e, "vec_id", "vec_id",
+        n_centroids=16, probe_counts=(1, 2, 4, 8), k=10,
+    )
+
+
+@register(
+    "sim_ivfpq_residual_encode",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding AS v, c.cent_id, c.cv,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC, c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    res AS (
+      SELECT vec_id, cent_id AS cell,
+             list_transform(generate_series(1, 64), i ->
+               CAST(v[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)) AS embedding
+      FROM assigned WHERE rn = 1
+    ),
+    {_duck_pq_encode_ctes('res', 'mse')}
+    SELECT r.vec_id AS id, r.cell, e.pq_code, e.mse
+    FROM res r JOIN enc_res e ON r.vec_id = e.id
+    """,
+    category="similarity",
+)
+def sim_ivfpq_residual_encode(spark, sf_dir):
+    """IVF-PQ RESIDUAL encoding — what production IVF-PQ indexes
+    (FAISS IndexIVFPQ) actually store: PQ quantizes x - centroid(cell)
+    instead of x, concentrating the codebook's precision on the
+    within-cell variation. The key emits (id, cell, pq_code, mse);
+    the residual mse is directly comparable to sim_pq_encode's
+    raw-vector mse on the same corpus — the standard witness for the
+    residual-vs-raw trade (the win needs L2-tight trained cells; the
+    degenerate quantizer on synthetic vectors makes the column an
+    honest null result here). Exactness: pinned lowest-id/cosine
+    cell assignment, exact per-component double subtraction (no fold),
+    then the unchanged pq_encode canon over residuals with the
+    lowest-id RESIDUAL codebook. At 100 TB the residual step is a
+    pure map between the assignment join and the encode."""
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        ivf_residual_encode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_residual_encode(
+        e, "vec_id", "embedding",
+        n_centroids=16, n_subspaces=8, n_codes=16,
+    )
+
+
+@register(
     "sim_ivfpq_topk",
     oracle=f"""
     WITH cents AS (

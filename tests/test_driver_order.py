@@ -10,6 +10,7 @@ from pathlib import Path
 from bigdata_financial_reporting_spark.queries.driver_order import (
     _STATIC_SEEN,
     DEFER_BEHIND_STALE,
+    DEFER_BEHIND_STALE_R13,
     DRIVER_LAST_ROUND,
     DRIVER_SEEN,
     RECHECK_FIRST,
@@ -52,7 +53,9 @@ def test_unseen_keys_fit_in_driver_budget():
     unseen = [
         n
         for n in QUERIES
-        if n not in DRIVER_SEEN and n not in DEFER_BEHIND_STALE
+        if n not in DRIVER_SEEN
+        and n not in DEFER_BEHIND_STALE
+        and n not in DEFER_BEHIND_STALE_R13
     ]
     if len(unseen) + len(RECHECK_FIRST) > DRIVER_BUDGET:
         # More unseen keys than budget: at least the budget must be spent
@@ -209,3 +212,30 @@ def test_risk_order_precedes_untriaged_unseen():
         assert max(pos[n] for n in triaged_unseen) < min(
             pos[n] for n in untriaged_unseen
         )
+
+
+def test_defer_behind_stale_r13_sits_behind_both_stale_tiers():
+    """The round-13 deferral contract: an R13 deferred key (while
+    unseen) ranks after every r04-or-older seen key — the round-13
+    budget is exactly consumed by rechecks + the r03 drain, so growth
+    must not displace a single stale row — and before every
+    r05-or-fresher seen key (so it cannot itself starve once the
+    drains complete)."""
+    names = ordered_names()
+    deferred = [n for n in DEFER_BEHIND_STALE_R13 if n not in DRIVER_SEEN]
+    if not deferred:
+        return  # inert once driver-checked
+    last_def = max(names.index(n) for n in deferred)
+    first_def = min(names.index(n) for n in deferred)
+    for n in names:
+        if n in DRIVER_SEEN and n not in RECHECK_FIRST:
+            rnd = DRIVER_LAST_ROUND.get(n, 0)
+            if rnd <= 4:
+                assert names.index(n) < first_def, (
+                    f"stale key {n} (r{rnd:02d}) ranked after r13 deferred "
+                    f"new keys — growth is preempting the drain"
+                )
+            else:
+                assert names.index(n) > last_def, (
+                    f"r13 deferred new keys ranked after fresh key {n}"
+                )
