@@ -259,41 +259,31 @@ DRIVER_SEEN: frozenset[str] = (
 # against a fresh computation by tests/test_driver_order.py. Static so
 # the driver export never needs git at import time.
 RECHECK_FIRST: tuple[str, ...] = (
-    # round-13 sync (gen_recheck.py against CORRECTNESS_r01..r12):
-    # keys whose source changed since their LAST driver row — the
-    # streaming family's scoped state-partition/checkpoint sizing
-    # (queries/streaming_queries.py, streaming/runner.py), the
-    # similarity guard/argmin work and the two new operators
-    # (operators/similarity.py — adjacent-span keys like
-    # sim_pairwise_matrix are conservative hunk-overlap flags, and
-    # cheap: most are r03-r07 rows, so they double as staleness
-    # refreshes) — ordered as computed (oldest driver check first).
-    # 24 recheck slots (4 of them r03) + 26 more r03-stale keys fill
-    # the ~50-key budget; the two round-13 NEW keys rank BEHIND both
-    # stale tiers (DEFER_BEHIND_STALE_R13) so growth cannot preempt
-    # the drain.
-    "sim_pairwise_matrix",
+    # round-13 sync (gen_recheck.py against CORRECTNESS_r01..r12, at
+    # the committed tree): keys whose source changed since their LAST
+    # driver row — the streaming family's scoped state-partition/
+    # checkpoint sizing (queries/streaming_queries.py,
+    # streaming/runner.py) and the similarity guard/argmin work
+    # (operators/similarity.py) — ordered as computed (oldest driver
+    # check first). 17 recheck slots (3 of them r03) + 32 more
+    # r03-stale keys leave one 50th slot reaching into r04; the two
+    # round-13 NEW keys rank BEHIND both stale tiers
+    # (DEFER_BEHIND_STALE_R13) so growth cannot preempt the drain.
     "stream_dedup_watermark",
     "stream_rate_source",
     "stream_stream_join",
-    "sim_random_projection",
     "stream_content_dedup",
-    "emb_pca_power_iteration",
-    "emb_dims_variance_topk",
-    "emb_matryoshka_prefix_topk",
     "stream_foreach_batch_sink",
     "stream_session_window",
     "stream_sliding_window",
     "stream_stateful_counters",
     "stream_static_join",
     "stream_tumbling_window",
-    "dedup_semantic_semdedup",
     "stream_cdc_upsert_sink",
     "stream_stream_left_outer",
     "sim_ivfpq_topk",
     "sim_ivfpq_trained_topk",
     "sim_opq_rotation_encode",
-    "sim_pq_encode",
     "stream_dedup_exactly_once",
     "stream_stream_full_outer",
 )
