@@ -78,7 +78,16 @@ PER_QUERY_SECONDS = 90.0
 #: corpus (Spark side: 74 s, in-cap), which left the r11 sweep with
 #: its one unverified key (round-11 verdict item 2). 600 s clears it
 #: with margin.
-ORACLE_SECONDS_OVERRIDE = {"dedup_ngram_jaccard": 600.0}
+ORACLE_SECONDS_OVERRIDE = {
+    "dedup_ngram_jaccard": 600.0,
+    # fn_date's ground truth materializes 14 date-function columns
+    # over 6M rows in one DuckDB child — measured 335 s standalone at
+    # the 10x corpus in round 13 (it slipped past the 90 s cap for the
+    # first time that sweep; the Spark side finishes well inside it).
+    # Same trade as dedup_ngram_jaccard: the ORACLE may burn more
+    # wall for the evidence, the engine keeps the default cap.
+    "fn_date": 600.0,
+}
 
 
 class _SparkTimeout(Exception):
