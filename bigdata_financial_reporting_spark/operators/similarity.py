@@ -512,8 +512,18 @@ def _nearest_cells(
     ordering is (sim, -cent_id) — Spark's NaN-greatest/NULL-smallest
     struct comparison reproduces `ORDER BY sim DESC NULLS LAST,
     cent_id ASC` exactly, and negating the int cent_id flips its
-    direction without touching float semantics. n_keep>1 (the probe
-    side — query-sized, never corpus-sized) keeps the window."""
+    direction without touching float semantics. The GROUPING key is
+    ``key_col`` alone — never the float vector/norm payload, which
+    instead rides along as max_by aggregates over the same ordering
+    struct: grouping on floats would push them through
+    NormalizeFloatingNumbers (-0.0→0.0, NaN canonicalized) and split
+    duplicate keys into one row per distinct payload, where the
+    window form emits exactly one row per key with the winning row's
+    original bytes (round-13 advice). All max_by aggregates in one
+    hash-agg traverse rows in the same order with the same tie-break,
+    so the carried payload columns stay mutually consistent. n_keep>1
+    (the probe side — query-sized, never corpus-sized) keeps the
+    window."""
     joined = rows.join(F.broadcast(cents)).withColumn(
         "__sim",
         _cosine_with_norms(
@@ -521,13 +531,13 @@ def _nearest_cells(
         ),
     )
     if n_keep == 1:
+        ordk = F.struct(F.col("__sim"), (-F.col("cent_id")).alias("nc"))
+        carried = [c for c in rows.columns if c != key_col]
         return (
-            joined.groupBy(*rows.columns)
+            joined.groupBy(key_col)
             .agg(
-                F.max_by(
-                    F.col("cent_id"),
-                    F.struct(F.col("__sim"), (-F.col("cent_id")).alias("nc")),
-                ).alias("cell")
+                *[F.max_by(F.col(c), ordk).alias(c) for c in carried],
+                F.max_by(F.col("cent_id"), ordk).alias("cell"),
             )
             .select(*rows.columns, "cell")
         )
@@ -1767,8 +1777,13 @@ def hadamard_rotate(
             # ``dim`` +/-q entries, so |r| <= dim * max|q|; reject any
             # batch where that bound could reach 2^63 (round-12
             # verdict item 5: silent wrap would surface only as a
-            # confusing oracle hash mismatch).
-            peak = int(np.abs(m).max()) if m.size else 0
+            # confusing oracle hash mismatch). The bound is computed
+            # in PYTHON ints from m.min()/m.max(), never np.abs on
+            # int64: Spark's double→long cast saturates at
+            # Long.MIN_VALUE and np.abs(-2^63) wraps back to -2^63,
+            # so an abs-based peak would miss exactly the element
+            # that overflows (round-13 advice).
+            peak = max(int(m.max()), -int(m.min())) if m.size else 0
             if peak >= (2**63) // dim:
                 raise ValueError(
                     "hadamard_rotate: scaled magnitude overflow — "

@@ -27,6 +27,7 @@ from bigdata_financial_reporting_spark.queries.ops_tools import (
 from bigdata_financial_reporting_spark.queries.registry import register
 from bigdata_financial_reporting_spark.sources.catalog import load_table
 from bigdata_financial_reporting_spark.streaming.runner import (
+    discard_checkpoint,
     ephemeral_checkpoint_dir,
     events_stream,
     run_available_now,
@@ -336,14 +337,16 @@ def stream_foreach_batch_sink(spark, sf_dir):
     def sink(batch_df, batch_id):
         batch_df.write.mode("append").parquet(out_dir)
 
+    ckpt = ephemeral_checkpoint_dir()
     q = (
         s.select("event_id", "event_type", "value")
         .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", ephemeral_checkpoint_dir())
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    discard_checkpoint(ckpt)
     return (
         spark.read.parquet(out_dir)
         .groupBy("event_type")
@@ -594,6 +597,17 @@ def stream_cdc_upsert_sink(spark, sf_dir):
     )
     for version, _ in versions:
         vdir = os.path.join(stage, f"__v={version}")
+        # an empty version frame writes NO __v=<version> partition
+        # directory — fail loudly naming the version rather than an
+        # opaque FileNotFoundError from os.listdir (round-13 advice;
+        # the per-version staged file is the micro-batch unit, so an
+        # empty version would silently change the drain's batch count)
+        if not os.path.isdir(vdir):
+            raise ValueError(
+                f"cdc staging: change-log version {version} produced "
+                "no rows — every version must stage one non-empty "
+                "commit file"
+            )
         part = next(
             n for n in sorted(os.listdir(vdir)) if n.endswith(".parquet")
         )
@@ -635,13 +649,15 @@ def stream_cdc_upsert_sink(spark, sf_dir):
     # snapshot; scope the width to the drain like the other stateful
     # keys (see scoped_state_partitions)
     with scoped_state_partitions(spark):
+        ckpt = ephemeral_checkpoint_dir()
         q = (
             stream.writeStream.foreachBatch(merge)
-            .option("checkpointLocation", ephemeral_checkpoint_dir())
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        discard_checkpoint(ckpt)
     snap = spark.read.parquet(state["path"])
     return snap.filter(F.col("op") != "D").select(
         F.col("k").alias("custkey"),

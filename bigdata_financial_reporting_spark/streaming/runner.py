@@ -10,8 +10,10 @@ unchanged with a real trigger + kafka/parquet sinks + checkpointing.
 
 from __future__ import annotations
 
+import atexit
 import contextlib
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -121,6 +123,24 @@ def scoped_state_partitions(spark: SparkSession, n: int = 4):
         conf.set("spark.sql.shuffle.partitions", prev)
 
 
+#: Checkpoint dirs created this process, pending removal. Unlike
+#: Spark's own temp checkpoints (auto-deleted on clean stop), these
+#: explicit locations are never removed by Spark — and they prefer
+#: RAM-backed /dev/shm, so leaking them across repeated bench/gate
+#: runs leaks tmpfs that outlives the process (round-13 advice).
+#: Each drain removes its own dir as soon as the memory-sink result
+#: is materialized; the atexit hook is the backstop for error paths.
+_CKPT_DIRS: list[str] = []
+
+
+def _cleanup_ckpt_dirs() -> None:
+    while _CKPT_DIRS:
+        shutil.rmtree(_CKPT_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_ckpt_dirs)
+
+
 def ephemeral_checkpoint_dir() -> str:
     """A checkpoint location for finite availableNow drains.
 
@@ -130,9 +150,24 @@ def ephemeral_checkpoint_dir() -> str:
     to RAM-backed tmpfs when the host has one — measured ~0.1 s of
     ext4 fsync wall per micro-batch otherwise. A production deployment
     points checkpointLocation at durable shared storage instead; this
-    helper is only for the drain-to-memory harness."""
+    helper is only for the drain-to-memory harness. Callers should
+    ``discard_checkpoint()`` the dir once their drain completes; dirs
+    still pending at interpreter exit are removed by the atexit
+    backstop."""
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix="bdfr_ckpt_", dir=base)
+    d = tempfile.mkdtemp(prefix="bdfr_ckpt_", dir=base)
+    _CKPT_DIRS.append(d)
+    return d
+
+
+def discard_checkpoint(path: str) -> None:
+    """Remove a drained checkpoint dir created by
+    ``ephemeral_checkpoint_dir`` (idempotent, error-tolerant)."""
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        _CKPT_DIRS.remove(path)
+    except ValueError:
+        pass
 
 
 def run_available_now(
@@ -141,17 +176,21 @@ def run_available_now(
     """Run a streaming DataFrame to completion into a memory sink and
     return the final result as a static DataFrame."""
     name = "stream_" + uuid.uuid4().hex[:12]
+    ckpt = ephemeral_checkpoint_dir()
     writer = (
         result.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", ephemeral_checkpoint_dir())
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
     )
     if max_files_per_trigger is not None:
         writer = writer.option("maxFilesPerTrigger", max_files_per_trigger)
     q = writer.start()
     q.awaitTermination()
+    # the memory sink holds the drained rows driver-side; the
+    # checkpoint has served its purpose once the drain terminates
+    discard_checkpoint(ckpt)
     return result.sparkSession.table(name)
 
 
