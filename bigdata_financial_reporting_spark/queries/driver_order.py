@@ -259,33 +259,39 @@ DRIVER_SEEN: frozenset[str] = (
 # against a fresh computation by tests/test_driver_order.py. Static so
 # the driver export never needs git at import time.
 RECHECK_FIRST: tuple[str, ...] = (
-    # round-13 sync (gen_recheck.py against CORRECTNESS_r01..r12, at
-    # the committed tree): keys whose source changed since their LAST
-    # driver row — the streaming family's scoped state-partition/
-    # checkpoint sizing (queries/streaming_queries.py,
-    # streaming/runner.py) and the similarity guard/argmin work
-    # (operators/similarity.py) — ordered as computed (oldest driver
-    # check first). 17 recheck slots (3 of them r03) + 32 more
-    # r03-stale keys leave one 50th slot reaching into r04; the two
-    # round-13 NEW keys rank BEHIND both stale tiers
-    # (DEFER_BEHIND_STALE_R13) so growth cannot preempt the drain.
-    "stream_dedup_watermark",
-    "stream_rate_source",
-    "stream_stream_join",
+    # round-14 sync (gen_recheck.py against CORRECTNESS_r01..r13, at
+    # the committed tree): keys whose implementing source changed
+    # since their LAST driver row — the round-13 ADVICE fixes touched
+    # streaming/runner.py (checkpoint lifecycle, affects every drain
+    # through run_available_now/events_stream), the CDC/foreachBatch
+    # sinks directly, and operators/similarity.py (_nearest_cells
+    # grouping + hadamard guard, flowing transitively through
+    # ivf_topk/ivfpq_topk/train_centroids into the IVF-PQ family and
+    # semantic dedup). Ordered as computed (oldest driver check
+    # first). 21 recheck slots + the 2 never-checked round-13 keys
+    # leave ~27 of the ~50-key budget for the r04 staleness tier
+    # (38 keys — the remainder drains in r15).
+    "dedup_semantic_semdedup",
+    "sim_ivf_topk",
+    "sim_ivf_trained_topk",
+    "sim_pq_encode",
+    "sim_ivfpq_topk",
+    "sim_ivfpq_trained_topk",
+    "sim_opq_rotation_encode",
+    "stream_cdc_upsert_sink",
     "stream_content_dedup",
+    "stream_dedup_exactly_once",
+    "stream_dedup_watermark",
     "stream_foreach_batch_sink",
+    "stream_rate_source",
     "stream_session_window",
     "stream_sliding_window",
     "stream_stateful_counters",
     "stream_static_join",
-    "stream_tumbling_window",
-    "stream_cdc_upsert_sink",
-    "stream_stream_left_outer",
-    "sim_ivfpq_topk",
-    "sim_ivfpq_trained_topk",
-    "sim_opq_rotation_encode",
-    "stream_dedup_exactly_once",
     "stream_stream_full_outer",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_tumbling_window",
 )
 
 # Round-12 NEW keys: never driver-checked, but deliberately ranked
@@ -302,18 +308,14 @@ DEFER_BEHIND_STALE: frozenset[str] = frozenset(
     }
 )
 
-# Round-13 NEW keys: ranked behind BOTH stale tiers (r03 AND r04).
-# The round-13 budget is exactly consumed — 17 changed-source
-# rechecks + the 32 remaining r03 keys = 49 of ~50 slots — so these
-# two must not displace a single stale row; they are locally
-# hash-green at all three SFs + gate-swept and will drain in r14
-# (the DRIVER_SEEN gate makes this set inert once their rows land).
-DEFER_BEHIND_STALE_R13: frozenset[str] = frozenset(
-    {
-        "sim_ivf_probe_sweep",
-        "sim_ivfpq_residual_encode",
-    }
-)
+# Round-13 NEW keys deferral — RETIRED in round 14. The r13 budget
+# its members queued behind is spent, and the round-13 verdict made
+# their driver rows the round's top item ("nothing else outranks the
+# hard signal's only blind spot"), so sim_ivf_probe_sweep and
+# sim_ivfpq_residual_encode now take the ordinary unseen tier, which
+# ranks directly after RECHECK_FIRST and ahead of every seen key.
+# The set stays importable (tests/contract) but is empty.
+DEFER_BEHIND_STALE_R13: frozenset[str] = frozenset()
 
 # The 16 keys that have NEVER received a driver row after six rounds
 # (driver truncates at ~50/round; these sat just past the r6 window).

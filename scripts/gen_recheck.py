@@ -8,17 +8,31 @@ green, but the driver hash is the hard signal. This script derives,
 for every key in the registry:
 
 1. its last driver-check round (max round over CORRECTNESS_r*.json);
-2. the git commit that snapshot that round (the commit that ADDED the
-   artifact — code changes after it postdate the driver's run);
-3. whether the key's implementing function changed since then, at two
-   levels:
+2. the git commit that snapshot the NEWEST round (the commit that
+   ADDED the latest artifact) — the diff window is latest-artifact..
+   HEAD for EVERY key, because older windows were already triaged by
+   previous rounds' syncs: each round's recheck list is computed,
+   pinned into RECHECK_FIRST, and either drained by the driver or
+   aged into the staleness rotation, so re-litigating a round-8 diff
+   at round 14 only re-flags keys whose evidence the rotation is
+   already refreshing oldest-first (and, with the transitive closure
+   below, would amplify those historical diffs into ~most of the
+   budget);
+3. whether the key's implementing function changed in that window, at
+   two levels:
    - DIRECT: a diff hunk (new-file line range) overlaps the function's
      current source span (decorator + body, via ast at HEAD);
    - HELPER: the function's source references a top-level name (from
      any module under bigdata_financial_reporting_spark/) whose own
      definition span was touched by a hunk — catches e.g. a key whose
      rendering goes through functions/exact.py:spark_dec2d when that
-     helper changed.
+     helper changed. The changed-name set is the TRANSITIVE closure
+     over the package's top-level-def reference graph (round 14: a
+     plan change inside operators/similarity._nearest_cells flows
+     through ivf_topk/ivfpq_topk into every IVF-family key, and the
+     one-level analysis missed all of them), with ubiquitous
+     infrastructure names excluded from propagation so one load_table
+     refactor cannot burn the whole driver budget.
 
 Output: JSON to stdout — {"recheck": [{key, last_round, reasons}...]}
 sorted oldest-check-first. ``--update-check`` exits 1 if the list
@@ -130,24 +144,6 @@ def compute_recheck() -> list[dict]:
         rel = str(src_file.relative_to(REPO))
         key_site[name] = (rel, (start, start + len(lines) - 1), "".join(lines))
 
-    # Per distinct baseline commit, compute spans + changed helper names
-    spans_by_round: dict[int, dict[str, list[tuple[int, int]]]] = {}
-    changed_names_by_round: dict[int, set[str]] = {}
-    defs_cache: dict[str, list[tuple[str, int, int]]] = {}
-    for rnd, sha in commits.items():
-        spans = changed_spans(sha)
-        spans_by_round[rnd] = spans
-        names: set[str] = set()
-        for rel, ranges in spans.items():
-            if not rel.endswith(".py"):
-                continue
-            if rel not in defs_cache:
-                defs_cache[rel] = _top_level_defs(REPO / rel)
-            for dname, s, e in defs_cache[rel]:
-                if _overlaps((s, e), ranges):
-                    names.add(dname)
-        changed_names_by_round[rnd] = names
-
     # Helpers referenced by a large share of keys (load_table & co.) are
     # infrastructure: a change there is exercised by EVERY local-canon
     # run, and flagging all callers would burn the whole driver budget
@@ -159,13 +155,59 @@ def compute_recheck() -> list[dict]:
             ref_count[n] = ref_count.get(n, 0) + 1
     ubiquitous = {n for n, c in ref_count.items() if c >= 0.2 * len(key_site)}
 
+    # Package-wide top-level-def reference graph for the transitive
+    # helper closure: name -> set of names its own source mentions.
+    # Names are treated package-globally (they are unique enough in
+    # practice; a rare collision only errs toward a harmless extra
+    # recheck row).
+    defs_cache: dict[str, list[tuple[str, int, int]]] = {}
+    def_refs: dict[str, set[str]] = {}
+    for path in sorted((REPO / PKG).rglob("*.py")):
+        rel = str(path.relative_to(REPO))
+        defs_cache[rel] = _top_level_defs(path)
+        try:
+            mod_lines = path.read_text().splitlines()
+        except OSError:
+            continue
+        for dname, s, e in defs_cache[rel]:
+            src = "\n".join(mod_lines[s - 1 : e])
+            def_refs.setdefault(dname, set()).update(
+                set(word.findall(src)) - {dname}
+            )
+
+    # ONE diff window for every key: newest-artifact commit .. HEAD
+    # (older windows were triaged and pinned by previous rounds' syncs;
+    # see module docstring).
+    latest_sha = commits[max(commits)]
+    spans = changed_spans(latest_sha)
+    names: set[str] = set()
+    for rel, ranges in spans.items():
+        if not rel.endswith(".py") or rel not in defs_cache:
+            continue
+        for dname, s, e in defs_cache[rel]:
+            if _overlaps((s, e), ranges):
+                names.add(dname)
+    # transitive closure: a def is dirty if its span changed or it
+    # references a dirty (non-ubiquitous) def — fixpoint over the
+    # package graph, so _nearest_cells -> ivf_topk -> key-level
+    # match works at any helper depth
+    closure = set(names) - ubiquitous
+    grew = True
+    while grew:
+        grew = False
+        for dname, refs in def_refs.items():
+            if dname in closure or dname in ubiquitous:
+                continue
+            if refs & closure:
+                closure.add(dname)
+                grew = True
+
     out = []
     for name, (rel, span, src) in key_site.items():
         rnd = last.get(name)
-        if rnd is None or rnd not in commits:
+        if rnd is None:
             continue  # never checked — handled by the unseen tiers
         reasons = []
-        spans = spans_by_round[rnd]
         if rel in spans and _overlaps(span, spans[rel]):
             reasons.append("direct")
         else:
@@ -174,7 +216,7 @@ def compute_recheck() -> list[dict]:
             refs = set(word.findall(src))
             hits = sorted(
                 n
-                for n in changed_names_by_round[rnd] & refs
+                for n in closure & refs
                 if n != name
                 and n not in ubiquitous
                 and not _defined_here(n, rel, defs_cache)
