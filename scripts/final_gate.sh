@@ -53,8 +53,6 @@ python scripts/gen_queries_md.py || fail "QUERIES.md regen failed"
 commit_artifact QUERIES.md
 python scripts/check_doc_freshness.py || fail "PLANS.md/QUERIES.md row counts do not match the live registry"
 
-python scripts/gen_local_correctness.py || fail "LOCAL_CORRECTNESS red or crashed (rc=$?)"
-commit_artifact LOCAL_CORRECTNESS.json
 python scripts/gen_stream_equiv.py || fail "STREAM_EQUIV failed"
 commit_artifact STREAM_EQUIV.json
 python scripts/gen_sim_recall.py || fail "SIM_RECALL failed"
@@ -70,6 +68,12 @@ commit_artifact BENCH_LOCAL.json
   || fail "tree dirty before the 10x sweep — commit or stash first so SCALE provenance is honest: $(git status --porcelain | head -5)"
 
 python scripts/gen_scale_correctness.py || fail "SCALE_CORRECTNESS red/crashed (rc=$?) — artifact NOT trustworthy"
+
+# LOCAL_CORRECTNESS runs LAST (round-13 verdict item 8): it is the
+# closest local mirror of the driver's gate, so it must stamp the
+# final source state of the round — no later generator or source
+# commit may postdate it.
+python scripts/gen_local_correctness.py || fail "LOCAL_CORRECTNESS red or crashed (rc=$?)"
 
 git add LOCAL_CORRECTNESS.json STREAM_EQUIV.json SIM_RECALL.json \
         NEGZERO_SWEEP.json SCALE_CORRECTNESS.json PLANS.md QUERIES.md
