@@ -2153,3 +2153,201 @@ def hnsw_upper_layer_graph(
     for p in parts[1:]:
         res = res.unionByName(p)
     return res
+
+
+def hnsw_greedy_descent(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_layer: int = 4,
+    max_layer: int = 6,
+    k: int = 3,
+    steps: int = 3,
+    cap: int = HNSW_LAYER_CAP,
+) -> DataFrame:
+    """HNSW multi-layer greedy descent — the SEARCH half of the
+    hierarchy whose CONSTRUCTION half is ``hnsw_upper_layer_graph``
+    (round-13 verdict item 7's queued extension).
+
+    Semantics (deterministic, engine-neutral): each query enters at
+    the lowest-id member of the TOP layer and, per layer from
+    ``max_layer`` down to ``min_layer``, takes up to ``steps``
+    bounded greedy moves: among the current node's k-NN edges at that
+    layer (cosine desc, neighbor id asc — the hnsw_upper_layer_graph
+    edge contract), move to the best-cosine neighbor iff it STRICTLY
+    improves the query cosine, else stay. The skip-list membership
+    (h % 2^l == 0) is nested — h % 2^l == 0 implies h % 2^(l-1) == 0
+    — so a layer-l local optimum is a legal layer-(l-1) start,
+    exactly HNSW's descent invariant. The bounded step count makes
+    the walk SQL-expressible: the DuckDB oracle unrolls the same
+    (layer, step) grid as chained CTEs.
+
+    Exactness: vectors micro-quantize to int64 (the
+    hnsw_upper_layer_graph contract, same loud qmax guard), every
+    query-node dot and norm is an exact integer < 2^53 computed in
+    float64, and cosine = dot / sqrt(nq_q * nq_n) is one identical
+    IEEE sequence on both engines, so the strictly-greater move test
+    can never diverge.
+
+    Plan shape — the 100 TB roles are strict: the ROUTING GRAPH is
+    model-sized (the min_layer population is 2^-min_layer of the
+    corpus and cap-guarded, the same cap hnsw_upper_layer_graph
+    broadcasts under; raise min_layer until it fits), so members are
+    collected ONCE, the per-layer k-NN edges and neighbor matrices
+    are built in one exact numpy pass, and the whole structure
+    broadcasts. The QUERY side is the corpus-scale side: the entire
+    multi-layer walk runs in ONE mapInPandas pass, each query
+    descending independently against the broadcast graph — no
+    per-step join, no sequential stage walls (the first cut chained
+    layers*steps hash aggregations and paid ~18 stage latencies for
+    a 50-row state; this form is one stage regardless of steps).
+
+    Returns ``query_id, layer, node_id, cosine`` — one row per
+    (query, layer): the per-layer local optimum, i.e. the routing
+    trajectory an ANN serving tier caches.
+    """
+    import numpy as np
+
+    if steps < 1:
+        raise ValueError("hnsw_greedy_descent: need steps >= 1")
+    if min_layer < 1 or max_layer < min_layer or k < 1:
+        raise ValueError("need 1 <= min_layer <= max_layer and k >= 1")
+    spark = df.sparkSession
+
+    def _quant(d: DataFrame) -> DataFrame:
+        return (
+            d.select(
+                F.col(id_col).alias("id"),
+                F.transform(
+                    vec_col,
+                    lambda x: F.round(x.cast("double") * 1000000).cast(
+                        "long"
+                    ),
+                ).alias("qv"),
+            )
+            .withColumn(
+                "nq",
+                F.aggregate(
+                    "qv", F.lit(0).cast("long"), lambda a, x: a + x * x
+                ),
+            )
+            .filter(F.col("nq") > 0)
+        )
+
+    # ONE bounded collect: every routing-layer member (min_layer is
+    # the widest level; deeper levels are subsets by nesting)
+    members = (
+        _quant(df)
+        .withColumn(
+            "h",
+            F.pmod(
+                F.pmod(F.col("id"), F.lit(1000000007)) * F.lit(2654435761),
+                F.lit(4294967296),
+            ),
+        )
+        .filter(F.col("h") % (2**min_layer) == 0)
+    )
+    rows = members.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"hnsw_greedy_descent: layer {min_layer} has >{cap} members"
+            " — raise min_layer (each level halves the population)"
+        )
+    out_schema = "query_id long, layer int, node_id long, cosine double"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    m_ids = np.array([r.id for r in rows], dtype=np.int64)
+    m_mat = np.array([list(r.qv) for r in rows], dtype=np.float64)
+    m_nq = np.array([r.nq for r in rows], dtype=np.float64)
+    m_h = np.array([r.h for r in rows], dtype=np.int64)
+    qmax = float(np.abs(m_mat).max()) if m_mat.size else 0.0
+    dim = m_mat.shape[1] if m_mat.ndim == 2 else 0
+    if qmax * qmax * dim >= 2.0**53:
+        raise ValueError(
+            "hnsw_greedy_descent: |x| too large for exact integer dot "
+            "products (qmax^2 * dim >= 2^53) — rescale the embeddings"
+        )
+
+    layers = list(range(max_layer, min_layer - 1, -1))
+    top_mask = (m_h % (2**max_layer)) == 0
+    if not top_mask.any():
+        return spark.createDataFrame([], out_schema)
+    entry_id = int(m_ids[top_mask].min())
+
+    # per-layer adjacency: node -> (neighbor_ids, neighbor_mat,
+    # neighbor_nq), edges = k nearest fellow members by (cosine desc,
+    # id asc) — the identical selection hnsw_upper_layer_graph makes
+    graph: dict[int, dict[int, tuple]] = {}
+    for layer in layers:
+        mask = (m_h % (2**layer)) == 0
+        ids_l = m_ids[mask]
+        mat_l = m_mat[mask]
+        nq_l = m_nq[mask]
+        adj: dict[int, tuple] = {}
+        if len(ids_l) >= 2:
+            dots = mat_l @ mat_l.T  # exact: integer-valued < 2^53
+            cos = dots / np.sqrt(np.outer(nq_l, nq_l))
+            for i in range(len(ids_l)):
+                row = cos[i]
+                m2 = ids_l != ids_l[i]
+                order = np.lexsort((ids_l[m2], -row[m2]))[:k]
+                nb_ids = ids_l[m2][order]
+                adj[int(ids_l[i])] = (
+                    nb_ids,
+                    mat_l[m2][order],
+                    nq_l[m2][order],
+                )
+        graph[layer] = adj
+    vec_by_id = {
+        int(m_ids[i]): (m_mat[i], float(m_nq[i])) for i in range(len(m_ids))
+    }
+    bcast = spark.sparkContext.broadcast(
+        (entry_id, layers, steps, graph, vec_by_id)
+    )
+
+    q = _quant(queries).select(
+        F.col("id").alias("query_id"), "qv", "nq"
+    )
+
+    def walk(batches, _b=bcast, _qmax_c=qmax, _dim=dim):
+        import pandas as pd
+
+        e_id, lys, n_steps, g, vecs = _b.value
+        e_vec, e_nq = vecs[e_id]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"query_id": [], "layer": [], "node_id": [], "cosine": []}
+            for qid, qv, qnq in zip(pdf["query_id"], pdf["qv"], pdf["nq"]):
+                qa = np.asarray(qv, dtype=np.float64)
+                q_qmax = float(np.abs(qa).max()) if qa.size else 0.0
+                if q_qmax * _qmax_c * _dim >= 2.0**53:
+                    raise ValueError(
+                        "hnsw_greedy_descent: |x| too large for exact "
+                        "integer dot products — rescale the embeddings"
+                    )
+                qn = float(qnq)
+                node = e_id
+                c = float((qa @ e_vec) / np.sqrt(qn * e_nq))
+                for layer in lys:
+                    adj = g[layer]
+                    for _ in range(n_steps):
+                        nb = adj.get(node)
+                        if nb is None:
+                            break
+                        nb_ids, nb_mat, nb_nq = nb
+                        cc = (nb_mat @ qa) / np.sqrt(qn * nb_nq)
+                        j = int(np.lexsort((nb_ids, -cc))[0])
+                        if cc[j] > c:
+                            node = int(nb_ids[j])
+                            c = float(cc[j])
+                        else:
+                            break
+                    out["query_id"].append(qid)
+                    out["layer"].append(layer)
+                    out["node_id"].append(node)
+                    out["cosine"].append(c)
+            yield pd.DataFrame(out)
+
+    return q.mapInPandas(walk, out_schema)

@@ -317,6 +317,18 @@ DEFER_BEHIND_STALE: frozenset[str] = frozenset(
 # The set stays importable (tests/contract) but is empty.
 DEFER_BEHIND_STALE_R13: frozenset[str] = frozenset()
 
+# Round-14 NEW key: ranked behind the r04 AND r05 staleness tiers
+# (5.5 sorts after last_round<=5, before >=6). The r14 budget is
+# 21 rechecks + 2 never-checked r13 keys + ~27 of the 38-key r04
+# tier; growth must not displace a single stale row. Locally
+# hash-green at all three SFs + the 10x corpus; drains once the r04/
+# r05 backlog clears (the DRIVER_SEEN gate then makes this inert).
+DEFER_BEHIND_STALE_R14: frozenset[str] = frozenset(
+    {
+        "sim_hnsw_greedy_descent",
+    }
+)
+
 # The 16 keys that have NEVER received a driver row after six rounds
 # (driver truncates at ~50/round; these sat just past the r6 window).
 # They hold export positions 0-15 ahead of everything else, semdedup
@@ -611,6 +623,11 @@ def ordered_names() -> list[str]:
             # expected evidence value)
             return (0, RECHECK_FIRST.index(name), 0)
         if name not in DRIVER_SEEN:
+            if name in DEFER_BEHIND_STALE_R14:
+                # round-14 new keys: behind the r04 AND r05 stale
+                # tiers so growth cannot eat a staleness-drain slot
+                return (2, 5.5, cat_rank.get(spec.category, len(cat_rank)),
+                        reg_rank[name])
             if name in DEFER_BEHIND_STALE_R13:
                 # round-13 new keys: behind BOTH stale tiers (4.5
                 # sorts after last_round<=4) so the exactly-budgeted

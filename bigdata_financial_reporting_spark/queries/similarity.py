@@ -2104,3 +2104,144 @@ def sim_hnsw_upper_graph(spark, sf_dir):
         "neighbor_id",
         F.round("cosine", 6).alias("cosine"),
     )
+
+
+def _hnsw_descent_oracle(
+    min_layer: int = 4, max_layer: int = 6, steps: int = 3
+) -> str:
+    """Unrolled DuckDB mirror of hnsw_greedy_descent: one CTE per
+    (layer, step), exactly the bounded-move grid the Spark walk runs.
+    The cosine is the same exact-integer dot / sqrt(nq_a * nq_b)
+    IEEE sequence as the hnsw_upper_graph oracle, so the
+    strictly-greater move test is bit-identical across engines."""
+    qcos = (
+        "CAST(list_aggregate(list_transform(generate_series(1, "
+        "len(q.qqv)), i -> q.qqv[i] * nb.qv[i]), 'sum') AS DOUBLE)"
+        " / sqrt(CAST(q.qnq AS DOUBLE) * CAST(nb.nq AS DOUBLE))"
+    )
+    ctes = [
+        f"""
+    m AS (
+      SELECT vec_id,
+             ((vec_id % 1000000007) * 2654435761) % 4294967296 AS h,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    mm AS MATERIALIZED (
+      SELECT vec_id, h, qv,
+             list_aggregate(list_transform(qv, x -> x * x), 'sum') AS nq
+      FROM m
+      WHERE list_aggregate(list_transform(qv, x -> x * x), 'sum') > 0
+    ),
+    mem AS (
+      SELECT l.layer, vec_id, qv, nq
+      FROM (SELECT unnest([{", ".join(str(x) for x in range(min_layer, max_layer + 1))}]) AS layer) l
+      JOIN mm ON mm.h % CAST(pow(2, l.layer) AS BIGINT) = 0
+    ),
+    pairs AS (
+      SELECT a.layer, a.vec_id AS src, b.vec_id AS neighbor_id,
+             CAST(list_aggregate(
+               list_transform(generate_series(1, len(a.qv)),
+                              i -> a.qv[i] * b.qv[i]), 'sum') AS DOUBLE)
+               / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+      FROM mem a JOIN mem b
+        ON a.layer = b.layer AND a.vec_id <> b.vec_id
+    ),
+    edges AS MATERIALIZED (
+      -- MATERIALIZED (and on mm/q): each unrolled step CTE references
+      -- edges again, and an inlined CTE would re-run the quadratic
+      -- within-layer pair scoring once PER STEP — measured >10 min at
+      -- the 10x corpus vs ~1 min materialized
+      SELECT layer, src, neighbor_id FROM (
+        SELECT layer, src, neighbor_id,
+               row_number() OVER (PARTITION BY layer, src
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM pairs) WHERE rn <= 3
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, qv AS qqv, nq AS qnq
+      FROM mm WHERE vec_id < 50
+    ),
+    s0 AS MATERIALIZED (
+      SELECT q.query_id, nb.vec_id AS node, {qcos} AS cos
+      FROM q
+      CROSS JOIN (SELECT min(vec_id) AS e FROM mm
+                  WHERE h % {2 ** max_layer} = 0) ent
+      JOIN mm nb ON nb.vec_id = ent.e
+    )"""
+    ]
+    i = 0
+    for layer in range(max_layer, min_layer - 1, -1):
+        for _ in range(steps):
+            prev, i = f"s{i}", i + 1
+            # MATERIALIZED: each step references its predecessor twice
+            # (walk row + candidate subquery) — inlined, the chain
+            # doubles per step (2^steps re-evaluations of everything
+            # upstream, the same exponential the Spark plan hit)
+            ctes.append(
+                f"""
+    s{i} AS MATERIALIZED (
+      SELECT s.query_id,
+             CASE WHEN b.c > s.cos THEN b.n ELSE s.node END AS node,
+             CASE WHEN b.c > s.cos THEN b.c ELSE s.cos END AS cos
+      FROM {prev} s LEFT JOIN (
+        SELECT query_id, n, c FROM (
+          SELECT s.query_id, e.neighbor_id AS n, {qcos} AS c
+          FROM {prev} s
+          JOIN q ON q.query_id = s.query_id
+          JOIN edges e ON e.layer = {layer} AND e.src = s.node
+          JOIN mm nb ON nb.vec_id = e.neighbor_id
+        ) QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, n) = 1
+      ) b ON b.query_id = s.query_id
+    )"""
+            )
+    snaps = []
+    for j, layer in enumerate(range(max_layer, min_layer - 1, -1)):
+        snaps.append(
+            f"""
+    SELECT query_id, CAST({layer} AS INT) AS layer, node AS node_id,
+           round(cos, 6) AS cosine
+    FROM s{(j + 1) * steps}"""
+        )
+    return "WITH" + ",".join(ctes) + "\n    UNION ALL".join(snaps)
+
+
+@register(
+    "sim_hnsw_greedy_descent",
+    oracle=_hnsw_descent_oracle(),
+    category="similarity",
+)
+def sim_hnsw_greedy_descent(spark, sf_dir):
+    """HNSW multi-layer greedy SEARCH over the routing hierarchy
+    sim_hnsw_upper_graph constructs (round-13 verdict item 7's queued
+    extension): 50 queries enter at the top layer's lowest-id member
+    and take up to 3 strictly-improving greedy moves per layer down
+    layers 6..4, emitting the per-layer local optimum — the routing
+    trajectory an ANN serving tier caches. Deterministic end-to-end
+    (skip-list hash levels, exact micro-quantized integer cosine,
+    neighbor-id tie-breaks, strict-improvement move test), so the
+    whole bounded walk has an exact unrolled-CTE SQL oracle."""
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        hnsw_greedy_descent,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = hnsw_greedy_descent(
+        e,
+        e.filter(F.col("vec_id") < 50),
+        "vec_id",
+        "embedding",
+        min_layer=4,
+        max_layer=6,
+        k=3,
+        steps=3,
+    )
+    return d.select(
+        "query_id",
+        "layer",
+        "node_id",
+        F.round("cosine", 6).alias("cosine"),
+    )

@@ -11,6 +11,7 @@ from bigdata_financial_reporting_spark.queries.driver_order import (
     _STATIC_SEEN,
     DEFER_BEHIND_STALE,
     DEFER_BEHIND_STALE_R13,
+    DEFER_BEHIND_STALE_R14,
     DRIVER_LAST_ROUND,
     DRIVER_SEEN,
     RECHECK_FIRST,
@@ -56,6 +57,7 @@ def test_unseen_keys_fit_in_driver_budget():
         if n not in DRIVER_SEEN
         and n not in DEFER_BEHIND_STALE
         and n not in DEFER_BEHIND_STALE_R13
+        and n not in DEFER_BEHIND_STALE_R14
     ]
     if len(unseen) + len(RECHECK_FIRST) > DRIVER_BUDGET:
         # More unseen keys than budget: at least the budget must be spent
@@ -238,4 +240,29 @@ def test_defer_behind_stale_r13_sits_behind_both_stale_tiers():
             else:
                 assert names.index(n) > last_def, (
                     f"r13 deferred new keys ranked after fresh key {n}"
+                )
+
+
+def test_defer_behind_stale_r14_sits_behind_r04_and_r05_tiers():
+    """The round-14 deferral contract: an R14 deferred key (while
+    unseen) ranks after every r05-or-older seen key (growth must not
+    eat a staleness-drain slot) and before every r06-or-fresher seen
+    key (so it cannot itself starve once the drains complete)."""
+    names = ordered_names()
+    deferred = [n for n in DEFER_BEHIND_STALE_R14 if n not in DRIVER_SEEN]
+    if not deferred:
+        return  # inert once driver-checked
+    last_def = max(names.index(n) for n in deferred)
+    first_def = min(names.index(n) for n in deferred)
+    for n in names:
+        if n in DRIVER_SEEN and n not in RECHECK_FIRST:
+            rnd = DRIVER_LAST_ROUND.get(n, 0)
+            if rnd <= 5:
+                assert names.index(n) < first_def, (
+                    f"stale key {n} (r{rnd:02d}) ranked after r14 deferred "
+                    f"new keys — growth is preempting the drain"
+                )
+            else:
+                assert names.index(n) > last_def, (
+                    f"r14 deferred new keys ranked after fresh key {n}"
                 )

@@ -138,3 +138,113 @@ def test_nearest_cells_one_row_per_duplicate_key(spark):
     assert got[2]["cell"] == 1
     # -0.0 payload survives bit-exactly (not a grouping key any more)
     assert math.copysign(1.0, got[2]["vec"][0]) == -1.0
+
+
+# ---- sim_hnsw_greedy_descent (round-14 growth key) ----------------
+
+
+def _descent(spark, sf_dir, **kw):
+    from bigdata_financial_reporting_spark.operators.similarity import (
+        hnsw_greedy_descent,
+    )
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    args = dict(min_layer=4, max_layer=6, k=3, steps=3)
+    args.update(kw)
+    return hnsw_greedy_descent(
+        e, e.filter(F.col("vec_id") < 50), "vec_id", "embedding", **args
+    )
+
+
+def test_descent_monotone_across_layers(spark, sf_dir):
+    """Descending a layer can only keep or improve the query cosine
+    (the walk carries its node down and moves only on strict
+    improvement), so per query: cos(layer 4) >= cos(layer 5) >=
+    cos(layer 6)."""
+    rows = _descent(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["layer"]] = r["cosine"]
+    assert by_q and all(len(v) == 3 for v in by_q.values())
+    for q, v in by_q.items():
+        assert v[4] >= v[5] >= v[6], (q, v)
+
+
+def test_descent_nodes_are_layer_members(spark, sf_dir):
+    """Every reported node must belong to its layer (h % 2^l == 0,
+    nq > 0) — the nested skip-list membership invariant."""
+    from pyspark.sql import functions as F
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    members = {
+        (r["l"], r["vec_id"])
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.pmod(
+                F.pmod(F.col("vec_id"), F.lit(1000000007))
+                * F.lit(2654435761),
+                F.lit(4294967296),
+            ).alias("h"),
+        )
+        .crossJoin(spark.range(4, 7).select(F.col("id").alias("l")))
+        .filter(F.col("h") % F.pow(F.lit(2), F.col("l")).cast("long") == 0)
+        .collect()
+    }
+    for r in _descent(spark, sf_dir).collect():
+        assert (r["layer"], r["node_id"]) in members, r
+
+
+def test_descent_beats_entry_and_is_bounded_by_bruteforce(spark, sf_dir):
+    """The final (layer-4) node is at least as good as the entry
+    point and no better than the true within-layer-4 optimum."""
+    import numpy as np
+    from bigdata_financial_reporting_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").collect()
+    qv = {
+        r["vec_id"]: np.round(np.asarray(r["embedding"]) * 1e6)
+        for r in e
+    }
+    h = {
+        i: ((i % 1000000007) * 2654435761) % 4294967296 for i in qv
+    }
+    l4 = [i for i in qv if h[i] % 16 == 0 and (qv[i] ** 2).sum() > 0]
+    entry = min(i for i in l4 if h[i] % 64 == 0)
+
+    def cos(a, b):
+        return float(
+            (qv[a] @ qv[b])
+            / np.sqrt((qv[a] ** 2).sum() * (qv[b] ** 2).sum())
+        )
+
+    out = {
+        (r["query_id"], r["layer"]): (r["node_id"], r["cosine"])
+        for r in _descent(spark, sf_dir).collect()
+    }
+    for (q, layer), (node, c) in out.items():
+        if layer != 4:
+            continue
+        best = max(cos(q, m) for m in l4)
+        assert cos(q, entry) - 1e-9 <= c <= best + 1e-9
+
+
+def test_descent_deterministic(spark, sf_dir):
+    a = sorted(tuple(r) for r in _descent(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in _descent(spark, sf_dir).collect())
+    assert a == b
+
+
+def test_descent_validates_params(spark, sf_dir):
+    with pytest.raises(ValueError, match="steps"):
+        _descent(spark, sf_dir, steps=0)
+    with pytest.raises(ValueError, match="min_layer"):
+        _descent(spark, sf_dir, min_layer=0)
+
+
+def test_descent_cap_guard(spark, sf_dir):
+    with pytest.raises(ValueError, match="members"):
+        _descent(spark, sf_dir, cap=2).collect()
