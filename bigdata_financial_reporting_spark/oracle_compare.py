@@ -260,12 +260,20 @@ def tune_duck(con) -> None:
     and ~300 queries of allocator state next to an 8g JVM OOM the
     heaviest oracles). Shared by check_keys / check_negzero /
     gen_scale_correctness so no harness drifts back to an untuned
-    connection."""
-    import os
+    connection.
+
+    The spill dir is RUN-UNIQUE with an atexit cleanup (round-14: a
+    SIGKILLed 10x oracle run cannot delete its duckdb_temp_storage
+    files — a shared spill dir accumulated 78 GB across killed runs
+    until the NEGZERO 10x stage died on a full disk; unique dirs
+    bound each leak to one run and scripts/final_gate.sh purges any
+    bdfr_duck_spill_* leftovers from prior kills at gate start)."""
+    import atexit
+    import shutil
     import tempfile
 
-    spill = os.path.join(tempfile.gettempdir(), "duck_spill")
-    os.makedirs(spill, exist_ok=True)
+    spill = tempfile.mkdtemp(prefix="bdfr_duck_spill_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
     con.execute(f"SET temp_directory='{spill}'")
     con.execute(f"SET memory_limit='{duck_memory_limit_gb()}GB'")
     con.execute("SET preserve_insertion_order=false")

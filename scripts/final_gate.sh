@@ -17,6 +17,15 @@ cd "$(dirname "$0")/.."
 
 fail() { echo "FINAL GATE: REFUSING TO COMMIT — $1" >&2; exit 1; }
 
+# Purge DuckDB spill leftovers from KILLED earlier runs before any
+# generator starts (round-14: a SIGKILLed 10x oracle run left 78 GB
+# of duckdb_temp_storage-*.tmp under cwd/.tmp — DuckDB's in-memory
+# default spill location — and the NEGZERO 10x stage then failed on
+# a full disk). tune_duck now spills to run-unique bdfr_duck_spill_*
+# dirs with atexit cleanup; this sweep catches whatever a kill -9
+# still orphaned. Nothing here can be live at gate start.
+rm -rf .tmp /tmp/duck_spill /tmp/bdfr_duck_spill_* 2>/dev/null || true
+
 if [ "${SKIP_PYTEST:-0}" != "1" ]; then
   python -m pytest tests/ -q -x || fail "pytest red"
 fi
