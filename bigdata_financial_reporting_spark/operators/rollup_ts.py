@@ -15,8 +15,11 @@ min/max pass through, avg decomposes into sum+count.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from bigdata_financial_reporting_spark.operators.cache import track
 
 #: granularity -> truncation understood by date_trunc
 _TRUNC = {
@@ -62,7 +65,17 @@ def timeseries_rollup(
     else:
         v_in = v
     finest = gs[0]
-    level = (
+    # Every non-final level feeds TWO consumers — its own union branch
+    # and the next-coarser aggregation — and Catalyst does not reuse a
+    # subtree across union branches: unpersisted, the week branch of an
+    # hour/day/week rollup re-scanned and re-aggregated the RAW table
+    # through hour AND day (three full scans per action, measured in
+    # the round-14 audit). The per-level partials are bucket-count-
+    # sized (never corpus-sized), so persisting them is model-state
+    # cheap and restores the cascade's designed cost: ONE raw scan +
+    # one shuffle of map-collapsed partials, then tiny re-aggregations.
+    # track()-scoped like every operator-internal persist.
+    level = track(
         df.select(
             F.date_trunc(_TRUNC[finest], F.col(ts_col)).alias("bucket_start"),
             *[F.col(k) for k in keys],
@@ -76,10 +89,11 @@ def timeseries_rollup(
             F.min("__vraw").alias("v_min"),
             F.max("__vraw").alias("v_max"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     out = level.select(F.lit(finest).alias("granularity"), "*")
     prev = level
-    for g in gs[1:]:
+    for i, g in enumerate(gs[1:]):
         nxt = (
             prev.select(
                 F.date_trunc(_TRUNC[g], F.col("bucket_start")).alias("bucket_start"),
@@ -97,6 +111,8 @@ def timeseries_rollup(
                 F.max("v_max").alias("v_max"),
             )
         )
+        if i < len(gs) - 2:  # non-final levels have two consumers
+            nxt = track(nxt.persist(StorageLevel.MEMORY_AND_DISK))
         out = out.unionByName(nxt.select(F.lit(g).alias("granularity"), "*"))
         prev = nxt
     if quantize is not None:

@@ -270,6 +270,24 @@ def lsh_bucket_topk(
         )
         return _keep_topk(scored, k)
 
+    # Scan discipline (optimization round 14): each side feeds TWO
+    # passes that cannot share a plan subtree (the signature/bucket
+    # aggregation and the exact-cosine re-check), plus the neutral
+    # path's max-dim probe — unpersisted, each re-evaluated the
+    # caller's input lineage from parquet. Persist the narrow (id,
+    # vec) projections once, track()-scoped; every pass below reads
+    # the cache.
+    queries = track(
+        queries.select(F.col(query_id), F.col(vec_col)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    corpus = track(
+        corpus.select(F.col(corpus_id), F.col(vec_col)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+
     def bucket_rows(df, id_col_name: str, out_id: str):
         # Row-form signature computation — the 100 TB posture for MANY
         # planes: posexplode the vector once, explode the plane ids,
@@ -638,24 +656,49 @@ def ivf_probe_sweep(
     At 100 TB: the sweep costs the same as one ivf_topk at
     max(probe_counts) plus a handful of count aggregations — the
     candidate fan-out is bounded by the deepest ring, and nothing
-    key-sized reaches the driver."""
+    key-sized reaches the driver.
+
+    Scan discipline (optimization round 14): the naive plan scanned
+    the corpus parquet TWELVE times per action — Catalyst does not
+    reuse a subtree across the sweep's many branches (cells, probes,
+    the exact ground truth, both scalar counts, and the two consumers
+    of the scored candidates each re-evaluated their full lineage).
+    The projected corpus/query frames and the shared deepest-ring
+    candidate set are now persisted (track()-scoped, MEMORY_AND_DISK,
+    narrow projections only), the centroid frame is persisted so its
+    TakeOrdered pass over the cached corpus runs once, and the exact
+    brute-force ground truth is computed from the SAME cached frames
+    (identical expressions to cosine_topk's expr path). Result: two
+    parquet scans total (corpus once, queries once) and the
+    assign+score pipeline evaluated once instead of twice — at scale
+    this removes ten full corpus passes per run."""
+    max_p = max(probe_counts)
+
+    c = track(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            l2_norm(F.col(vec_col)).alias("__cn"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if centroids is not None:
         cents = centroids
     else:
-        cents = _degenerate_centroids(corpus, corpus_id, vec_col, n_centroids)
-    max_p = max(probe_counts)
-
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(F.col(vec_col)).alias("__cn"),
-    )
+        # model-sized (n_centroids rows); persisted so the TakeOrdered
+        # pass over the cached corpus runs once, not once per consumer
+        cents = track(
+            _degenerate_centroids(c, "neighbor_id", "__cv", n_centroids).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
     cells = _nearest_cells(c, "neighbor_id", "__cv", "__cn", cents, 1)
 
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
+    q = track(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     # ranked probes: _nearest_cells' selection with the rank KEPT —
     # cell_rank <= p reproduces the p-probe ring for every p at once
@@ -678,13 +721,20 @@ def ivf_probe_sweep(
         )
     )
 
-    scored = cells.join(F.broadcast(probes), "cell").select(
-        "query_id",
-        "neighbor_id",
-        "cell_rank",
-        _cosine_with_norms(
-            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
-        ).alias("__cos"),
+    # shared by the candidate-count and recall branches: persisted so
+    # the assign+score pipeline runs once, not once per consumer
+    # (bounded by the deepest probe ring, never all-pairs)
+    scored = track(
+        cells.join(F.broadcast(probes), "cell")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell_rank",
+            _cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("__cos"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     swept = scored.withColumn(
         "n_probe",
@@ -702,9 +752,20 @@ def ivf_probe_sweep(
         .filter(F.col("rank") <= k)
         .select("n_probe", "query_id", "neighbor_id")
     )
-    exact = cosine_topk(
-        queries, corpus, query_id, corpus_id,
-        query_vec=vec_col, corpus_vec=vec_col, k=k,
+    # exact brute-force ground truth from the SAME cached frames —
+    # expression-identical to cosine_topk(method='expr') (same
+    # _cosine_with_norms over the same l2_norm columns, same
+    # _keep_topk ordering), so the recall baseline is unchanged while
+    # the corpus parquet is never re-scanned for it
+    exact = _keep_topk(
+        c.join(F.broadcast(q)).select(
+            "query_id",
+            "neighbor_id",
+            _cosine_with_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cosine"),
+        ),
+        k,
     ).select("query_id", "neighbor_id")
     hits = approx.join(
         F.broadcast(exact), ["query_id", "neighbor_id"]
@@ -764,23 +825,36 @@ def ivf_residual_encode(
     degenerate cosine quantizer on near-orthogonal synthetic vectors
     the residual can be LARGER than x (x·c small vs |c|²), which the
     mse column makes visible instead of hiding."""
-    cents = _degenerate_centroids(df, id_col, vec_col, n_centroids)
+    # Scan discipline (optimization round 14): the residual frame
+    # feeds THREE consumers (the default-codebook derivation inside
+    # pq_encode, the encode itself, and the final cell re-attach), and
+    # each re-evaluated the full assign+subtract lineage — nine corpus
+    # scans per action. Persist the model-sized centroid frame and the
+    # narrow residual frame once (track()-scoped); the plan now scans
+    # the corpus parquet twice (centroid seed + assignment pass).
+    cents = track(
+        _degenerate_centroids(df, id_col, vec_col, n_centroids).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     c = df.select(
         F.col(id_col).alias("__rid"),
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
     )
     assigned = _nearest_cells(c, "__rid", "__v", "__n", cents, 1)
-    with_cent = assigned.join(
-        F.broadcast(cents), assigned["cell"] == cents["cent_id"]
-    ).select(
-        "__rid",
-        "cell",
-        F.zip_with(
-            F.col("__v"),
-            F.col("__cent"),
-            lambda a, b: a.cast("double") - b.cast("double"),
-        ).alias("__res"),
+    with_cent = track(
+        assigned.join(F.broadcast(cents), assigned["cell"] == cents["cent_id"])
+        .select(
+            "__rid",
+            "cell",
+            F.zip_with(
+                F.col("__v"),
+                F.col("__cent"),
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ).alias("__res"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     enc = pq_encode(
         with_cent,
@@ -964,7 +1038,20 @@ def lsh_blocked_pairs(
         raise ValueError("planes_per_band and n_bands must be >= 1")
     if method not in ("expr", "arrow"):
         raise ValueError(f"method must be 'expr' or 'arrow', got {method!r}")
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Scan discipline (optimization round 14): the projected base frame
+    # feeds THREE consumers — the band-bucket pass and both sides of
+    # the exact-cosine re-check — and each re-evaluated the caller's
+    # full input lineage (three-plus parquet scans per action; for the
+    # registered embedding key the lineage includes a union + planted-
+    # row transform, re-run per consumer). Persist the narrow
+    # (id, v, norm) frame once, track()-scoped; every consumer below
+    # reads the cache, and the norm is computed once instead of once
+    # per re-check side.
+    base = track(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("__n", l2_norm(F.col("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     if method == "arrow":
         # persisted for the same reason as the expr path: the bucket
@@ -1024,8 +1111,9 @@ def lsh_blocked_pairs(
     # merge-hinted: the vector payload grows with the corpus and the
     # static planner's size estimate invites a driver-killing
     # broadcast (see minhash_lsh_pairs re-check); AQE still promotes
-    # to broadcast at runtime when genuinely small.
-    normed = base.withColumn("__n", l2_norm(F.col("v"))).hint("merge")
+    # to broadcast at runtime when genuinely small. The norm is
+    # already in the persisted base frame.
+    normed = base.hint("merge")
     return (
         candidates.join(
             normed.select(
@@ -1835,10 +1923,22 @@ def ivfpq_topk(
     ``train_pq_codebook`` entries. Returns (query_id, neighbor_id,
     adc_d2 6dp, rank) — ranks by APPROXIMATE distance; recall vs the
     exact ranking is measured in tests, as for the other ANN paths."""
+    # Scan discipline (optimization round 14): the internally-built
+    # centroid and codebook frames are each referenced by TWO
+    # consumers (cells+probes, encoder+query table), and each
+    # reference re-ran their TakeOrdered pass over the corpus parquet.
+    # Both are model-sized (n_centroids / n_subspaces*n_codes rows),
+    # so they are persisted track()-scoped — one corpus pass each.
+    # Caller-supplied frames are left untouched (the trained codebook
+    # is a driver-local relation; re-evaluation is free).
     if centroids is not None:
         cents = centroids
     else:
-        cents = _degenerate_centroids(corpus, corpus_id, vec_col, n_centroids)
+        cents = track(
+            _degenerate_centroids(
+                corpus, corpus_id, vec_col, n_centroids
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
     # The SAME codebook frame feeds both the corpus encoder and the
     # query distance table — their (s, code) join is only sound if the
     # two sides use bit-identical entries (review round 5: two
@@ -1846,8 +1946,10 @@ def ivfpq_topk(
     cb = (
         codebook
         if codebook is not None
-        else _degenerate_pq_codebook(
-            corpus, corpus_id, vec_col, n_subspaces, n_codes
+        else track(
+            _degenerate_pq_codebook(
+                corpus, corpus_id, vec_col, n_subspaces, n_codes
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         )
     )
     # --- index build: cell assignment + PQ codes, vectors used once
@@ -1885,11 +1987,16 @@ def ivfpq_topk(
         ]
     ).withColumnRenamed("id", "neighbor_id")
 
-    # --- query side: probed cells + per-subspace distance tables
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
+    # --- query side: probed cells + per-subspace distance tables.
+    # Two consumers (probes + the per-subspace qrows explode), each
+    # previously re-scanning the query-side parquet; query frames are
+    # small by contract, so the persist is cheap.
+    q = track(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     probes = _nearest_cells(
         q, "query_id", "__qv", "__qn", cents, n_probe

@@ -3639,14 +3639,27 @@ def stat_anova_two_way(spark, sf_dir):
     with the interaction term (round-8 verdict, registry extension).
     Scale: the shuffle carries ka*kb cell rows of constant state —
     independent of corpus size."""
+    from pyspark import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.round(F.col("l_quantity")).cast("long")
-    cells = li.groupBy(
-        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(qty.cast("decimal(38,0)")).alias("s"),
-        F.sum(qty.cast("decimal(38,0)") * qty).alias("qq"),
+    # ka*kb rows of constant state with THREE consumers (total, A
+    # margin, B margin) — unpersisted, each margin re-scanned and
+    # re-aggregated the raw table (three full scans per action,
+    # round-14 audit). Persisting the model-sized cell frame restores
+    # the designed cost: one scan, one map-collapsed shuffle.
+    cells = track(
+        li.groupBy(
+            F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(qty.cast("decimal(38,0)")).alias("s"),
+            F.sum(qty.cast("decimal(38,0)") * qty).alias("qq"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def fold_terms(order_cols, term_col):
