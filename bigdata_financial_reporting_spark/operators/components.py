@@ -54,11 +54,24 @@ def connected_components(
 
     # Round 1 fused into initialization: while labels are the identity,
     # min-over-neighbors needs no join — one aggregation over the edges.
+    #
+    # Lineage discipline (optimization round 14): each round references
+    # the previous label frame TWICE (union branch + neighbor join), so
+    # a persist alone leaves the logical plan doubling per round —
+    # 2^rounds plan nodes (the round-14 audit counted 642 nested scans
+    # in the final plan after ~9 rounds), with Catalyst re-optimizing
+    # the exponentially growing tree per iteration and a driver OOM on
+    # the plan at real diameters. ``localCheckpoint`` materializes the
+    # round's labels (same executor memory+disk storage the persist
+    # used — the label_sum action below materialized it eagerly anyway)
+    # AND truncates the lineage, so every round's plan is flat and
+    # constant-size. Values are unchanged: the checkpoint stores the
+    # exact rows the persist stored.
     labels = (
         sym.select(F.col("u").alias("id"), F.least("u", "v").alias("component"))
         .groupBy("id")
         .agg(F.min("component").alias("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     prev_sum = label_sum(labels)
 
@@ -72,10 +85,9 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         new_sum = label_sum(new_labels)
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
@@ -84,7 +96,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
         )
-    return track(labels)
+    return labels
 
 
 def dedup_clusters(

@@ -130,7 +130,19 @@ def simhash_pairs(
     """
     chunks = max_distance + 1
     width = (NEUTRAL_BITS if neutral else 64) // chunks
-    fp = simhash_frame(df, id_col, text_col, neutral=neutral)
+    # The fingerprint frame feeds both sides of the banded self-join —
+    # unpersisted, the tokenize+hash pipeline ran twice and the raw
+    # table was scanned four times per action (round-14 audit). The
+    # frame is two longs per doc; persist it, track()-scoped.
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
+    fp = track(
+        simhash_frame(df, id_col, text_col, neutral=neutral).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
 
     mask = (1 << width) - 1
     entries = fp.select(

@@ -595,7 +595,14 @@ def ivf_topk(
     if centroids is not None:
         cents = centroids
     else:
-        cents = _degenerate_centroids(corpus, corpus_id, vec_col, n_centroids)
+        # model-sized; persisted so the TakeOrdered pass over the
+        # corpus runs once, not once per consumer (assignment + probe
+        # sides — round-14 scan audit)
+        cents = track(
+            _degenerate_centroids(
+                corpus, corpus_id, vec_col, n_centroids
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
@@ -1275,10 +1282,16 @@ def semantic_dedup(
     self-join bounded by the largest cell. Returns one row per input:
     (id, cell, is_kept, dup_of) with ``dup_of`` the lowest same-cell
     id that evicted the row (NULL when kept)."""
+    # Scan discipline (optimization round 14): the assigned-cell frame
+    # feeds THREE consumers (both intra-cell pair sides + the final
+    # keep join), and the internally-built centroid frame is evaluated
+    # per reference — unpersisted, six corpus scans per action. The
+    # centroid frame is model-sized and the cell frame a narrow
+    # corpus-sized projection; persist both, track()-scoped: two scans.
     if centroids is not None:
         cents = centroids
     else:
-        cents = (
+        cents = track(
             df.select(
                 F.col(id_col).alias("cent_id"),
                 F.col(vec_col).alias("__cent"),
@@ -1286,6 +1299,7 @@ def semantic_dedup(
             )
             .orderBy("cent_id")
             .limit(n_clusters)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
     base = df.select(
         F.col(id_col).alias("id"),
@@ -1295,7 +1309,7 @@ def semantic_dedup(
     assign_w = Window.partitionBy("id").orderBy(
         F.col("__sim").desc(), F.col("cent_id").asc()
     )
-    cells = (
+    cells = track(
         base.join(F.broadcast(cents))
         .withColumn(
             "__sim",
@@ -1306,6 +1320,7 @@ def semantic_dedup(
         .withColumn("__rn", F.row_number().over(assign_w))
         .filter(F.col("__rn") == 1)
         .select("id", "v", "n", F.col("cent_id").alias("cell"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = cells.select(
         F.col("cell"),
@@ -1454,8 +1469,16 @@ def pq_encode(
 
     Returns (id, pq_code ','-joined, mse = total squared error / d)."""
     if codebook is None:
-        codebook = _degenerate_pq_codebook(
-            df, id_col, vec_col, n_subspaces, n_codes
+        # model-sized (n_subspaces x n_codes rows) with one TakeOrdered
+        # pass over the input — persisted track()-scoped so consumers
+        # (the _pq_scored broadcast join, and ivfpq-style callers that
+        # reference the book twice) never re-run the input lineage,
+        # which for rotated/derived inputs is a full corpus map
+        # (optimization round 14).
+        codebook = track(
+            _degenerate_pq_codebook(
+                df, id_col, vec_col, n_subspaces, n_codes
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         )
     best = _pq_best_codes(
         df, id_col, vec_col, n_subspaces, codebook, "pq_encode"

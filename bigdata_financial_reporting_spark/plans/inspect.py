@@ -39,17 +39,67 @@ def has_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in physical_plan(df)
 
 
-def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges (broadcast exchanges excluded;
-    AQE-reused exchanges print as ReusedExchange, not counted) — the
-    dominant cost driver at scale."""
-    plan = physical_plan(df)
-    return len(
-        re.findall(
-            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
-            plan,
-        )
+_EXCHANGE_RE = re.compile(
+    r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)"
+)
+
+
+def _node_depth(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-*()0123456789":
+        i += 1
+    return i
+
+
+def _executed_exchange_count(plan: str) -> int:
+    """Shuffle exchanges that actually EXECUTE, from simple-mode plan
+    text. The plan printer repeats a cached build's whole subtree under
+    every ``InMemoryTableScan`` referencing it, so a raw text count
+    charges a persisted frame's exchanges once per consumer even
+    though the build runs once at materialization (round-14: the scan-
+    dedup persists made raw counts go UP while executed shuffles went
+    down). Count live exchanges plus each DISTINCT InMemoryRelation
+    subtree's exchanges once."""
+    # the printer re-numbers expression ids / plan ids per reference of
+    # the same cached relation — canonicalize before deduplicating
+    plan = re.sub(r"#\d+", "#x", re.sub(r"plan_id=\d+", "plan_id=x", plan))
+    live = 0
+    cached: dict[str, str] = {}  # canonical subtree text, deduplicated
+    cur_key: str | None = None
+    cur_depth = 0
+    cur_lines: list[str] = []
+    for line in plan.splitlines():
+        d = _node_depth(line)
+        if cur_key is not None and d <= cur_depth and line.strip():
+            body = "\n".join(cur_lines)
+            cached.setdefault(cur_key + "\n" + body, body)
+            cur_key = None
+        if cur_key is not None:
+            # slice off the OUTER tree-art prefix so the same cached
+            # subtree printed at different tree positions compares equal
+            cur_lines.append(line[cur_depth:])
+            continue
+        if "InMemoryRelation" in line:
+            cur_key = line[d:]
+            cur_depth = d
+            cur_lines = []
+            continue
+        live += len(_EXCHANGE_RE.findall(line))
+    if cur_key is not None:
+        body = "\n".join(cur_lines)
+        cached.setdefault(cur_key + "\n" + body, body)
+    return live + sum(
+        len(_EXCHANGE_RE.findall(body)) for body in cached.values()
     )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges that execute per action (broadcast
+    exchanges excluded; AQE-reused exchanges print as ReusedExchange,
+    not counted; a persisted frame's build exchanges counted once, not
+    once per InMemoryTableScan reference) — the dominant cost driver
+    at scale."""
+    return _executed_exchange_count(physical_plan(df))
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
@@ -97,12 +147,7 @@ def plan_report(df: DataFrame) -> dict:
         "sort_merge_join": "SortMergeJoin" in plan,
         "broadcast_nested_loop": "BroadcastNestedLoopJoin" in plan,
         "cartesian": "CartesianProduct" in plan,
-        "exchanges": len(
-            re.findall(
-                r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
-                plan,
-            )
-        ),
+        "exchanges": _executed_exchange_count(plan),
         "reused_exchanges": len(re.findall(r"ReusedExchange", plan)),
         "pushed_filters": pushed_filters(df),
         "codegen_spans": len(wholestage_codegen_ids(df)),

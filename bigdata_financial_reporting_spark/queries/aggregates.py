@@ -1088,9 +1088,20 @@ def agg_hll_sketch_mergeable(spark, sf_dir):
     tolerance WITNESS (same convention as agg_approx_count_distinct):
     the exact value plus in-band booleans the oracle pins TRUE."""
     ev = load_table(spark, sf_dir, "events")
-    g = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("n_exact"),
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
+    # g feeds the union-estimate rollup and the per-type report —
+    # unpersisted, the raw sketch pass ran twice (round-14 audit).
+    # Group-count-sized; persist it.
+    g = track(
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("n_exact"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     glob = g.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_all"),
@@ -3512,8 +3523,17 @@ def agg_theta_sketch_intersection(spark, sf_dir):
     on-query accuracy audit — at 100 TB the truth column is the one
     you drop, not the sketch. The l_partkey hash space is shared
     across groups, so the sketch self-join touches 64·k rows."""
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
     li = load_table(spark, sf_dir, "lineitem")
-    h = (
+    # h feeds the sketch build AND both truth-join sides; r feeds the
+    # kth threshold and the sketch rows — unpersisted, the raw table
+    # was scanned six times per action (round-14 audit). Both frames
+    # are distinct-(grp, hash)-sized and narrow; persisting them
+    # restores one scan + one distinct shuffle + one ranking pass.
+    h = track(
         li.select(
             F.col("l_returnflag").alias("grp"),
             ((F.col("l_partkey") * F.lit(2654435761)) % F.lit(4294967296)).alias(
@@ -3521,9 +3541,14 @@ def agg_theta_sketch_intersection(spark, sf_dir):
             ),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w = Window.partitionBy("grp").orderBy("hv")
-    r = h.withColumn("rn", F.row_number().over(w))
+    r = track(
+        h.withColumn("rn", F.row_number().over(w)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     kth = r.filter(F.col("rn") <= 64).groupBy("grp").agg(
         F.max("hv").alias("kth_hv")
     )
@@ -4007,13 +4032,25 @@ def stat_friedman(spark, sf_dir):
     Q = (k-1)(4*sum Rj^2 - n^2 k(k+1)^2) / (4*sum r^2 - n k(k+1)^2)
     (stated here in doubled-rank form, so every term is integer) is
     ONE mirrored double expression over two-limb dec2d renders."""
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
     ev = load_table(spark, sf_dir, "events")
     micro = F.round(F.col("value") * 1000000.0).cast("long")
     dec = "decimal(38,0)"
-    cell = ev.groupBy("user_id", "event_type").agg(
-        F.sum(micro.cast(dec)).alias("v")
+    # Persisted (block-count-sized, never corpus-sized): the cell
+    # frame feeds both the ranking pipeline and — new in round 14 —
+    # the global treatment count, which previously re-scanned the raw
+    # table. groupBy(user_id, event_type) preserves the distinct
+    # event_type set exactly, so countDistinct over cells equals
+    # countDistinct over raw rows; one raw scan instead of two.
+    cell = track(
+        ev.groupBy("user_id", "event_type")
+        .agg(F.sum(micro.cast(dec)).alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    kk = ev.agg(F.countDistinct("event_type").alias("k"))
+    kk = cell.agg(F.countDistinct("event_type").alias("k"))
     w_blk = Window.partitionBy("user_id")
     w_ord = Window.partitionBy("user_id").orderBy("v")
     w_le = (

@@ -346,8 +346,17 @@ def dedup_incremental(spark, sf_dir):
         normalized_text_hash,
     )
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", normalized_text_hash("text").alias("h")
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
+    # d feeds the corpus census and three batch slices — unpersisted,
+    # four raw scans + four normalize+hash passes per action (round-14
+    # audit). Two longs per doc; persist it: one scan.
+    d = track(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", normalized_text_hash("text").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     corpus = (
         d.filter(F.col("doc_id") < 400).select("h").distinct()
@@ -480,12 +489,22 @@ def dedup_bloom_prefilter(spark, sf_dir):
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("tc"),
         F.regexp_replace(F.lower(probe_text), "[^a-z0-9]", "").alias("tp"),
     )
-    hashed = base.select(
-        "doc_id",
-        poly_text_hash("tc", 131).alias("h1c"),
-        poly_text_hash("tc", 137).alias("h2c"),
-        poly_text_hash("tp", 131).alias("h1p"),
-        poly_text_hash("tp", 137).alias("h2p"),
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
+    # hashed feeds four consumers (bitmap build, probe, exact-verdict
+    # marked side, actual join) — unpersisted, the doc scan + four
+    # polynomial text hashes re-ran per consumer (round-14 audit: 4
+    # raw scans). Five longs per doc; persist it: one scan.
+    hashed = track(
+        base.select(
+            "doc_id",
+            poly_text_hash("tc", 131).alias("h1c"),
+            poly_text_hash("tc", 137).alias("h2c"),
+            poly_text_hash("tp", 131).alias("h1p"),
+            poly_text_hash("tp", 137).alias("h2p"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     corpus_h = hashed.select(F.col("h1c").alias("h1"), F.col("h2c").alias("h2"))
     bitmap = bloom_build(corpus_h)

@@ -1266,22 +1266,36 @@ def fin_momentum_rank(spark, sf_dir):
     ).filter(F.col("mom_u").isNotNull() & F.col("fwd_u").isNotNull())
     wd = Window.partitionBy("day").orderBy("mom_u", "user_id")
     ranked = feat.withColumn("quintile", F.ntile(5).over(wd))
-    return ranked.groupBy(
-        F.date_format("day", "yyyy-MM-dd").alias("day"), "quintile"
-    ).agg(
-        F.count(F.lit(1)).alias("n_instruments"),
-        (
-            F.expr(
-                spark_half_div("sum(cast(mom_u as decimal(38,0)))", "count(1)")
-            ).cast("double")
-            / 1000000.0
-        ).alias("mean_mom"),
-        (
-            F.expr(
-                spark_half_div("sum(cast(fwd_u as decimal(38,0)))", "count(1)")
-            ).cast("double")
-            / 1000000.0
-        ).alias("mean_fwd_ret"),
+    # Group on the RAW date column, render yyyy-MM-dd after the agg:
+    # distinct dates map 1:1 to their formatted strings, so the groups
+    # are identical — but grouping on the raw column lets the
+    # aggregation reuse the ntile window's hashpartitioning(day)
+    # (grouping on the derived date_format forced a fourth exchange of
+    # the cross-section; guide §2.4, optimization round 14).
+    return (
+        ranked.groupBy("day", "quintile")
+        .agg(
+            F.count(F.lit(1)).alias("n_instruments"),
+            (
+                F.expr(
+                    spark_half_div("sum(cast(mom_u as decimal(38,0)))", "count(1)")
+                ).cast("double")
+                / 1000000.0
+            ).alias("mean_mom"),
+            (
+                F.expr(
+                    spark_half_div("sum(cast(fwd_u as decimal(38,0)))", "count(1)")
+                ).cast("double")
+                / 1000000.0
+            ).alias("mean_fwd_ret"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "quintile",
+            "n_instruments",
+            "mean_mom",
+            "mean_fwd_ret",
+        )
     )
 
 

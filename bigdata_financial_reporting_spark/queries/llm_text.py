@@ -870,13 +870,26 @@ def text_source_overlap(spark, sf_dir):
     is |sources| choose 2 — broadcast territory at any scale."""
     from bigdata_financial_reporting_spark.operators.text import shingle_rows
 
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
     d = load_table(spark, sf_dir, "documents")
-    sh = (
+    # sh feeds the size census and both self-join sides, sizes feeds
+    # both pair sides — unpersisted, four raw scans + four tokenize
+    # passes per action (round-14 audit). sh is distinct-(source,
+    # shingle)-sized, sizes source-count-sized; one raw scan remains.
+    sh = track(
         shingle_rows(d, "doc_id", "text", 3, extra=[F.col("source")])
         .select("source", "s")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = track(
+        sh.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     common = (
         sh.alias("a")
         .join(
@@ -1529,7 +1542,20 @@ def text_bigram_logprob(spark, sf_dir):
     bgs = tokd.filter(F.size("__tok") >= 2).select(
         "doc_id", F.explode(word_ngrams(F.col("__tok"), 2)).alias("bg")
     )
-    model = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # model feeds the context rollup and the scoring broadcast —
+    # unpersisted, the train pass (tokenize + explode + count) ran
+    # twice (round-14 audit). Vocabulary-sized; persist it. The 1:1
+    # bigram stream itself stays unpersisted by design (train + score
+    # re-derive it rather than caching corpus x tokens rows).
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
+    model = track(
+        bgs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ctx = (
         model.select(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c12"
@@ -2487,12 +2513,26 @@ def mix_domain_rebalance(spark, sf_dir):
     ids) proves the selected SET matches, not just its size."""
     from pyspark.sql import Window
 
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
     d = load_table(spark, sf_dir, "documents")
-    sized = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
-    tot = sized.agg(
-        (F.sum("n_before") / F.count(F.lit(1)))
-        .cast("long")
-        .alias("per_domain")
+    # sized feeds the quota scalar, the per-source quota join, and the
+    # report row; tot feeds two joins — unpersisted, five raw scans per
+    # action (round-14 audit). Both are domain-count-sized; persisting
+    # them leaves two raw scans (the count pass + the ranking pass).
+    sized = track(
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = track(
+        sized.agg(
+            (F.sum("n_before") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("per_domain")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     w = Window.partitionBy("source").orderBy(
         F.md5(F.concat(F.lit("rebal:"), F.col("doc_id").cast("string"))),

@@ -966,8 +966,20 @@ def sim_opq_rotation_encode(spark, sf_dir):
         pq_encode,
     )
 
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
     e = load_table(spark, sf_dir, "embeddings")
-    rot = hadamard_rotate(e, "vec_id", "embedding", dim=64)
+    # The rotated frame feeds pq_encode's codebook derivation, its
+    # dimension probe, and the encode scan — unpersisted, the Arrow
+    # int64 matmul re-ran once per consumer (round-14 scan audit).
+    # Persist the rotation output once, track()-scoped.
+    rot = track(
+        hadamard_rotate(e, "vec_id", "embedding", dim=64).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     enc_rot = pq_encode(rot, "vec_id", "embedding", n_subspaces=8, n_codes=16)
     enc_raw = pq_encode(
         e, "vec_id", "embedding", n_subspaces=8, n_codes=16
@@ -1422,15 +1434,31 @@ def emb_pca_power_iteration(spark, sf_dir):
     '+ 0' guards tiny-negative components rounding to DuckDB's -0.0.
     Normalization and further iterations multiply the same broadcast
     matrix — per-iteration cost is O(d^2), independent of row count."""
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
+    # The symmetrized moment frame feeds both iterations and v1 feeds
+    # both the broadcast product and the final join — unpersisted,
+    # every reference re-ran the full corpus Gram pass (six scans per
+    # action, round-14 audit). All three frames are d x d model-sized
+    # (<= 4096 rows at d=64), so the persists are free and the corpus
+    # is scanned exactly once.
     merged = _exact_gram_moments(spark, sf_dir)
     num = (F.col("sxy") * F.col("n") - F.col("sx") * F.col("sy")).alias("num")
     up = merged.select("i", "j", num)
-    sym = up.union(
-        up.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "num"
-        )
+    sym = track(
+        up.union(
+            up.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "num"
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    v1 = sym.groupBy("i").agg(F.sum("num").alias("v1"))
+    v1 = track(
+        sym.groupBy("i")
+        .agg(F.sum("num").alias("v1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     terms = sym.join(
         F.broadcast(v1.select(F.col("i").alias("j"), F.col("v1"))), "j"
     ).select(
@@ -1751,7 +1779,15 @@ def sim_knn_graph_mutual(spark, sf_dir):
     with (dist, id) tie-break; the pairwise stage broadcasts the
     100-row slice (never a shuffled cartesian), and the mutual check
     is a self-join of the k-edge list on reversed endpoints."""
-    emb = (
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
+    # emb feeds both endpoints of the distance join and k5 feeds both
+    # the mutual join and its reversal — unpersisted, four raw scans
+    # per action (round-14 audit). Both frames are bounded (100-node
+    # subgraph); persist them: one scan.
+    emb = track(
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 100)
         .select(
@@ -1761,6 +1797,7 @@ def sim_knn_graph_mutual(spark, sf_dir):
                 lambda x: F.round(x.cast("double") * 1000000).cast("long"),
             ).alias("xq"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = emb.select(
         F.col("vec_id").alias("src"), F.col("xq").alias("xa")
@@ -1780,8 +1817,11 @@ def sim_knn_graph_mutual(spark, sf_dir):
     rn = F.row_number().over(
         W.partitionBy("src").orderBy("dist2", "dst")
     )
-    k5 = d.withColumn("rn", rn).filter(F.col("rn") <= 5).select(
-        "src", "dst", "dist2"
+    k5 = track(
+        d.withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .select("src", "dst", "dist2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rev = k5.select(
         F.col("src").alias("r_dst"), F.col("dst").alias("r_src")
@@ -1917,12 +1957,25 @@ def emb_matryoshka_prefix_topk(spark, sf_dir):
     (<= corpus rows, ~20 survive per query)."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
-        ).alias("xq"),
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
+    # The two rank passes are deliberately separate (each compiles to
+    # a map-side WindowGroupLimit; one fused pass with an OR-filter
+    # loses the pruning — see below), but both re-ran the scan +
+    # micro-quantize transform. Persist the quantized frame once; the
+    # query side reads the same cache (round-14 scan audit: 4 -> 1).
+    emb = track(
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+            ).alias("xq"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     q = emb.select(
         F.col("vec_id").alias("query_id"), F.col("xq").alias("qv")

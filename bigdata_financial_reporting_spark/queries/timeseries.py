@@ -139,8 +139,24 @@ def ts_funnel(spark, sf_dir):
             .agg(F.min("ts").alias(out_ts))
         )
 
-    v = stage(None, "view", None, "t_view")
-    c = stage(v, "click", "t_view", "t_click")
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
+    # Each non-final stage feeds TWO consumers (the next stage's join
+    # and its own funnel count) — unpersisted, the final plan re-ran
+    # the whole cascade per consumer (six raw scans per action,
+    # round-14 audit). The per-stage frames are user-count-sized
+    # (one min-timestamp row per user), so persisting them restores
+    # the designed cost: one filtered scan per stage.
+    v = track(
+        stage(None, "view", None, "t_view").persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c = track(
+        stage(v, "click", "t_view", "t_click").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     p = stage(c, "purchase", "t_click", "t_purchase")
     return (
         v.agg(F.count(F.lit(1)).alias("n_view"))
@@ -666,11 +682,22 @@ def ts_seasonal_decompose(spark, sf_dir):
     near-zero seasonal/residual cells."""
     from pyspark.sql import Window
 
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.to_date(F.date_trunc("day", "ts")).alias("day"),
-        F.dayofweek(F.to_date("ts")).alias("phase"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # daily feeds the seasonal means, the grand mean, and the trend
+    # window — unpersisted, three raw scans per action (round-14
+    # audit). Day-count-sized; persist it: one scan.
+    daily = track(
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.dayofweek(F.to_date("ts")).alias("phase"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     seas = daily.groupBy("phase").agg(
         F.sum("cnt").alias("ps"), F.count(F.lit(1)).alias("pn")
     )
