@@ -101,6 +101,8 @@ HEADLINE = [
     # round-13 additions
     "sim_ivf_probe_sweep",        # recall/cost curve over probe counts
     "sim_ivfpq_residual_encode",  # production residual-PQ encode
+    # round-14 addition (new keys enter the pinned set on arrival)
+    "sim_hnsw_greedy_descent",    # multi-layer HNSW greedy search walk
 ]
 
 

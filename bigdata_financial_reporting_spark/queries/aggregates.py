@@ -2888,12 +2888,22 @@ def stat_kruskal_wallis(spark, sf_dir):
         global_running_sum,
     )
 
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_financial_reporting_spark.operators.cache import track
+
     ev = load_table(spark, sf_dir, "events")
-    cells = ev.groupBy("value").agg(F.count(F.lit(1)).alias("t"))
-    runs = global_running_sum(cells, ["value"], ["t"])
-    gv = ev.groupBy(F.col("event_type").alias("grp"), "value").agg(
-        F.count(F.lit(1)).alias("c")
+    # One raw scan: the (group, value) cells are persisted and the
+    # value cells DERIVE from them — count per value is exactly the
+    # sum over groups of per-(group, value) counts, so the two-scan
+    # form (round-14 audit) computed the same thing twice.
+    gv = track(
+        ev.groupBy(F.col("event_type").alias("grp"), "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cells = gv.groupBy("value").agg(F.sum("c").cast("long").alias("t"))
+    runs = global_running_sum(cells, ["value"], ["t"])
     dec = "decimal(38,0)"
     g = gv.join(runs, "value").groupBy("grp").agg(
         F.sum("c").alias("n"),
