@@ -3684,7 +3684,12 @@ def stat_anova_two_way(spark, sf_dir):
     # margin, B margin) — unpersisted, each margin re-scanned and
     # re-aggregated the raw table (three full scans per action,
     # round-14 audit). Persisting the model-sized cell frame restores
-    # the designed cost: one scan, one map-collapsed shuffle.
+    # the designed cost: one scan, one map-collapsed shuffle. The
+    # coalesce(1) collapses the cached frame to a single partition
+    # (ka*kb rows of constant state — never corpus-sized), so the
+    # three consumers each read ONE task instead of a full
+    # shuffle-partition fan of near-empty tasks (the round-14
+    # regression: 0.46 -> 0.64 s from task overhead alone).
     cells = track(
         li.groupBy(
             F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
@@ -3694,6 +3699,7 @@ def stat_anova_two_way(spark, sf_dir):
             F.sum(qty.cast("decimal(38,0)")).alias("s"),
             F.sum(qty.cast("decimal(38,0)") * qty).alias("qq"),
         )
+        .coalesce(1)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 

@@ -43,6 +43,13 @@ PERF_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE coalesce partitions INSIDE cached-plan builds too
+    # (default false pins a cached frame's output partitioning, so a
+    # model-sized persisted frame is materialized and re-read across
+    # the full shuffle-partition count of near-empty tasks — the
+    # round-14 stat_friedman/stat_anova_two_way regression). Purely a
+    # partitioning choice: values are unchanged on any plan.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # local[32] default; a real cluster would size this to ~2-3x cores.
     "spark.sql.shuffle.partitions": "32",
