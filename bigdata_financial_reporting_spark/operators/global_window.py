@@ -10,18 +10,31 @@ global order (single logical series, cross-series cumulative metrics):
 1. ``repartitionByRange`` on the order key: partitions hold disjoint,
    consecutive key ranges — a parallel global sort (Spark's own
    ``orderBy`` machinery, sampled boundaries).
-2. Per-partition ``lag`` via a window keyed on ``spark_partition_id()``
-   — ordinary parallel window work.
-3. The only rows still missing their predecessor are each partition's
-   FIRST rows; their predecessors are each partition's LAST rows — at
-   most one row per partition. Aggregate those (num_partitions rows,
-   trivially broadcastable at any scale), shift by one partition, and
-   patch the firsts with a broadcast join.
+2. Per-partition window work keyed on ``spark_partition_id()`` —
+   ordinary parallel window evaluation.
+3. The cross-partition stitch (predecessors / offsets) needs one tiny
+   per-partition summary row — at most one row per partition,
+   trivially broadcastable at any scale.
 
-Total cost: one range shuffle + one broadcast of num_partitions rows —
+Total cost: one range shuffle + a broadcast of num_partitions rows —
 versus the reference's all-rows-to-one-task collapse. Result is
 IDENTICAL to the naive global window (same total order, tie-broken by
 the caller's order columns).
+
+Persist-boundary discipline (optimization round 15): where the
+operator's OUTPUT is consumed more than once per action set
+(``global_row_number``'s range path — callers count the ranked frame
+and then reuse it), the persist sits ABOVE the window so repeated
+consumers read the materialized ranking instead of re-running the
+partition-id exchange + sort + window per consumer. Where the output
+has a single consumer (the running-sum family), the persist stays
+BELOW the window on the narrow range-partitioned frame — measured at
+sf0.1, re-scanning a wider materialized window output twice costs more
+than re-running the tiny per-partition window once, and the summary
+branch is a map-side partial aggregation over the narrow cache either
+way. Both placements pin correctness identically: repartitionByRange
+samples boundaries, so all consumers must see ONE materialized
+partition assignment (operators/cache.py contract).
 """
 
 from __future__ import annotations
@@ -105,12 +118,21 @@ def global_row_number(
       don't). Then ONE hash shuffle of the data on the static bucket
       suffices, with no boundary sampling and no persist: bucket
       assignment is a pure function of the row, so every consumer
-      recomputes it identically.
+      recomputes it identically. The count branch stays a direct
+      map-side-combined aggregation over the un-windowed input (a
+      second scan of the source, but no sort/exchange of the data —
+      cheaper than re-running the window pipeline, which an
+      unpersisted fused branch would pay).
     - otherwise: ``repartitionByRange`` on the order key (works for
-      any key distribution), which costs the range shuffle plus the
-      window's hash shuffle on the partition id, and a persist so the
-      sampled boundaries stay consistent across consumers (callers
-      own the cache lifetime, as with the shingle frames in
+      any key distribution). The per-partition counts are fused into
+      the ranking Window exec (an unbounded-frame count over the same
+      (partition, order) spec shares the one physical Window operator)
+      and the persist sits ABOVE the window: callers of this path
+      consume the ranked output repeatedly (count + reuse), so every
+      consumer after the first reads the materialized ranking instead
+      of re-running the partition-id exchange + sort + window. The
+      persist also pins the sampled range boundaries across consumers
+      (callers own the cache lifetime, as with the shingle frames in
       operators/dedup).
     """
     from pyspark.storagelevel import StorageLevel
@@ -120,18 +142,28 @@ def global_row_number(
     order = [F.col(c) for c in order_cols]
     if bucket_col is not None:
         parts = df.withColumn("__b", bucket_col)
+        w = Window.partitionBy("__b").orderBy(*order)
+        within = parts.withColumn("__rn", F.row_number().over(w))
+        counts = parts.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
     else:
-        parts = track(
+        w = Window.partitionBy("__b").orderBy(*order)
+        w_all = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        within = track(
             df.repartitionByRange(
                 *([num_partitions] if num_partitions else []), *order
             )
             .withColumn("__b", F.spark_partition_id())
+            .select(
+                "*",
+                F.row_number().over(w).alias("__rn"),
+                F.count(F.lit(1)).over(w_all).alias("__cnt"),
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    w = Window.partitionBy("__b").orderBy(*order)
-    within = parts.withColumn("__rn", F.row_number().over(w))
-
-    counts = parts.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+        counts = within.groupBy("__b").agg(F.first("__cnt").alias("__cnt"))
+        within = within.drop("__cnt")
     wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "__b", F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__off")
@@ -164,6 +196,7 @@ def global_running_sum(
     order_cols: list[str],
     value_cols: list[str],
     num_partitions: int | None = None,
+    with_totals: bool = False,
 ) -> DataFrame:
     """Running sums of ``value_cols`` over the TOTAL order defined by
     ``order_cols`` (must be a total order), without the
@@ -171,10 +204,21 @@ def global_running_sum(
     running sums per partition, then add per-partition prefix offsets
     — the offset table is one row per PARTITION, so the only
     unpartitioned window runs over ~#partitions rows, never the data.
-    Output columns are ``run_<value_col>``. Same persist-for-
-    correctness contract as global_lag: repartitionByRange samples
-    boundaries, so the partition assignment is pinned by the tracked
-    persist (callers own the cache lifetime)."""
+    Output columns are ``run_<value_col>``; with ``with_totals=True``
+    every row additionally carries ``tot_<value_col>`` = the GRAND
+    total of that column, computed as one extra unbounded-frame sum
+    over the same per-partition totals in the SAME tiny offsets window
+    — so callers needing both the running values and the totals (ECDF
+    normalization, say) consume ONE frame instead of aggregating the
+    output a second time, which re-ran the whole window pipeline per
+    extra consumer before round 15. The grand totals are exact-equal
+    to a separate aggregation for the integer / decimal /
+    integer-valued-double columns callers feed (float association
+    never changes a sum of exactly representable integers). Same
+    persist-for-correctness contract as global_lag:
+    repartitionByRange samples boundaries, so the partition assignment
+    is pinned by the tracked persist (callers own the cache
+    lifetime)."""
     from pyspark.storagelevel import StorageLevel
 
     from bigdata_financial_reporting_spark.operators.cache import track
@@ -199,6 +243,9 @@ def global_running_sum(
         *[F.sum(v).alias(f"__tot_{v}") for v in value_cols]
     )
     wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = totals.select(
         "__b",
         *[
@@ -207,6 +254,14 @@ def global_running_sum(
             )
             for v in value_cols
         ],
+        *(
+            [
+                F.sum(f"__tot_{v}").over(wall).alias(f"tot_{v}")
+                for v in value_cols
+            ]
+            if with_totals
+            else []
+        ),
     )
     out = local.join(F.broadcast(offsets), "__b")
     for v in value_cols:

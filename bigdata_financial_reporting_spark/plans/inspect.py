@@ -51,6 +51,52 @@ def _node_depth(line: str) -> int:
     return i
 
 
+def _collect_cached_exchanges(
+    lines: list[str], cached: dict[str, int]
+) -> int:
+    """Live exchange count over ``lines``, extracting every cached
+    build (``InMemoryRelation`` subtree) into ``cached`` — RECURSIVELY,
+    so an inner cached build embedded in an outer cached build's
+    printed body is deduplicated against its live references too
+    (round-14 ADVICE: the flat version charged such nested builds once
+    inside the outer body AND once at their live reference). Each
+    distinct cached body's value in ``cached`` is its OWN live
+    exchange count, with nested cached builds excluded (they carry
+    their counts under their own keys)."""
+    live = 0
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i]
+        d = _node_depth(line)
+        if "InMemoryRelation" in line:
+            # slice off the OUTER tree-art prefix so the same cached
+            # subtree printed at different tree positions compares equal
+            key_head = line[d:]
+            j = i + 1
+            body_lines: list[str] = []
+            while j < n:
+                nxt = lines[j]
+                if nxt.strip() and _node_depth(nxt) <= d:
+                    break
+                body_lines.append(nxt[d:].rstrip())
+                j += 1
+            # the printer may leave trailing blank lines after a body
+            # depending on tree position — normalize so identical
+            # builds compare equal
+            while body_lines and not body_lines[-1]:
+                body_lines.pop()
+            key = key_head + "\n" + "\n".join(body_lines)
+            if key not in cached:
+                cached[key] = 0  # reserve before recursing
+                cached[key] = _collect_cached_exchanges(body_lines, cached)
+            i = j
+            continue
+        live += len(_EXCHANGE_RE.findall(line))
+        i += 1
+    return live
+
+
 def _executed_exchange_count(plan: str) -> int:
     """Shuffle exchanges that actually EXECUTE, from simple-mode plan
     text. The plan printer repeats a cached build's whole subtree under
@@ -59,38 +105,14 @@ def _executed_exchange_count(plan: str) -> int:
     though the build runs once at materialization (round-14: the scan-
     dedup persists made raw counts go UP while executed shuffles went
     down). Count live exchanges plus each DISTINCT InMemoryRelation
-    subtree's exchanges once."""
+    subtree's exchanges once — including builds nested inside other
+    builds' printed bodies."""
     # the printer re-numbers expression ids / plan ids per reference of
     # the same cached relation — canonicalize before deduplicating
     plan = re.sub(r"#\d+", "#x", re.sub(r"plan_id=\d+", "plan_id=x", plan))
-    live = 0
-    cached: dict[str, str] = {}  # canonical subtree text, deduplicated
-    cur_key: str | None = None
-    cur_depth = 0
-    cur_lines: list[str] = []
-    for line in plan.splitlines():
-        d = _node_depth(line)
-        if cur_key is not None and d <= cur_depth and line.strip():
-            body = "\n".join(cur_lines)
-            cached.setdefault(cur_key + "\n" + body, body)
-            cur_key = None
-        if cur_key is not None:
-            # slice off the OUTER tree-art prefix so the same cached
-            # subtree printed at different tree positions compares equal
-            cur_lines.append(line[cur_depth:])
-            continue
-        if "InMemoryRelation" in line:
-            cur_key = line[d:]
-            cur_depth = d
-            cur_lines = []
-            continue
-        live += len(_EXCHANGE_RE.findall(line))
-    if cur_key is not None:
-        body = "\n".join(cur_lines)
-        cached.setdefault(cur_key + "\n" + body, body)
-    return live + sum(
-        len(_EXCHANGE_RE.findall(body)) for body in cached.values()
-    )
+    cached: dict[str, int] = {}
+    live = _collect_cached_exchanges(plan.splitlines(), cached)
+    return live + sum(cached.values())
 
 
 def count_exchanges(df: DataFrame) -> int:

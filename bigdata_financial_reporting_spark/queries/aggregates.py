@@ -1902,29 +1902,26 @@ def agg_ks_twosample(spark, sf_dir):
         .cast("double")
         .alias("c2"),
     )
-    runs = global_running_sum(cells, ["value"], ["c1", "c2"])
-    # totals = the LAST running values = max of each running column —
-    # derived from the operator's persisted partition frame instead of
-    # a second aggregation pass over the raw cells (10x finding: the
-    # extra pass re-ran the corpus scan+group)
-    n = runs.agg(
-        F.max("run_c1").alias("n1"), F.max("run_c2").alias("n2")
+    # with_totals: every row carries the grand totals tot_c1/tot_c2
+    # (exact integers), so ONE consumer computes the normalized ECDF
+    # gap AND n1/n2 — before round 15 a second aggregation pass
+    # (max of the running columns) re-ran the whole window pipeline
+    # per action and fed a crossJoin.
+    runs = global_running_sum(
+        cells, ["value"], ["c1", "c2"], with_totals=True
     )
-    return (
-        runs.crossJoin(F.broadcast(n))
-        .agg(
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("run_c1") / F.col("n1")
-                        - F.col("run_c2") / F.col("n2")
-                    )
-                ),
-                6,
-            ).alias("ks_d"),
-            F.max("n1").cast("long").alias("n1"),
-            F.max("n2").cast("long").alias("n2"),
-        )
+    return runs.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("run_c1") / F.col("tot_c1")
+                    - F.col("run_c2") / F.col("tot_c2")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+        F.max("tot_c1").cast("long").alias("n1"),
+        F.max("tot_c2").cast("long").alias("n2"),
     )
 
 
