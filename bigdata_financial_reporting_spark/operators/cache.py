@@ -29,6 +29,43 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+class _CheckpointHandle:
+    """Release adapter for checkpointed frames: ``DataFrame.unpersist``
+    is a CacheManager no-op for a (local)checkpoint — the materialized
+    rows live as RDD blocks under a ``LogicalRDD``, so freeing them
+    means unpersisting that internal RDD. Best-effort: a reliable
+    checkpoint's files (and any already-released RDD) make this a
+    harmless no-op."""
+
+    def __init__(self, df: DataFrame) -> None:
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(
+                blocking
+            )
+        except Exception:  # pragma: no cover - non-LogicalRDD plans
+            pass
+
+
+def track_checkpoint(df: DataFrame) -> DataFrame:
+    """Register a checkpointed frame (``localCheckpoint``/``checkpoint``)
+    so ``release_operator_caches()`` bounds its block lifetime like any
+    persisted frame. After release the frame is UNUSABLE (the lineage
+    was truncated — there is nothing to recompute from), so the
+    release-only-after-consumers-materialized contract is load-bearing
+    here, not just a recompute cost."""
+    _TRACKED.append(_CheckpointHandle(df))  # type: ignore[arg-type]
+    return df
+
+
+def release_checkpoint(df: DataFrame, blocking: bool = False) -> None:
+    """Immediately free a checkpointed frame's blocks (for superseded
+    per-iteration frames that are provably never read again)."""
+    _CheckpointHandle(df).unpersist(blocking)
+
+
 def release_operator_caches(blocking: bool = False) -> int:
     """Unpersist every tracked frame; returns how many were released.
 

@@ -29,7 +29,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from bigdata_financial_reporting_spark.operators.cache import track
+from bigdata_financial_reporting_spark.operators.cache import (
+    release_checkpoint,
+    track,
+    track_checkpoint,
+)
+
+
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage.
+
+    Uses a RELIABLE ``checkpoint()`` (HDFS/object-store files, eager)
+    when the session has a checkpoint directory configured
+    (``SparkContext.setCheckpointDir`` — the production posture: an
+    executor loss mid-iteration recovers from the checkpoint files),
+    and ``localCheckpoint()`` otherwise (executor memory+disk blocks —
+    fine for local mode and tests, but NOT executor-loss tolerant: the
+    lineage is gone, so a lost executor fails the job; see SCALING.md).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint()
+    return df.localCheckpoint()
 
 
 def connected_components(
@@ -55,23 +76,26 @@ def connected_components(
     # Round 1 fused into initialization: while labels are the identity,
     # min-over-neighbors needs no join — one aggregation over the edges.
     #
-    # Lineage discipline (optimization round 14): each round references
-    # the previous label frame TWICE (union branch + neighbor join), so
-    # a persist alone leaves the logical plan doubling per round —
-    # 2^rounds plan nodes (the round-14 audit counted 642 nested scans
-    # in the final plan after ~9 rounds), with Catalyst re-optimizing
-    # the exponentially growing tree per iteration and a driver OOM on
-    # the plan at real diameters. ``localCheckpoint`` materializes the
-    # round's labels (same executor memory+disk storage the persist
-    # used — the label_sum action below materialized it eagerly anyway)
-    # AND truncates the lineage, so every round's plan is flat and
-    # constant-size. Values are unchanged: the checkpoint stores the
-    # exact rows the persist stored.
-    labels = (
+    # Lineage discipline (optimization round 14, hardened round 15):
+    # each round references the previous label frame TWICE (union
+    # branch + neighbor join), so a persist alone leaves the logical
+    # plan doubling per round — 2^rounds plan nodes (the round-14 audit
+    # counted 642 nested scans in the final plan after ~9 rounds), with
+    # Catalyst re-optimizing the exponentially growing tree per
+    # iteration and a driver OOM on the plan at real diameters.
+    # ``_cut_lineage`` materializes the round's labels (same executor
+    # memory+disk storage the persist used) AND truncates the lineage,
+    # so every round's plan is flat and constant-size. Values are
+    # unchanged: the checkpoint stores the exact rows the persist
+    # stored. Each round's checkpoint supersedes the previous round's:
+    # the old blocks are freed EXPLICITLY once the new round has
+    # materialized (round-14 ADVICE — before, one label-frame copy per
+    # round lingered until GC), and the final frame is registered with
+    # the cache-release contract so callers bound its lifetime too.
+    labels = _cut_lineage(
         sym.select(F.col("u").alias("id"), F.least("u", "v").alias("component"))
         .groupBy("id")
         .agg(F.min("component").alias("component"))
-        .localCheckpoint()
     )
     prev_sum = label_sum(labels)
 
@@ -81,12 +105,15 @@ def connected_components(
             sym.join(labels.withColumnRenamed("id", "v"), "v")
             .select(F.col("u").alias("id"), "component")
         )
-        new_labels = (
+        new_labels = _cut_lineage(
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
+        # new_labels is materialized (checkpoints are eager): the
+        # previous round's blocks can never be read again — free them
+        # now instead of waiting for py4j GC.
+        release_checkpoint(labels)
         new_sum = label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
@@ -96,7 +123,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
         )
-    return labels
+    return track_checkpoint(labels)
 
 
 def dedup_clusters(

@@ -144,3 +144,26 @@ def test_anova_cells_cached_single_partition(spark, sf_dir):
         "Coalesce 1", "Coalesce(1)"
     )
     release_operator_caches()
+
+
+def test_connected_components_frees_superseded_checkpoints(spark):
+    """Each CC round's checkpoint supersedes the previous round's:
+    while the result is live only the edge persist and the FINAL
+    labels may hold storage; release_operator_caches() frees both."""
+    from bigdata_financial_reporting_spark.operators.components import (
+        connected_components,
+    )
+
+    release_operator_caches()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)]
+        + [(2 * i, 2 * i + 2) for i in range(10)],
+        ["id_a", "id_b"],
+    )
+    out = connected_components(edges)
+    assert out.count() == 40
+    jsc = spark.sparkContext._jsc.sc()
+    live = len(jsc.getRDDStorageInfo())
+    assert live <= 2, f"superseded round checkpoints linger: {live} entries"
+    release_operator_caches()
+    assert len(jsc.getRDDStorageInfo()) == 0
