@@ -259,66 +259,23 @@ DRIVER_SEEN: frozenset[str] = (
 # against a fresh computation by tests/test_driver_order.py. Static so
 # the driver export never needs git at import time.
 RECHECK_FIRST: tuple[str, ...] = (
-    # round-14 OPTIMIZATION sync (gen_recheck.py against
-    # CORRECTNESS_r01..r13, at the committed tree): the scan-dedup
-    # round touched operators/similarity.py, components.py,
-    # rollup_ts.py, simhash.py, and many query bodies directly, so
-    # every key downstream of a touched helper re-enters the recheck
-    # tier — 65 keys, oldest driver row first (the list exceeds the
-    # ~50-key per-round driver budget; the tail drains in r15 by the
-    # same ordering). Every member is locally oracle-green at HEAD
-    # (LOCAL_CORRECTNESS.json) — this tier exists so the DRIVER
-    # re-confirms changed code first.
-    "dedup_incremental",
-    "dedup_simhash",
-    "dedup_survivor_quality",
-    "text_source_overlap",
-    "agg_hll_sketch_mergeable",
-    "ops_scd2_build",
-    "text_bigram_logprob",
-    "dedup_bloom_prefilter",
-    "emb_pca_power_iteration",
-    "mix_domain_rebalance",
-    "ts_seasonal_decompose",
-    "emb_dims_variance_topk",
-    "emb_matryoshka_prefix_topk",
-    "sim_knn_graph_mutual",
-    "stat_chisq_gof",
-    "stat_kruskal_wallis",
-    "stat_spearman_corr",
-    "text_charclass_profile",
-    "agg_theta_sketch_intersection",
-    "fin_momentum_rank",
-    "fin_sortino",
-    "quality_perplexity_bucket",
-    "agg_kmv_distinct_sketch",
-    "fin_drawdown",
-    "rollup_timeseries",
-    "sim_lsh_topk",
-    "udf_pandas_grouped_agg",
-    "dedup_embedding_cosine",
-    "join_interval_containment",
-    "join_point_in_time_scd2",
-    "join_range_banded",
-    "ops_incremental_rollup_refresh",
-    "skew_salted_agg",
-    "tpch_q14_shape",
-    "tpch_q8_shape",
-    "ts_theil_sen_slope",
-    "agg_regression_family",
-    "dedup_semantic_semdedup",
-    "emb_kmeans_lloyd_step",
-    "emb_label_margin",
-    "fin_vwap",
-    "sim_ivf_topk",
-    "sim_ivf_trained_topk",
-    "stat_anova_two_way",
-    "stat_friedman",
-    "sim_pq_encode",
-    "sim_ivfpq_topk",
-    "sim_ivfpq_trained_topk",
-    "sim_opq_rotation_encode",
-    "sim_pairwise_matrix",
+    # round-15 OPTIMIZATION sync (gen_recheck.py, which now looks back
+    # one artifact window: round 14 pinned a 65-key recheck list
+    # against a ~50-key driver budget, so 15 keys' r14 code changes
+    # were never driver-re-verified — they carry forward here ahead of
+    # everything the driver HAS re-checked, interleaved oldest driver
+    # row first with the keys round 15 touched directly (the
+    # global-order operator fusion, the cached-plan partitioning
+    # fixes, and their helper-closure downstream). 28 keys — all
+    # locally oracle-green at HEAD; this tier exists so the DRIVER
+    # re-confirms changed code first, within one round's budget.
+    "text_global_shuffle",
+    "agg_ks_twosample",
+    "ops_compaction_bins",
+    "stat_mann_whitney_u",
+    "stat_runs_test",
+    "agg_tdigest_quantiles",
+    "stat_wilcoxon_signed_rank",
     "stream_cdc_upsert_sink",
     "stream_content_dedup",
     "stream_dedup_exactly_once",
@@ -334,6 +291,12 @@ RECHECK_FIRST: tuple[str, ...] = (
     "stream_stream_left_outer",
     "stream_tumbling_window",
     "ts_funnel",
+    "dedup_embedding_cosine",
+    "dedup_survivor_quality",
+    "sim_lsh_topk",
+    "sim_pairwise_matrix",
+    "stat_anova_two_way",
+    "stat_kruskal_wallis",
 )
 
 # Round-12 NEW keys: never driver-checked, but deliberately ranked

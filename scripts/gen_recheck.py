@@ -175,38 +175,60 @@ def compute_recheck() -> list[dict]:
                 set(word.findall(src)) - {dname}
             )
 
-    # ONE diff window for every key: newest-artifact commit .. HEAD
-    # (older windows were triaged and pinned by previous rounds' syncs;
-    # see module docstring).
-    latest_sha = commits[max(commits)]
-    spans = changed_spans(latest_sha)
-    names: set[str] = set()
-    for rel, ranges in spans.items():
-        if not rel.endswith(".py") or rel not in defs_cache:
-            continue
-        for dname, s, e in defs_cache[rel]:
-            if _overlaps((s, e), ranges):
-                names.add(dname)
-    # transitive closure: a def is dirty if its span changed or it
-    # references a dirty (non-ubiquitous) def — fixpoint over the
-    # package graph, so _nearest_cells -> ivf_topk -> key-level
-    # match works at any helper depth
-    closure = set(names) - ubiquitous
-    grew = True
-    while grew:
-        grew = False
-        for dname, refs in def_refs.items():
-            if dname in closure or dname in ubiquitous:
+    # Per-key diff window, bounded one artifact back. A key checked in
+    # the NEWEST round diffs newest-artifact..HEAD (older windows were
+    # triaged and pinned by previous rounds' syncs; see module
+    # docstring). A key whose last driver row is OLDER than the newest
+    # artifact diffs from the artifact BEFORE the newest one: round 14
+    # pinned a 65-key recheck list against a ~50-key driver budget, so
+    # 15 keys' code changes landed in the r13..r14 window and were
+    # never re-verified — the newest-artifact window silently dropped
+    # them from the rotation (round-14 verdict item 10). One round of
+    # lookback is exactly the reachable debt: anything older was
+    # drained by construction while the pinned lists still fit the
+    # budget.
+    rounds_desc = sorted(commits, reverse=True)
+    latest_sha = commits[rounds_desc[0]]
+    prev_sha = commits[rounds_desc[1]] if len(rounds_desc) > 1 else latest_sha
+
+    def window_names(base_sha: str):
+        spans = changed_spans(base_sha)
+        names: set[str] = set()
+        for rel, ranges in spans.items():
+            if not rel.endswith(".py") or rel not in defs_cache:
                 continue
-            if refs & closure:
-                closure.add(dname)
-                grew = True
+            for dname, s, e in defs_cache[rel]:
+                if _overlaps((s, e), ranges):
+                    names.add(dname)
+        # transitive closure: a def is dirty if its span changed or it
+        # references a dirty (non-ubiquitous) def — fixpoint over the
+        # package graph, so _nearest_cells -> ivf_topk -> key-level
+        # match works at any helper depth
+        closure = set(names) - ubiquitous
+        grew = True
+        while grew:
+            grew = False
+            for dname, refs in def_refs.items():
+                if dname in closure or dname in ubiquitous:
+                    continue
+                if refs & closure:
+                    closure.add(dname)
+                    grew = True
+        return spans, closure
+
+    latest_round = rounds_desc[0]
+    windows = {
+        latest_sha: window_names(latest_sha),
+        prev_sha: window_names(prev_sha),
+    }
 
     out = []
     for name, (rel, span, src) in key_site.items():
         rnd = last.get(name)
         if rnd is None:
             continue  # never checked — handled by the unseen tiers
+        base = latest_sha if rnd >= latest_round else prev_sha
+        spans, closure = windows[base]
         reasons = []
         if rel in spans and _overlaps(span, spans[rel]):
             reasons.append("direct")
