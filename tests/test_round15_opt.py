@@ -167,3 +167,12 @@ def test_connected_components_frees_superseded_checkpoints(spark):
     assert live <= 2, f"superseded round checkpoints linger: {live} entries"
     release_operator_caches()
     assert len(jsc.getRDDStorageInfo()) == 0
+
+
+def test_minhash_candidates_ride_one_exchange(spark, sf_dir):
+    """The candidate dedup and the id_a re-check join share one
+    hash(id_a) exchange (subset partitioning clusters the superset
+    dedup key): 7 executed exchanges -> 6."""
+    df = QUERIES["dedup_minhash_pairs"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 6
+    release_operator_caches()
