@@ -10,6 +10,19 @@
   projection) buckets; only same-bucket pairs are scored. Probabilistic
   recall (verified against brute force in tests), deterministic given
   the seed: hyperplanes derive from xxhash64, not an RNG.
+
+CACHE CONTRACT (round-14 ADVICE note): since the round-14 scan-dedup
+work, several operators here — ``lsh_bucket_topk`` (n_tables > 1),
+``lsh_blocked_pairs``, the IVF/PQ family — persist corpus-sized
+narrow projections (id + vector [+ norm]) unconditionally per call,
+registered via ``operators.cache.track``. Spark keys cached data by
+canonicalized plan, so re-running the same query shares one entry,
+but DISTINCT inputs or parameters in one session accumulate entries
+until released: any long-lived caller must follow the repo-wide
+``release_operator_caches()`` contract (call after the returned
+plans' consumers have materialized — bench.py and the correctness
+harnesses do). Before round 14 only signature/bucket frames were
+persisted; these operators are no longer stateless in that sense.
 """
 
 from __future__ import annotations

@@ -266,15 +266,19 @@ RECHECK_FIRST: tuple[str, ...] = (
     # everything the driver HAS re-checked, interleaved oldest driver
     # row first with the keys round 15 touched directly (the
     # global-order operator fusion, the cached-plan partitioning
-    # fixes, and their helper-closure downstream). 28 keys — all
-    # locally oracle-green at HEAD; this tier exists so the DRIVER
-    # re-confirms changed code first, within one round's budget.
+    # fixes, the minhash candidate-exchange cut, and their
+    # helper-closure downstream). 32 keys — all locally oracle-green
+    # at HEAD; this tier exists so the DRIVER re-confirms changed code
+    # first, within one round's budget.
     "text_global_shuffle",
     "agg_ks_twosample",
     "ops_compaction_bins",
     "stat_mann_whitney_u",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
     "stat_runs_test",
     "agg_tdigest_quantiles",
+    "sim_hnsw_upper_graph",
     "stat_wilcoxon_signed_rank",
     "stream_cdc_upsert_sink",
     "stream_content_dedup",
@@ -290,6 +294,7 @@ RECHECK_FIRST: tuple[str, ...] = (
     "stream_stream_join",
     "stream_stream_left_outer",
     "stream_tumbling_window",
+    "text_top_shingles",
     "ts_funnel",
     "dedup_embedding_cosine",
     "dedup_survivor_quality",

@@ -23,6 +23,9 @@ import pytest
 from bigdata_financial_reporting_spark.queries import QUERIES
 
 from test_oracle import (
+    _ORACLE_SMOKE,
+    _ROWS_SMOKE,
+    _tiered,
     ORACLE_SPECS,
     ROWS_ONLY_SPECS,
     assert_no_complex_output_types,
@@ -63,7 +66,9 @@ def perturbed_layout(spark):
             spark.conf.set(k, v)
 
 
-@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+@pytest.mark.parametrize(
+    "spec", _tiered(ORACLE_SPECS, _ORACLE_SMOKE), ids=lambda s: s.name
+)
 def test_oracle_match_under_perturbed_partitioning(spec, spark, ddb, sf_dir):
     sdf = spec.fn(spark, sf_dir)
     s_rows = [tuple(r) for r in sdf.collect()]
@@ -86,7 +91,9 @@ def test_oracle_match_under_perturbed_partitioning(spec, spark, ddb, sf_dir):
     )
 
 
-@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
+@pytest.mark.parametrize(
+    "spec", _tiered(ROWS_ONLY_SPECS, _ROWS_SMOKE), ids=lambda s: s.name
+)
 def test_rows_only_runs_under_perturbed_partitioning(spec, spark, sf_dir):
     sdf = spec.fn(spark, sf_dir)
     assert_no_complex_output_types(sdf, spec.name)

@@ -23,6 +23,8 @@ import pytest
 
 from bigdata_financial_reporting_spark.queries import QUERIES
 
+from test_oracle import _ORACLE_SMOKE, _tiered
+
 ORACLE_SPECS = [s for s in QUERIES.values() if s.oracle is not None]
 
 
@@ -45,7 +47,9 @@ def kind(series) -> str:
     return type(v).__name__
 
 
-@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+@pytest.mark.parametrize(
+    "spec", _tiered(ORACLE_SPECS, _ORACLE_SMOKE), ids=lambda s: s.name
+)
 def test_dtype_kind_parity(spec, spark, ddb, sf_dir):
     sp = spec.fn(spark, sf_dir).toPandas()
     dp = ddb.execute(spec.oracle).df()
